@@ -1,0 +1,6 @@
+from gpu_database_spark.sources.catalog import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+)
