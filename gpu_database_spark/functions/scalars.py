@@ -1,1 +1,340 @@
-"""Placeholder — populated in this round."""
+"""Scalar-function coverage queries (SURVEY.md §2B "Scalar functions").
+
+Reference parity: the reference's scalar kernel is tiny — random cstr
+generation (``src/database/common/random.h:33-39``), bit pack/unpack
+(``src/cuda/metadatahelper.cuh:12-34``), a multiplicative hash
+(``src/cuda/hashTable.cuh:24-28``). Each query below exercises one
+family of built-in (JVM/codegen) scalar functions, the fast path that
+replaces row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.functions.compat import dsum, dsum_sql
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           substr(p_name, 1, 12) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/substring/length/concat/trim/replace/
+    split/reverse/lpad (ref's cstr generator analogue)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           (p_type LIKE '%O%') AS has_o,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word
+    FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_type LIKE '%LARGE%'
+    ORDER BY p_partkey
+    """,
+)
+def fn_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE predicates + regexp_extract/rlike (pushed to the scan where
+    possible — LIKE 'PROMO%' becomes a StartsWith pushdown)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("PROMO%") | F.col("p_type").like("%LARGE%"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.col("p_type").like("%O%").alias("has_o"),
+            F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "fn_date",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS month_value,
+           CAST(MIN(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS min_day_offset
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY yr, mo
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/quarter extraction, datediff, grouped by
+    calendar month (the classic time-rollup shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("month_value"),
+            F.min(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).cast("long").alias("min_day_offset"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(power(l_discount, 2), 10) AS disc_sq,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/floor/ceil/mod/sqrt/ln/power/greatest/least.
+    Transcendentals rounded to 6-10 dp (both engines use the platform
+    libm; last-bit drift is possible, well below the rounding)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("qty_bucket"),
+        (F.col("l_orderkey") % 97).cast("long").alias("key_mod"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", 2), 10).alias("disc_sq"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(('0x' || substr(md5(c_name), 1, 8)) AS BIGINT) AS name_hash32
+    FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family (ref's multiplicative hashKey analogue,
+    src/cuda/hashTable.cuh:24-28): md5/sha256 agree across engines;
+    a 32-bit integer hash is derived from the md5 prefix so the oracle
+    can reproduce it (Spark's xxhash64/murmur3 are engine-specific)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.conv(F.substring(F.md5("c_name"), 1, 8), 16, 10).cast("long").alias("name_hash32"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object over the events.props payload
+    (semi-structured column in an otherwise relational table)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_case_coalesce",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_bal
+    FROM (
+        SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               c_acctbal
+        FROM customer
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def fn_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (3-valued-logic surface the reference's
+    CmpBool enum intended but never wired, src/database/common/type.h:22-26)."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(bucket.alias("bucket"), "c_acctbal")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("total_bal"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           words[1] AS first_word,
+           words[-1] AS last_word,
+           array_to_string(list_sort(list_distinct(words[1:5])), ',') AS first5_sorted
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/element_at/slice/array_distinct/
+    array_sort/concat_ws over tokenized document text."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.slice(words, 1, 5)))).alias(
+            "first5_sorted"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sub_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_totalprice > 350000
+    ORDER BY o_orderkey
+    """,
+)
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (compiled to a left-semi broadcast join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM sq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sq_customer WHERE c_mktsegment = 'MACHINERY')
+          AND o_totalprice > 350000
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_scalar",
+    oracle="""
+    SELECT p_partkey, p_retailprice FROM part
+    WHERE p_retailprice > 1.5 * (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                                        / COUNT(*) FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced >1.5x the mean (one extra stage
+    computing the scalar, then broadcast into the filter)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sq_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice FROM sq_part
+        WHERE p_retailprice > 1.5 * (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                                            / COUNT(*) FROM sq_part)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
+    "sub_exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+    ORDER BY s_suppkey
+    """,
+)
+def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a semi-join)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("sq_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM sq_supplier
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        ORDER BY s_suppkey
+        """
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — populated in this round."""
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+Reference parity: the reference's only aggregate is the CAS min-Tid
+register (``src/cuda/metadatahelper.cuh:36-90``) == groupBy().min(),
+and slot counting (``src/cuda/hashTable.cuh:157-163``) == count().
+Here the full surface: multi-aggregate groupBy, distinct counting
+(exact + approximate), rollup/cube/grouping sets, filtered/conditional
+aggregation, HAVING.
+
+Scale notes: every groupBy below is a two-phase hash aggregate
+(map-side partial -> shuffle on group key -> final); distinct counts
+shuffle the distinct pairs; approx_count_distinct is the 100 TB path
+(HLL sketch, constant memory, one pass, mergeable across partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.functions.compat import davg, davg_sql, dsum, dsum_sql
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           {davg_sql('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate groupBy: count, distinct count, min/max/avg.
+    MIN/MAX on doubles are order-independent (no decimal detour needed)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg(F.col("o_totalprice")).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+           {dsum_sql('c_acctbal')} AS total_bal,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation markers."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+               {_dsum_sql_spark('c_acctbal')} AS total_bal,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+def _dsum_sql_spark(expr: str) -> str:
+    # Spark SQL spelling of the exact-decimal sum (same semantics as
+    # functions.compat.dsum).
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+@register(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct counts in one aggregate (expand + two
+    shuffles under the hood — the exact-but-expensive path)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d_parts"),
+            F.countDistinct("l_suppkey").alias("d_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: sketch estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
+    path — constant memory, single shuffle of mergeable sketches.
+    Estimates are engine-specific so the driver records rows-only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           {dsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_value,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS n_priority
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / conditional aggregation (sum-when, count-when) —
+    Catalyst short-circuits the predicates inside the partial agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+            dsum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0)
+            ).alias("urgent_value"),
+            F.count(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            ).alias("n_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT l_suppkey, COUNT(*) AS n_lines, {dsum_sql('l_extendedprice')} AS total
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    ORDER BY l_suppkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+        .filter(F.col("n_lines") > 100)
+        .orderBy("l_suppkey")
+    )

@@ -1,0 +1,222 @@
+"""Aria deterministic batch concurrency control as DataFrame algebra.
+
+This is the reference's core capability (SURVEY.md §3): execute a
+batch (epoch) of transactions speculatively, reserve each touched key
+for the smallest transaction id (Tid), analyze RAW/WAR/WAW conflicts,
+commit the conflict-free prefix deterministically, install its writes,
+and retry the rest next epoch. ("Aria: A Fast and Practical
+Deterministic OLTP Database", Lu et al., VLDB 2020.)
+
+Reference mapping (file:line in /root/reference):
+  - Execute/snapshot reads .. device_execute, src/database/ycsb/TrancM_func.cuh:21-63
+  - Read/write reservation .. MetadataHelper CAS min-Tid loops,
+                              src/cuda/metadatahelper.cuh:36-90
+  - Dependency analysis ..... device_analyze_dependency, TrancM_func.cuh:125-164
+  - Commit decision ......... without reorder: abort iff waw|raw,
+                              TrancM_func.cuh:207-227; with reorder:
+                              abort iff waw|(raw&war), TrancM_func.cuh:181-205
+  - Install write-back ...... TrancM_func.cuh:188-197, :213-224
+  - Collect/retry ........... TransctionManager.cuh:165-185
+
+The CAS race's terminal state is exactly ``groupBy(key).min(txn_id)``
+(a reservation fails iff an older Tid already holds it,
+metadatahelper.cuh:51-55,79-83), so the whole protocol becomes five
+deterministic, order-free DataFrame stages per epoch — no atomics, no
+shared mutable state, and bit-reproducible across cluster sizes.
+
+Data model:
+  table: (key: long, value: string)            — the KV store
+  ops:   (txn_id: long, op_idx: int, key: long, is_update: boolean)
+         update ops also *read*-reserve their key (TrancM_func.cuh:42-52).
+
+Scale notes (100 TB): each epoch is 3 shuffles (reserve groupBy,
+analyze join+groupBy, install join) all on `key` or `txn_id`; the
+retry loop localCheckpoints the table each epoch to cut the growing
+lineage (the one real perf trap of iterative DataFrame programs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reserve(ops: DataFrame) -> DataFrame:
+    """Per-key min-Tid reservations: (key, rts, wts).
+
+    rts is the min Tid over ALL ops on the key (update ops read too,
+    TrancM_func.cuh:42-52); wts over update ops only. Equivalent to the
+    terminal state of the reference's CAS loops (metadatahelper.cuh:36-90).
+    """
+    return ops.groupBy("key").agg(
+        F.min("txn_id").alias("rts"),
+        F.min(F.when(F.col("is_update"), F.col("txn_id"))).alias("wts"),
+    )
+
+
+def analyze(ops: DataFrame, reservations: DataFrame) -> DataFrame:
+    """Per-txn conflict flags (txn_id, raw, war, waw).
+
+    raw: some key this txn READS is write-reserved by an older txn
+    war: some key this txn WRITES is read-reserved by an older txn
+    waw: some key this txn WRITES is write-reserved by an older txn
+    (device_analyze_dependency, TrancM_func.cuh:125-164; every op reads,
+    so the read set is the whole op set.)
+    """
+    j = ops.join(reservations, "key")
+    older_w = F.col("wts").isNotNull() & (F.col("wts") < F.col("txn_id"))
+    older_r = F.col("rts") < F.col("txn_id")
+    return j.groupBy("txn_id").agg(
+        F.max(older_w).alias("raw"),
+        F.max(F.col("is_update") & older_r).alias("war"),
+        F.max(F.col("is_update") & older_w).alias("waw"),
+    )
+
+
+def commit_decision(flags: DataFrame, reorder: bool) -> DataFrame:
+    """Committed txn ids under the chosen abort rule.
+
+    reorder=False: abort iff waw | raw   (TrancM_func.cuh:207-227)
+    reorder=True : abort iff waw | (raw & war) — Aria's deterministic
+                   reordering (TrancM_func.cuh:181-205; the ref tests
+                   the equivalent `!raw || !war` at :187).
+    """
+    if reorder:
+        keep = ~F.col("waw") & ~(F.col("raw") & F.col("war"))
+    else:
+        keep = ~F.col("waw") & ~F.col("raw")
+    return flags.filter(keep).select("txn_id")
+
+
+def winners(ops: DataFrame, committed: DataFrame, new_value: Column) -> DataFrame:
+    """One winning (key, value) per key among committed update ops.
+
+    Deterministic resolution: smallest committed Tid, then its last op
+    in op order (row_number over (key) ordered by txn_id asc, op_idx
+    desc — SURVEY.md §3.2 step 4). ``new_value`` is the speculative
+    write expression (may reference txn_id/op_idx/key), the analogue of
+    the reference's device value regeneration (src/cuda/kv.cuh:72-78).
+    """
+    w = Window.partitionBy("key").orderBy(F.col("txn_id").asc(), F.col("op_idx").desc())
+    return (
+        ops.filter(F.col("is_update"))
+        .join(committed, "txn_id", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", new_value.alias("value"))
+    )
+
+
+def install(table: DataFrame, winning: DataFrame) -> DataFrame:
+    """MERGE the winners over the live table: coalesce(new, old).
+
+    Write-back of committed txns (TrancM_func.cuh:188-197). Upsert
+    semantics: keys not present in the table are inserted (the
+    op-parallel path's read-upsert, operation_parallel.cuh:72-83).
+    """
+    t = table.select("key", F.col("value").alias("_old"))
+    n = winning.select("key", F.col("value").alias("_new"))
+    return (
+        t.join(n, "key", "full_outer")
+        .select("key", F.coalesce("_new", "_old").alias("value"))
+    )
+
+
+@dataclass
+class EpochResult:
+    committed: list[int]
+    aborted: list[int]
+    table: DataFrame
+
+
+@dataclass
+class BatchResult:
+    table: DataFrame
+    commit_order: list[int] = field(default_factory=list)
+    epochs: int = 0
+
+
+def default_new_value() -> Column:
+    """Deterministic speculative write payload: a hash of the writing
+    (txn, op, key) — the seeded-reproducibility analogue of the
+    reference's cuRAND value generation (kv.cuh:72-78)."""
+    return F.md5(
+        F.concat_ws(":", F.col("txn_id"), F.col("op_idx"), F.col("key"))
+    )
+
+
+def run_epoch(
+    table: DataFrame,
+    ops: DataFrame,
+    reorder: bool = False,
+    new_value: Column | None = None,
+) -> EpochResult:
+    """One Execute→Reserve→Analyze→Install pass (test_one_epoch,
+    src/database/ycsb/db.h:111-125). Returns committed/aborted Tids and
+    the post-install table (lazy)."""
+    if new_value is None:
+        new_value = default_new_value()
+    res = reserve(ops)
+    flags = analyze(ops, res)
+    committed = commit_decision(flags, reorder)
+    # A txn with zero ops conflicts with nothing: it commits (it never
+    # enters `flags` because it has no rows in `ops`).
+    all_txns = ops.select("txn_id").distinct()
+    committed_ids = sorted(r.txn_id for r in committed.collect())
+    flagged = {r.txn_id for r in flags.select("txn_id").collect()}
+    all_ids = sorted(r.txn_id for r in all_txns.collect())
+    committed_set = set(committed_ids) | {t for t in all_ids if t not in flagged}
+    aborted = [t for t in all_ids if t not in committed_set]
+    win = winners(ops, committed, new_value)
+    new_table = install(table, win)
+    return EpochResult(sorted(committed_set), aborted, new_table)
+
+
+def run_batch(
+    table: DataFrame,
+    ops: DataFrame,
+    reorder: bool = False,
+    new_value: Column | None = None,
+    max_epochs: int = 1000,
+) -> BatchResult:
+    """Epoch loop until every txn commits (DB::test, db.h:104-109).
+
+    Aborted txns are re-numbered 1..m preserving relative order
+    (Collect, TransctionManager.cuh:176-184) and retried. Terminates:
+    each epoch the smallest live Tid has no older conflictor, so it
+    commits (metadatahelper.cuh:51-55 — min-Tid reservations never lose).
+
+    The table is localCheckpoint-ed per epoch: the retry loop would
+    otherwise grow an unbounded lineage (SURVEY.md §4.2's one real
+    perf trap).
+    """
+    result = BatchResult(table=table)
+    live = ops
+    for _ in range(max_epochs):
+        if live.isEmpty():
+            break
+        ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
+        table = ep.table.localCheckpoint(eager=True)
+        result.commit_order.extend(ep.committed)
+        result.epochs += 1
+        if not ep.aborted:
+            break
+        # Collect: compact aborted txns to the queue front with fresh
+        # sequential Tids 1..m (order-preserving).
+        aborted_df = live.sparkSession.createDataFrame(
+            [(t, i + 1) for i, t in enumerate(ep.aborted)], "txn_id long, _new_tid long"
+        )
+        live = (
+            live.join(F.broadcast(aborted_df), "txn_id")
+            .select(
+                F.col("_new_tid").alias("txn_id"),
+                "op_idx",
+                "key",
+                "is_update",
+            )
+            .localCheckpoint(eager=True)
+        )
+    result.table = table
+    return result

@@ -1,1 +1,167 @@
-"""Placeholder — populated in this round."""
+"""Oracle-checkable projections of the Aria algebra (SURVEY.md §3.2).
+
+The full epoch loop is iterative (tested against a serial-order oracle
+in tests/test_aria.py), but each stage of one epoch is pure relational
+algebra — so we derive a deterministic transaction batch from the
+lineitem fixture and declare every stage as a DuckDB-checkable query:
+
+  ops(txn_id, op_idx, key, is_update) :=
+      txn_id    = l_orderkey                 (unique per txn)
+      op_idx    = l_linenumber               (order within txn)
+      key       = l_partkey % 211 + 1        (hot keyspace -> conflicts,
+                                              mirroring keys_max=20000 on a
+                                              200k table, Transction.h:28)
+      is_update = l_quantity >= 30           (~0.4 write rate, WR_rate
+                                              Transction.h:25)
+
+This keeps the driver's DuckDB gate on the exact reservation /
+conflict / commit / install semantics (same SQL on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.operators import aria
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+_OPS_SQL = """
+    SELECT l_orderkey AS txn_id,
+           CAST(l_linenumber AS INTEGER) AS op_idx,
+           l_partkey % 211 + 1 AS key,
+           (l_quantity >= 30) AS is_update
+    FROM lineitem
+"""
+
+_RES_SQL = """
+    SELECT key, MIN(txn_id) AS rts,
+           MIN(CASE WHEN is_update THEN txn_id END) AS wts
+    FROM ops GROUP BY key
+"""
+
+_FLAGS_SQL = """
+    SELECT o.txn_id,
+           bool_or(r.wts IS NOT NULL AND r.wts < o.txn_id) AS raw,
+           bool_or(o.is_update AND r.rts < o.txn_id) AS war,
+           bool_or(o.is_update AND r.wts IS NOT NULL AND r.wts < o.txn_id) AS waw
+    FROM ops o JOIN res r USING (key)
+    GROUP BY o.txn_id
+"""
+
+
+def fixture_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic lineitem-derived transaction batch."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").alias("txn_id"),
+        F.col("l_linenumber").cast("int").alias("op_idx"),
+        (F.col("l_partkey") % 211 + 1).alias("key"),
+        (F.col("l_quantity") >= 30).alias("is_update"),
+    )
+
+
+@register(
+    "aria_reserve",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL})
+    SELECT key, MIN(txn_id) AS rts,
+           MIN(CASE WHEN is_update THEN txn_id END) AS wts
+    FROM ops GROUP BY key ORDER BY key
+    """,
+)
+def aria_reserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservation phase: per-key min-Tid read/write registers — the
+    deterministic fixpoint of the reference's CAS race
+    (metadatahelper.cuh:36-90)."""
+    return aria.reserve(fixture_ops(spark, sf_dir)).orderBy("key")
+
+
+@register(
+    "aria_conflict_flags",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}), res AS ({_RES_SQL})
+    {_FLAGS_SQL}
+    ORDER BY txn_id
+    """,
+)
+def aria_conflict_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency analysis: RAW/WAR/WAW flags per transaction
+    (device_analyze_dependency, TrancM_func.cuh:125-164)."""
+    ops = fixture_ops(spark, sf_dir)
+    return aria.analyze(ops, aria.reserve(ops)).orderBy("txn_id")
+
+
+@register(
+    "aria_commit_decision",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}), res AS ({_RES_SQL}), flags AS ({_FLAGS_SQL})
+    SELECT txn_id,
+           (NOT waw AND NOT raw) AS commit_plain,
+           (NOT waw AND NOT (raw AND war)) AS commit_reorder
+    FROM flags
+    ORDER BY txn_id
+    """,
+)
+def aria_commit_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit decisions under both abort rules: plain Aria (abort iff
+    waw|raw, TrancM_func.cuh:207-227) vs reorder optimization (abort iff
+    waw|(raw&war), TrancM_func.cuh:181-205). reorder commits are always
+    a superset of plain commits — visible in the result."""
+    ops = fixture_ops(spark, sf_dir)
+    flags = aria.analyze(ops, aria.reserve(ops))
+    return flags.select(
+        "txn_id",
+        (~F.col("waw") & ~F.col("raw")).alias("commit_plain"),
+        (~F.col("waw") & ~(F.col("raw") & F.col("war"))).alias("commit_reorder"),
+    ).orderBy("txn_id")
+
+
+@register(
+    "aria_install",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}), res AS ({_RES_SQL}), flags AS ({_FLAGS_SQL}),
+    committed AS (
+        SELECT txn_id FROM flags WHERE NOT waw AND NOT (raw AND war)
+    ),
+    base AS (
+        SELECT i AS key, md5('init:' || CAST(i AS VARCHAR)) AS value
+        FROM range(1, 212) t(i)
+    ),
+    win AS (
+        SELECT key, value FROM (
+            SELECT o.key,
+                   md5(CAST(o.txn_id AS VARCHAR) || ':' || CAST(o.op_idx AS VARCHAR)
+                       || ':' || CAST(o.key AS VARCHAR)) AS value,
+                   ROW_NUMBER() OVER (PARTITION BY o.key
+                                      ORDER BY o.txn_id ASC, o.op_idx DESC) AS rn
+            FROM ops o JOIN committed c USING (txn_id)
+            WHERE o.is_update
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.key, w.key) AS key,
+           COALESCE(w.value, b.value) AS value,
+           (w.key IS NOT NULL) AS written
+    FROM base b FULL OUTER JOIN win w ON b.key = w.key
+    ORDER BY key
+    """,
+)
+def aria_install(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Install phase end-to-end for one epoch (reorder mode): winning
+    write per key (min committed Tid, last op — SURVEY.md §3.2 step 4)
+    MERGEd over a deterministic base table (write-back,
+    TrancM_func.cuh:188-197)."""
+    ops = fixture_ops(spark, sf_dir)
+    committed = aria.commit_decision(aria.analyze(ops, aria.reserve(ops)), reorder=True)
+    base = spark.range(1, 212).select(
+        F.col("id").alias("key"),
+        F.md5(F.concat(F.lit("init:"), F.col("id").cast("string"))).alias("value"),
+    )
+    win = aria.winners(ops, committed, aria.default_new_value())
+    merged = aria.install(base, win)
+    return (
+        merged.join(win.select("key", F.col("value").alias("_w")), "key", "left")
+        .select("key", "value", F.col("_w").isNotNull().alias("written"))
+        .orderBy("key")
+    )

@@ -1,1 +1,347 @@
-"""Placeholder — populated in this round."""
+"""Join operators (SURVEY.md §2B "Joins").
+
+The reference has no join operator; its multiget is a left join of an
+op-batch against the store (``src/database/ycsb/TrancM_func.cuh:21-63``)
+and its dependency check is an inner join of op-sets against per-key
+reservations (``TrancM_func.cuh:125-164``). Here the full relational
+join surface: inner/left/full/semi/anti/cross, broadcast vs shuffle,
+non-equi (range) joins, and a salted-skew pattern.
+
+Scale notes (100 TB): dimension tables (region/nation/part/supplier)
+broadcast — zero shuffle on the fact side; fact-fact joins
+(lineitem x orders) shuffle on the join key and AQE handles skew;
+the salted pattern shows the manual fallback when one key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.functions.compat import dsum, dsum_sql
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join -> agg -> global top-k.
+
+    customer is small -> broadcast into orders; orders x lineitem is
+    the one shuffle (co-partitioned on orderkey). Top-k via
+    orderBy+limit is a TakeOrderedAndProject — no full sort at scale.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table star join.
+
+    All dimensions broadcast; the single big shuffle is
+    lineitem x orders on orderkey. Catalyst folds the
+    region->nation->supplier chain into the broadcast side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE", "AMERICA")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p_brand, s_name,
+           COUNT(*) AS n_lines,
+           {dsum_sql('l_quantity')} AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type = 'PROMO'
+    GROUP BY p_brand, s_name
+    ORDER BY p_brand, s_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension broadcast joins: zero shuffle on the fact side
+    until the final aggregation; filter on p_type prunes the broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy("p_brand", "s_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0.0) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (COUNT(col)
+    skips the null-extended rows, matching SQL semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations having only customers
+    or only suppliers survive with zero-filled counts)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one large order
+    (ref analogue: membership probe, src/cuda/hashTable.cuh:94-110)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (ref analogue: the
+    abort-set complement / retry compaction, TransctionManager.cuh:177-183)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderpriority, COUNT(*) AS combos
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    GROUP BY r_name, o_orderpriority
+    ORDER BY r_name, o_orderpriority
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny sets (scale rule: cross joins only ever
+    between broadcast-sized inputs; never fact x fact)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return (
+        r.crossJoin(p)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("combos"))
+        .orderBy("r_name", "o_orderpriority")
+    )
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    WITH bands AS (
+        SELECT i AS band_id, i * 20000.0 AS lo, (i + 1) * 20000.0 AS hi
+        FROM range(0, 6) t(i)
+    )
+    SELECT band_id, lo, hi, COUNT(*) AS n_parts,
+           {dsum_sql('p_retailprice')} AS band_value
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id, lo, hi
+    ORDER BY band_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: histogram banding by price.
+
+    The band table is tiny -> broadcast nested-loop join, which is the
+    right physical plan; at scale the alternative is precomputing the
+    band id with arithmetic (O(1) per row), shown by Catalyst folding
+    this to BroadcastNestedLoopJoin.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 6).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"),
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(F.col("p_retailprice")).alias("band_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {dsum_sql('l_extendedprice')} AS total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over a low-cardinality (skew-prone)
+    key: stage 1 aggregates on (key, salt) spreading each hot key over
+    16 reducers; stage 2 folds the partials. Result is identical to a
+    plain groupBy (the oracle), which is the point — salting is a
+    physical rewrite, not a semantic one. Decimal partials re-sum
+    exactly, so the two-stage plan stays hash-identical.
+
+    Ref analogue: the reference spreads one epoch's CAS traffic over
+    per-key atomic words (metadatahelper.cuh:36-90); salting is the
+    shuffle-world equivalent for hot keys.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    salted = l.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("_t"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum("_t").cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )

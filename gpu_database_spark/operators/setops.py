@@ -1,1 +1,126 @@
-"""Placeholder — populated in this round."""
+"""Set operators (SURVEY.md §2B "Set operations").
+
+Reference parity: the retry compaction computes the complement of the
+committed set (``src/database/ycsb/TransctionManager.cuh:177-183``) —
+an EXCEPT/anti-join. Full surface: UNION [ALL], INTERSECT, EXCEPT,
+DISTINCT.
+
+Scale notes: UNION ALL is free (no shuffle); UNION/INTERSECT/EXCEPT
+shuffle on the full row for dedup — at 100 TB prefer keyed anti/semi
+joins over EXCEPT when a key exists (shown by kv_delete_anti).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+def _cust_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+
+
+def _supp_nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations appearing on either side."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .union(_supp_nations(spark, sf_dir))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "set_union_all_counts",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL keeps duplicates — verified via per-key counts."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .unionAll(_supp_nations(spark, sf_dir))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations with both customers and suppliers."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersect(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer nations with no supplier presence
+    (ref analogue: abort-set complement, TransctionManager.cuh:177-183)."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .subtract(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "set_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def set_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DISTINCT (hash aggregate on all columns)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )

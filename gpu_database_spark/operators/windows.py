@@ -1,1 +1,199 @@
-"""Placeholder — populated in this round."""
+"""Window-function operators (SURVEY.md §2B "Window functions").
+
+Reference parity: the Key_Op_Chain structure orders same-key ops while
+different keys run in parallel (``src/database/ycsb/key_op_chain.cuh:72-134``)
+— exactly a ``Window.partitionBy(key).orderBy(op_idx)``; Tid priority
+(min-Tid wins, ``metadatahelper.cuh:51-55``) is a rank.
+
+Scale notes: a window shuffles once on its partition key and sorts
+within partitions; an ORDER BY with no PARTITION BY is a single-reducer
+trap and never appears here. Every orderBy carries a unique tiebreak so
+rank/lag output is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 5
+    ORDER BY c_nationkey, rn
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per partition + top-5 filter (top-k per group).
+
+    Ref analogue: min-Tid priority ordering (metadatahelper.cuh:51-55).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           COALESCE(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate), -1) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, od, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD across a customer's order history + inter-order gap."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.coalesce(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lag("o_orderdate").over(w).cast("date"),
+                ),
+                F.lit(-1),
+            ).cast("long").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "od", "o_orderkey")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT): running
+    customer spend. Decimal accumulation keeps the prefix sums exact."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(COUNT(*)
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS qty_ma5
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame (ROWS 4 PRECEDING): 5-row moving average of
+    shipped quantity per supplier, expressed as exact-sum / count."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        l.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ).alias("qty_ma5"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+    SELECT n_name,
+           CAST(nation_value AS DOUBLE) AS nation_value,
+           CAST(nation_value / SUM(nation_value) OVER () AS DOUBLE) AS share
+    FROM (
+        SELECT n_name, CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS nation_value
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    ORDER BY n_name
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpartitioned window over a pre-aggregated (small) input:
+    percent-of-total. The global window runs on ~25 rows, not on the
+    fact table — the scale-safe way to use an empty OVER ()."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(27,6)")).cast("double").alias("nation_value"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "nation_value",
+        (F.col("nation_value") / F.sum("nation_value").over(w)).alias("share"),
+    ).orderBy("n_name")
