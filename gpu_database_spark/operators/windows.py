@@ -171,7 +171,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            CAST(nation_value AS DOUBLE) AS nation_value,
-           CAST(nation_value / SUM(nation_value) OVER () AS DOUBLE) AS share
+           CAST(nation_value / CAST(SUM(CAST(nation_value AS DECIMAL(27,6))) OVER ()
+                                    AS DOUBLE) AS DOUBLE) AS share
     FROM (
         SELECT n_name, CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS nation_value
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -192,8 +193,9 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s_acctbal").cast("decimal(27,6)")).cast("double").alias("nation_value"))
     )
     w = Window.partitionBy()
+    total = F.sum(F.col("nation_value").cast("decimal(27,6)")).over(w).cast("double")
     return per_nation.select(
         "n_name",
         "nation_value",
-        (F.col("nation_value") / F.sum("nation_value").over(w)).alias("share"),
+        (F.col("nation_value") / total).alias("share"),
     ).orderBy("n_name")
