@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], times each query end-to-end (plan + execute
++ collect), and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Also times the Aria engine at the reference's workload configuration
+(BASELINE.md: 200k-row preload, 150-txn batch, U(0,30) ops,
+keys U(1,20000), 40% writes) for baseline comparability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family, weighted toward the
+# scan/join/agg shapes that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_broadcast_dim",
+    "join_skew_salted",
+    "agg_distinct_exact",
+    "agg_rollup",
+    "window_rank",
+    "window_running_sum",
+    "topk_global",
+    "topk_per_group",
+    "fn_json",
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "text_token_stats",
+    "text_quality_score",
+    "sim_topk_cosine",
+    "mm_extract_features",
+]
+
+
+def main() -> None:
+    from gpu_database_spark.session import get_spark
+    from gpu_database_spark import registry
+
+    spark = get_spark(app_name="gpu-database-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warm the JVM/session on the smallest fixture so measured times are
+    # query time, not first-run class-loading.
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert rows is not None
+
+    # Aria at the reference's workload configuration (BASELINE.md).
+    from gpu_database_spark import gen
+    from gpu_database_spark.operators import aria
+
+    t0 = time.perf_counter()
+    table = gen.kv_table_distributed(spark, 200_000, seed=42)
+    ops = gen.transactions(
+        spark, batch_size=150, max_ops=30, keys_max=20_000, write_rate=0.4, seed=7
+    )
+    result = aria.run_batch(table, ops, reorder=False)
+    result.table.count()
+    timings["aria_ycsb_batch"] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline-query-set wall time (sum of per-query sec)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,229 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Brute-force cosine top-k as the exact baseline (oracle-checked), plus
+a bit-sampling LSH-bucketed variant as the 100 TB scale path
+(rows-only; tests measure its recall against the exact baseline).
+
+Vector arithmetic uses built-in higher-order functions
+(zip_with + aggregate) — JVM-side, no Python in the loop. Cosines are
+rounded to 6dp before ranking so Spark and DuckDB rank identically
+(both accumulate doubles in array order; last-bit drift cannot flip a
+6dp-rounded comparison except on exact ties, which the vec_id
+tiebreak absorbs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT qid, cid, label,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q JOIN c ON qid <> cid
+    )
+    SELECT qid, cid, label, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, cid) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    ORDER BY qid, rk
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set against
+    the candidate corpus, rank per query with a window.
+
+    Scale path: the query side broadcasts (it is small by definition);
+    the corpus scan is embarrassingly parallel; per-query top-k is one
+    shuffle on qid. For corpus-x-corpus at 100 TB use sim_ann_lsh.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), "label", F.col("embedding").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_pairs_blocked",
+    oracle="""
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) > 0.3
+    ORDER BY va, vb
+    """,
+)
+def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with blocking: pairwise cosine only
+    WITHIN label blocks (the blocking key bounds the quadratic term —
+    at 100 TB the block is an LSH bucket, not a label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", "label", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.3)
+        .orderBy("va", "vb")
+    )
+
+
+N_TABLES = 4  # LSH tables (OR-amplification)
+N_BITS = 4    # hyperplanes per table (AND-amplification)
+
+
+def _plane_bit(vec: Column, plane: int) -> Column:
+    """Sign bit of a pseudo-random +-1 projection; the +-1 pattern per
+    (plane, dimension) derives from md5 — reproducible anywhere, no
+    stored model."""
+    proj = F.aggregate(
+        F.transform(
+            vec,
+            lambda x, i: x.cast("double")
+            * F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(plane), i)), 1, 4), 16, 10
+                ).cast("long")
+                % 2
+                == 1,
+                1.0,
+            ).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj > 0, 1).otherwise(0)
+
+
+def lsh_bucket_array(vec: Column) -> Column:
+    """Array of N_TABLES bucket ids (N_BITS-bit signatures); element t
+    is the bucket of table t. A pair is a candidate if it collides in
+    ANY table (OR over tables, AND over bits — standard LSH
+    amplification; single-table wide signatures have near-zero recall
+    on moderate-similarity neighbors)."""
+    buckets = []
+    for t in range(N_TABLES):
+        sig = F.lit(0)
+        for b in range(N_BITS):
+            sig = sig + _plane_bit(vec, t * N_BITS + b) * (1 << b)
+        buckets.append(sig)
+    return F.array(*buckets)
+
+
+@register("sim_ann_lsh")  # rows-only: bucket layout is engine-specific
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH: a candidate
+    must share a full 4-bit signature in at least one of 4 tables; exact
+    cosine then re-ranks candidates only.
+
+    The 100 TB path: signatures are a narrow map over the corpus; the
+    candidate join touches only same-bucket pairs (expected bucket size
+    n/16 per table), never all-pairs. tests/test_llm.py measures recall
+    against sim_topk_cosine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    signed = e.select("vec_id", "embedding", lsh_bucket_array(F.col("embedding")).alias("bk"))
+    exploded = signed.select("vec_id", F.posexplode("bk").alias("tbl", "bucket"))
+    q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    c = exploded.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
+    cands = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    scored = (
+        cands.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "sim_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """,
+)
+def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms + dimensionality audit (the sanity scan every
+    embedding pipeline runs before indexing)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    ).orderBy("vec_id")

@@ -1,1 +1,202 @@
-"""Placeholder — populated in this round."""
+"""Batch-mode equivalents of the streaming jobs (oracle-checkable).
+
+The reference's only streaming-like construct is the epoch micro-batch
+loop with retry (``src/database/ycsb/db.h:104-109``,
+``TransctionManager.cuh:165-185``). Our engine's streaming surface
+(tumbling/sliding/session windows, stateful dedup) is declared here in
+batch mode over the static ``events`` table — same transformations the
+Structured Streaming jobs in ``streaming.jobs`` apply incrementally —
+so the DuckDB oracle can gate the semantics. tests/test_streaming.py
+then proves streaming-mode == batch-mode on the same input.
+
+Timestamps are emitted as epoch seconds/microseconds BIGINT: events
+carry nanosecond precision that Spark truncates to microseconds
+(sources/catalog.py), and integer epochs dodge every tz/precision
+representation hazard between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.functions.compat import dsum, dsum_sql
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type (shared by batch + streaming)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT epoch_ns(ts) // 3600000000000 * 3600 AS win_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start_s, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregation (streaming: incremental state per
+    window, closed by the watermark; batch: a plain groupBy — identical
+    results by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_hourly(e).orderBy("win_start_s", "event_type")
+
+
+@register(
+    "stream_sliding_2h",
+    oracle="""
+    SELECT (epoch_ns(ts) // 3600000000000 - i) * 3600 AS win_start_s,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, range(0, 2) r(i)
+    GROUP BY 1
+    ORDER BY win_start_s
+    """,
+)
+def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in two
+    overlapping windows — Spark's window() expands them natively, the
+    oracle via an explicit unnest."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("win_start_s"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("win_start_s")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+    marks AS (
+        SELECT user_id, t, value,
+               CASE WHEN LAG(t) OVER w IS NULL
+                         OR t - LAG(t) OVER w >= {GAP_US} THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    sess AS (
+        SELECT user_id, t, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT user_id, MIN(t) AS sess_start_us, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sess_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, sess_start_us
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's
+    native session_window; the oracle sessionizes classically with
+    lag + cumulative sum. A new session starts when the gap is >= 30min
+    (Spark's session end = last event + gap, half-open)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sess_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("sess_start_us"),
+            "n_events",
+            "sess_value",
+        )
+        .orderBy("user_id", "sess_start_us")
+    )
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup semantics (keep the first event per key) — the
+    deterministic batch statement of streaming dropDuplicates; the
+    streaming job keeps per-key state expired by the watermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "stream_rate_per_minute",
+    oracle=f"""
+    SELECT event_type,
+           epoch_ns(ts) // 60000000000 * 60 AS minute_s,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS v
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+    ORDER BY event_type, minute_s
+    """,
+)
+def stream_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained (per-minute) keyed rollup — the shape of a streaming
+    metrics pipeline; at scale the groupBy key (type, minute) keeps
+    state bounded and AQE coalesces the tiny partitions."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.expr("ts_ns div 60000000000").alias("_m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("v"))
+        .select(
+            "event_type",
+            (F.col("_m") * 60).alias("minute_s"),
+            "n",
+            "v",
+        )
+        .orderBy("event_type", "minute_s")
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming jobs (SURVEY.md §7 phase 4).
+
+The reference's epoch loop is an unbounded sequence of micro-batches
+with retry of aborted work (``src/database/ycsb/db.h:104-109``) — the
+natural Spark mapping is Structured Streaming: ``readStream`` over the
+events source, watermarked windowed aggregations for late data, and a
+``foreachBatch`` sink running the Aria install as the
+streaming-to-transaction bridge.
+
+Tests drive these with ``trigger(availableNow=True)`` against the
+static fixture and assert the results equal the batch equivalents in
+``batch_equiv`` — the exactly-once contract.
+
+Scale notes: state stores are keyed by (window/session, key) and
+pruned by the watermark; shuffle partitions bound state-store count;
+``foreachBatch`` gives per-epoch transactional installs exactly like
+the reference's Install phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from gpu_database_spark.session import tune_session
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture (parquet file source, one-file-per-batch
+    capable). Schema comes from a batch peek; ts normalized exactly as
+    sources.catalog.load_table does."""
+    tune_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file source wants a directory; the fixture dir holds one file
+    # per table, so glob-filter down to the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        stream.withColumnRenamed("ts", "ts_ns")
+        # TIMESTAMP (LTZ; session tz is pinned UTC): watermarks require it —
+        # Spark rejects TIMESTAMP_NTZ event time. The batch catalog keeps
+        # NTZ; with UTC the two views denote the same instants.
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1h counts per event_type. Late events beyond
+    the watermark are dropped and their windows finalized."""
+    from gpu_database_spark.streaming.batch_equiv import tumbling_hourly
+
+    return tumbling_hourly(events.withWatermark("ts", watermark))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type); state expired
+    past the watermark (batch statement: stream_dedup_first)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def write_memory_sink(df: DataFrame, name: str, complete: bool = True) -> DataStreamWriter:
+    """Memory sink used by tests: availableNow trigger processes the
+    whole fixture then stops."""
+    mode = "complete" if complete else "append"
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+    )
+
+
+def aria_foreach_batch_install(
+    spark: SparkSession,
+    table: DataFrame,
+    batch_to_ops,
+):
+    """Build a foreachBatch function running one Aria epoch per
+    micro-batch — the streaming/transaction bridge (epoch loop,
+    db.h:104-125, driven by arriving data instead of generate()).
+
+    ``batch_to_ops(batch_df) -> ops DataFrame`` maps a micro-batch to
+    the (txn_id, op_idx, key, is_update) model; the returned closure
+    keeps the evolving table in ``state['table']``.
+    """
+    from gpu_database_spark.operators import aria
+
+    state = {"table": table, "epochs": 0, "committed": []}
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        ops = batch_to_ops(batch_df)
+        result = aria.run_batch(state["table"], ops, reorder=True)
+        state["table"] = result.table
+        state["epochs"] += result.epochs
+        state["committed"].extend(result.commit_order)
+
+    return _fn, state

@@ -1,0 +1,78 @@
+"""LLM-pipeline operator properties beyond the DuckDB oracle:
+LSH recall vs the exact baseline, dedup self-consistency, multimodal
+Arrow plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpu_database_spark.llm import dedup, multimodal, similarity
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """Bucketed ANN must findreasonable overlap with exact top-k for
+    the same queries (8-bit hyperplane signatures on 64-dim vectors
+    are coarse; demand >0 overlap and per-query validity, and that
+    every ANN hit's cosine matches the exact scorer)."""
+    exact = similarity.sim_topk_cosine(spark, sf_dir).collect()
+    approx = similarity.sim_ann_lsh(spark, sf_dir).collect()
+    exact_pairs = {(r.qid, r.cid): r.cos_sim for r in exact}
+    hits = 0
+    for r in approx:
+        if (r.qid, r.cid) in exact_pairs:
+            hits += 1
+            assert abs(exact_pairs[(r.qid, r.cid)] - r.cos_sim) < 1e-9
+    assert hits > 0, "LSH found no exact-top-k neighbors at all"
+    # every approx row is a real candidate with a sane score
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in approx)
+
+
+def test_minhash_detects_planted_near_dup(spark, sf_dir):
+    """Plant a near-duplicate pair and an unrelated doc; the MinHash+LSH
+    pipeline must bucket the planted pair together."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    near = base.replace("hide", "flee")  # one word differs
+    other = "completely different text about spark shuffles and parquet row groups"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    groups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_n = {r.n: r.keeper for r in groups}
+    assert by_n[3] == 1 and by_n[1] == 2
+
+
+def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
+    """mapInPandas schema/batch plumbing: every media row gets features,
+    deterministic across runs, schema as declared."""
+    media = multimodal.media_table(spark, sf_dir)
+    feats = multimodal.extract_features(media)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    n_media = media.count()
+    rows1 = sorted(tuple(r) for r in feats.collect())
+    rows2 = sorted(tuple(r) for r in feats.collect())
+    assert rows1 == rows2
+    assert len(rows1) == n_media
+    images = [r for r in rows1 if r[1] == "image"]
+    assert all(r[5] == 1 for r in images), "images must have exactly 1 frame"
+
+
+def test_frame_sample_bounded(spark, sf_dir):
+    fs = multimodal.mm_frame_sample(spark, sf_dir)
+    agg = fs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert agg and all(1 <= r.n <= 9 for r in agg)

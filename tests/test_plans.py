@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, enforced
+at test scale (predicate pushdown, column pruning, broadcast joins,
+whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpu_database_spark.operators.joins import join_broadcast_dim, q3_shipping_priority
+from gpu_database_spark.operators.relational import kv_point_lookup, q1_pricing_summary
+from gpu_database_spark.plans import inspect
+from gpu_database_spark.sources.catalog import load_table
+
+
+def test_point_lookup_pushes_predicate(spark, sf_dir):
+    df = kv_point_lookup(spark, sf_dir)
+    pushed = inspect.pushed_filters(df)
+    assert "p_partkey" in pushed, f"lookup predicate not pushed: {pushed}"
+
+
+def test_q1_prunes_columns_and_pushes_filter(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    rs = inspect.read_schema(df)
+    # 7 needed columns, and specifically none of the unused ones
+    assert "l_partkey" not in rs and "l_suppkey" not in rs, f"no pruning: {rs}"
+    assert "l_shipdate" in rs
+    pushed = inspect.pushed_filters(df)
+    assert "l_shipdate" in pushed, f"shipdate not pushed: {pushed}"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert inspect.has_broadcast_join(join_broadcast_dim(spark, sf_dir))
+    assert inspect.has_broadcast_join(q3_shipping_priority(spark, sf_dir))
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan on execution
+    assert inspect.codegen_stage_count(df) >= 1
+
+
+def test_filter_after_load_still_pushes(spark, sf_dir):
+    """Catalyst pushes filters applied after the (events) normalization
+    projection down to the scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    pushed = inspect.pushed_filters(e)
+    assert "event_type" in pushed, f"not pushed through projection: {pushed}"
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    """The flagship agg must be partial (map-side) + final — visible as
+    two HashAggregate nodes around one exchange."""
+    plan = inspect.simple_plan(q1_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
