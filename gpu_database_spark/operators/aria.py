@@ -160,18 +160,74 @@ def run_epoch(
         new_value = default_new_value()
     res = reserve(ops)
     flags = analyze(ops, res)
-    committed = commit_decision(flags, reorder)
-    # A txn with zero ops conflicts with nothing: it commits (it never
-    # enters `flags` because it has no rows in `ops`).
-    all_txns = ops.select("txn_id").distinct()
-    committed_ids = sorted(r.txn_id for r in committed.collect())
-    flagged = {r.txn_id for r in flags.select("txn_id").collect()}
-    all_ids = sorted(r.txn_id for r in all_txns.collect())
-    committed_set = set(committed_ids) | {t for t in all_ids if t not in flagged}
-    aborted = [t for t in all_ids if t not in committed_set]
-    win = winners(ops, committed, new_value)
+    # ONE driver round-trip per epoch: the flag rows are one per live
+    # txn (a txn with ops always joins its own reservations), ~batch
+    # size — the same small D2H copy the reference's Collect does
+    # (TransctionManager.cuh:174). Commit decisions fall out locally.
+    flag_rows = flags.collect()
+    committed_ids, aborted = [], []
+    for r in flag_rows:
+        if reorder:
+            abort = r.waw or (r.raw and r.war)
+        else:
+            abort = r.waw or r.raw
+        (aborted if abort else committed_ids).append(r.txn_id)
+    committed_ids.sort()
+    aborted.sort()
+    committed = ops.sparkSession.createDataFrame(
+        [(t,) for t in committed_ids] or [(None,)], "txn_id long"
+    ).filter(F.col("txn_id").isNotNull())
+    win = winners(ops, F.broadcast(committed), new_value)
     new_table = install(table, win)
-    return EpochResult(sorted(committed_set), aborted, new_table)
+    return EpochResult(committed_ids, aborted, new_table)
+
+
+def _protocol_local(
+    rows: list, reorder: bool, max_epochs: int
+) -> tuple[dict, list[int], int]:
+    """The epoch protocol over plain tuples, for broadcast-sized batches.
+
+    Exactly the algebra of reserve/analyze/commit_decision/winners —
+    tests/test_aria.py proves local == distributed. Returns
+    (key -> (txn_id, op_idx) winning write, commit_order, epochs);
+    later epochs shadow earlier ones, like the overlay path.
+    """
+    live = list(rows)
+    winner: dict = {}
+    commit_order: list[int] = []
+    epochs = 0
+    while live and epochs < max_epochs:
+        epochs += 1
+        rts: dict = {}
+        wts: dict = {}
+        for t, _, k, u in live:
+            rts[k] = min(rts.get(k, t), t)
+            if u:
+                wts[k] = min(wts.get(k, t), t)
+        flags: dict = {}
+        for t, _, k, u in live:
+            f = flags.setdefault(t, [False, False, False])  # raw, war, waw
+            if k in wts and wts[k] < t:
+                f[0] = True
+            if u and rts[k] < t:
+                f[1] = True
+            if u and k in wts and wts[k] < t:
+                f[2] = True
+        committed, aborted = [], []
+        for t in sorted(flags):
+            raw, war, waw = flags[t]
+            abort = (waw or (raw and war)) if reorder else (waw or raw)
+            (aborted if abort else committed).append(t)
+        for t in committed:
+            for tt, op, k, u in sorted(r for r in live if r[0] == t):
+                if u:
+                    winner[k] = (t, op)
+        commit_order.extend(committed)
+        if not aborted:
+            break
+        renum = {t: i + 1 for i, t in enumerate(aborted)}
+        live = [(renum[t], op, k, u) for t, op, k, u in live if t in renum]
+    return winner, commit_order, epochs
 
 
 def run_batch(
@@ -180,6 +236,8 @@ def run_batch(
     reorder: bool = False,
     new_value: Column | None = None,
     max_epochs: int = 1000,
+    rmw: bool = False,
+    local_threshold: int = 100_000,
 ) -> BatchResult:
     """Epoch loop until every txn commits (DB::test, db.h:104-109).
 
@@ -188,25 +246,85 @@ def run_batch(
     each epoch the smallest live Tid has no older conflictor, so it
     commits (metadatahelper.cuh:51-55 — min-Tid reservations never lose).
 
-    The table is localCheckpoint-ed per epoch: the retry loop would
-    otherwise grow an unbounded lineage (SURVEY.md §4.2's one real
-    perf trap).
+    ``rmw``: the reference workload never reads-modifies-writes —
+    speculative values are regenerated, not derived from reads
+    (kv.cuh:72-78) — so by default the evolving table is write-only
+    during the batch and we install ONE merged overlay at the end
+    (later epochs shadow earlier ones). That removes the per-epoch
+    full-table materialization entirely: per-epoch cost is one small
+    flags collect + a tiny ops checkpoint. Pass ``rmw=True`` if your
+    ``new_value`` expression reads current table state; the loop then
+    installs + localCheckpoints the table every epoch (the lineage
+    trap fix, SURVEY.md §4.2).
+
+    ``local_threshold``: batches of at most this many ops run the epoch
+    protocol on the driver in one pass (one collect + one distributed
+    install) — an OLTP epoch batch is broadcast-sized by definition
+    (the reference caps it at 200 txns, TransctionManager.cuh:15), and
+    per-epoch Spark job overhead would dominate it. The table itself
+    stays distributed; only the op batch is local. Larger batches run
+    fully distributed; equivalence of the paths is test-enforced
+    (tests/test_aria.py::test_local_fast_path_equals_distributed).
     """
+    use_local = (
+        not rmw
+        and new_value is None
+        and ops.limit(local_threshold + 1).count() <= local_threshold
+    )
+    if use_local:
+        import hashlib
+
+        rows = [(r.txn_id, r.op_idx, r.key, r.is_update) for r in ops.collect()]
+        result = BatchResult(table=table)
+        if not rows:
+            return result
+        winner, commit_order, epochs = _protocol_local(rows, reorder, max_epochs)
+        result.commit_order = commit_order
+        result.epochs = epochs
+        win_rows = [
+            (k, hashlib.md5(f"{t}:{op}:{k}".encode()).hexdigest())
+            for k, (t, op) in sorted(winner.items())
+        ]
+        if win_rows:
+            win = ops.sparkSession.createDataFrame(win_rows, "key long, value string")
+            result.table = install(table, F.broadcast(win))
+        return result
+    if new_value is None:
+        new_value = default_new_value()
     result = BatchResult(table=table)
     live = ops
-    for _ in range(max_epochs):
-        if live.isEmpty():
-            break
-        ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
-        table = ep.table.localCheckpoint(eager=True)
-        result.commit_order.extend(ep.committed)
+    if live.isEmpty():
+        return result
+    overlays: list[DataFrame] = []
+    for epoch in range(max_epochs):
+        ep_committed: list[int]
+        if rmw:
+            ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
+            table = ep.table.localCheckpoint(eager=True)
+            ep_committed, aborted = ep.committed, ep.aborted
+        else:
+            flag_rows = analyze(live, reserve(live)).collect()
+            ep_committed, aborted = [], []
+            for r in flag_rows:
+                abort = (r.waw or (r.raw and r.war)) if reorder else (r.waw or r.raw)
+                (aborted if abort else ep_committed).append(r.txn_id)
+            ep_committed.sort()
+            aborted.sort()
+            committed = live.sparkSession.createDataFrame(
+                [(t,) for t in ep_committed] or [(None,)], "txn_id long"
+            ).filter(F.col("txn_id").isNotNull())
+            overlays.append(
+                winners(live, F.broadcast(committed), new_value)
+                .withColumn("_epoch", F.lit(epoch))
+            )
+        result.commit_order.extend(ep_committed)
         result.epochs += 1
-        if not ep.aborted:
+        if not aborted:
             break
         # Collect: compact aborted txns to the queue front with fresh
         # sequential Tids 1..m (order-preserving).
         aborted_df = live.sparkSession.createDataFrame(
-            [(t, i + 1) for i, t in enumerate(ep.aborted)], "txn_id long, _new_tid long"
+            [(t, i + 1) for i, t in enumerate(aborted)], "txn_id long, _new_tid long"
         )
         live = (
             live.join(F.broadcast(aborted_df), "txn_id")
@@ -218,5 +336,17 @@ def run_batch(
             )
             .localCheckpoint(eager=True)
         )
+    if not rmw and overlays:
+        # Later epochs shadow earlier writes to the same key.
+        allw = overlays[0]
+        for o in overlays[1:]:
+            allw = allw.unionAll(o)
+        w = Window.partitionBy("key").orderBy(F.col("_epoch").desc())
+        final_w = (
+            allw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("key", "value")
+        )
+        table = install(table, final_w)
     result.table = table
     return result

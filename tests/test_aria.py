@@ -82,15 +82,31 @@ def workload(spark):
 
 
 @pytest.mark.parametrize("reorder", [False, True])
-def test_final_state_matches_serial_oracle(spark, workload, reorder):
+@pytest.mark.parametrize("local_threshold", [0, 100_000])
+def test_final_state_matches_serial_oracle(spark, workload, reorder, local_threshold):
+    """Both execution paths (0 -> fully distributed DataFrame algebra,
+    100k -> driver-local fast path) must match the serial-order replay."""
     table_rows, table, ops_rows, ops = workload
-    result = aria.run_batch(table, ops, reorder=reorder)
+    result = aria.run_batch(
+        table, ops, reorder=reorder, local_threshold=local_threshold
+    )
     got = {r.key: r.value for r in result.table.collect()}
     want, epoch_commits = serial_oracle(table_rows, ops_rows, reorder)
     assert got == want
     assert result.epochs == len(epoch_commits)
     # every txn commits exactly once across epochs
     assert len(result.commit_order) == sum(epoch_commits)
+
+
+def test_local_fast_path_equals_distributed(spark, workload):
+    _, table, _, ops = workload
+    local = aria.run_batch(table, ops, reorder=True)
+    dist = aria.run_batch(table, ops, reorder=True, local_threshold=0)
+    assert local.commit_order == dist.commit_order
+    assert local.epochs == dist.epochs
+    assert sorted(map(tuple, local.table.collect())) == sorted(
+        map(tuple, dist.table.collect())
+    )
 
 
 def test_deterministic_across_runs(spark, workload):

@@ -1,0 +1,68 @@
+"""Source/sink round-trips: CSV, JSONL, partitioned parquet (with
+directory pruning), bucketed tables (shuffle-free joins)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gpu_database_spark.plans import inspect
+from gpu_database_spark.sources import readers, writers
+from gpu_database_spark.sources.catalog import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    p = os.path.join(str(tmp_path), "nation_csv")
+    writers.write_csv(n, p)
+    back = readers.read_csv(
+        spark, p, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    assert _rows(back) == _rows(n)
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    r = load_table(spark, sf_dir, "region")
+    p = os.path.join(str(tmp_path), "region_jsonl")
+    writers.write_jsonl(r, p)
+    back = readers.read_jsonl(spark, p, "r_regionkey INT, r_name STRING")
+    assert _rows(back.select("r_regionkey", "r_name")) == _rows(r)
+
+
+def test_partitioned_parquet_prunes_directories(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    p = os.path.join(str(tmp_path), "docs_by_lang")
+    writers.write_parquet_partitioned(d, p, ["lang"])
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    assert set(os.listdir(p)) >= {f"lang={lang}" for lang in langs}
+    back = readers.read_parquet(spark, p).filter(F.col("lang") == langs[0])
+    plan = inspect.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert back.count() == d.filter(F.col("lang") == langs[0]).count()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    writers.write_bucketed_table(
+        o.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", 4
+    )
+    writers.write_bucketed_table(
+        l.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 4
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        assert inspect.exchange_count(j) == 0, inspect.simple_plan(j)
+        assert j.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
