@@ -119,6 +119,83 @@ def aria_commit_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "aria_key_op_chain",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL})
+    SELECT txn_id, key,
+           COUNT(*) AS n_ops,
+           string_agg(CAST(op_idx AS VARCHAR), ',' ORDER BY op_idx) AS op_chain,
+           bool_or(is_update) AS any_update
+    FROM ops
+    GROUP BY txn_id, key
+    HAVING COUNT(*) > 1
+    ORDER BY txn_id, key
+    """,
+)
+def aria_key_op_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-op-chain semantics (the reference's alternate execution path:
+    per-txn chained map key -> ascending list of op indices; same-key
+    ops run serially in op order, different keys in parallel —
+    src/database/ycsb/key_op_chain.cuh:72-134, chain_exec :161-189).
+
+    In Spark this is simply grouping by (txn, key) with an ordered
+    aggregation — rows are the unit of parallelism, and the ordered
+    chain is data, not control flow.
+    """
+    ops = fixture_ops(spark, sf_dir)
+    return (
+        ops.groupBy("txn_id", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("op_idx"))),
+                    lambda s: s.op_idx.cast("string"),
+                ),
+                ",",
+            ).alias("op_chain"),
+            F.max("is_update").alias("any_update"),
+        )
+        .filter(F.col("n_ops") > 1)
+        .orderBy("txn_id", "key")
+    )
+
+
+@register(
+    "aria_metadata_pack",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}), res AS ({_RES_SQL})
+    SELECT key,
+           (CAST(1 AS BIGINT) << 32) | ((rts % 65536) << 16) | (COALESCE(wts, 0) % 65536) AS packed,
+           ((CAST(1 AS BIGINT) << 32) | ((rts % 65536) << 16) | (COALESCE(wts, 0) % 65536)) >> 16 & 65535
+               AS unpacked_rts,
+           ((CAST(1 AS BIGINT) << 32) | ((rts % 65536) << 16) | (COALESCE(wts, 0) % 65536)) & 65535
+               AS unpacked_wts
+    FROM res ORDER BY key
+    """,
+)
+def aria_metadata_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference packs [epoch:16|rts:16|wts:16] into one u64 word
+    mutated by CAS (src/cuda/metadatahelper.cuh:94-105, get/set
+    :12-34). Spark needs no shared word — but the pack/unpack algebra
+    itself is shown here as shift/mask expressions over the
+    reservation aggregate (epoch pinned to 1)."""
+    ops = fixture_ops(spark, sf_dir)
+    res = aria.reserve(ops)
+    packed = (
+        F.shiftleft(F.lit(1).cast("long"), 32)
+        .bitwiseOR(F.shiftleft(F.col("rts") % 65536, 16))
+        .bitwiseOR(F.coalesce(F.col("wts"), F.lit(0)) % 65536)
+    )
+    return res.select(
+        "key",
+        packed.alias("packed"),
+        F.shiftright(packed, 16).bitwiseAND(F.lit(65535)).alias("unpacked_rts"),
+        packed.bitwiseAND(F.lit(65535)).alias("unpacked_wts"),
+    ).orderBy("key")
+
+
+@register(
     "aria_install",
     oracle=f"""
     WITH ops AS ({_OPS_SQL}), res AS ({_RES_SQL}), flags AS ({_FLAGS_SQL}),
