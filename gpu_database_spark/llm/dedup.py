@@ -67,29 +67,33 @@ _SHINGLES_SQL = f"""
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, h, minhash): N_HASHES md5-family minhashes per doc.
 
-    hash_h(s) = md5(h || ':' || s); the signature row h is the minimum
-    over the doc's shingles — the classic permutation-free minhash.
+    The 8 hash functions are the 8 fixed-width hex chunks of TWO md5
+    digests (md5(s) and md5('x:'||s)) — 2 digest computations per
+    shingle instead of 8 with per-h salts, ~4x cheaper in the hot
+    (shingle) dimension, and lexicographic min of a fixed-width hex
+    chunk equals numeric min of the 32-bit hash it encodes. The
+    signature row h is the min over the doc's shingles (classic
+    permutation-free minhash).
     """
     sh = shingles(docs)
+    m1, m2 = F.md5("shingle"), F.md5(F.concat(F.lit("x:"), F.col("shingle")))
+    chunks = F.array(
+        *[F.substring(m1, 1 + 8 * i, 8) for i in range(4)],
+        *[F.substring(m2, 1 + 8 * i, 8) for i in range(4)],
+    )
     return (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h"),
-            "shingle",
-        )
-        .select(
-            "doc_id",
-            "h",
-            F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
+        sh.select("doc_id", F.posexplode(chunks).alias("h", "hv"))
+        .groupBy("doc_id", F.col("h").cast("long").alias("h"))
         .agg(F.min("hv").alias("minhash"))
     )
 
 
 _MINHASH_SQL = f"""
-    SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-    FROM ({_SHINGLES_SQL}) s, range(0, {N_HASHES}) hr(h)
+    SELECT doc_id, h,
+           MIN(substr(CASE WHEN h < 4 THEN m1 ELSE m2 END, 1 + (h % 4) * 8, 8)) AS minhash
+    FROM (SELECT doc_id, md5(shingle) AS m1, md5('x:' || shingle) AS m2
+          FROM ({_SHINGLES_SQL}) s),
+         range(0, {N_HASHES}) hr(h)
     GROUP BY doc_id, h
 """
 

@@ -79,6 +79,45 @@ def write_memory_sink(df: DataFrame, name: str, complete: bool = True) -> DataSt
     )
 
 
+def user_running_totals_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals (event count + value sum) maintained in explicit
+    keyed state across micro-batches — the general escape hatch when
+    built-in windows/dedup can't express the state machine (the
+    reference's per-txn Storage snapshot is the analogue,
+    src/database/ycsb/storage_y.h:8-13).
+
+    Emits one row per (user, batch) with the running totals; state is
+    per-user and O(1). In availableNow mode over the fixture the final
+    row per user equals the batch groupBy (test-enforced).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+            stateStructType="n LONG, total DOUBLE",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def aria_foreach_batch_install(
     spark: SparkSession,
     table: DataFrame,

@@ -54,6 +54,35 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
     assert out.count() == batch.count()
 
 
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState keyed state: the last emitted row per user
+    must equal the batch aggregate over the same events."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    out = _run_stream(
+        spark,
+        jobs.write_memory_sink(
+            jobs.user_running_totals_stream(ev), "t_state", complete=False
+        ),
+        "t_state",
+    )
+    # keep the max-count (latest) row per user
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    w = Window.partitionBy("user_id").orderBy(SF.col("n_events").desc())
+    final = (
+        out.withColumn("rn", SF.row_number().over(w))
+        .filter(SF.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(SF.count(SF.lit(1)).alias("n_events"))
+    )
+    assert _rows(final) == _rows(batch)
+
+
 def test_foreach_batch_aria_install(spark, sf_dir):
     """The streaming->transaction bridge: every micro-batch runs one
     Aria run_batch over ops derived from the events in the batch."""
