@@ -30,6 +30,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q18_large_orders",
     "join_broadcast_dim",
     "join_skew_salted",
     "agg_distinct_exact",

@@ -59,6 +59,7 @@ def _load_all() -> None:
         relational,
         setops,
         sorts,
+        tpch,
         windows,
     )
     from gpu_database_spark.functions import scalars  # noqa: F401
