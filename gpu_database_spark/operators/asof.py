@@ -1,0 +1,126 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+Semantics: for each left row with timestamp t, attach the single right
+row with the greatest timestamp <= t (per key). The canonical
+time-series/ML-feature operation (prevailing price, latest feature
+snapshot, slowly-changing dimension lookup).
+
+Implementation is a composition of existing DataFrame ops (no UDF):
+union the two sides tagged by origin, sort within key by (ts, origin),
+and carry the right side's values forward with last(ignorenulls) over
+an unbounded-preceding window — one shuffle on the key, linear in
+rows, no range cross-join blowup.
+
+Scale notes: cost = one shuffle + one in-partition sort of
+|left|+|right| rows per key — the same as a sort-merge join; safe at
+100 TB wherever a join on the key is safe. (Contrast the naive
+theta-join `l.ts >= r.ts` + max(), which is quadratic per key.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same `on` key. Left columns are
+    preserved; `value_cols` arrive from the right side (null when no
+    right row precedes the left row)."""
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_src", F.lit(1))
+    rt = (
+        right.select(
+            on, F.col(right_ts).alias("_t"), *[F.col(c) for c in value_cols]
+        )
+        .withColumn("_src", F.lit(0))
+    )
+    l_aug = lt.select(
+        *left.columns, "_t", "_src", *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in value_cols]
+    )
+    r_aug = rt.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        F.col(on),
+        "_t",
+        "_src",
+        *value_cols,
+    ).select(*l_aug.columns)
+    unioned = l_aug.unionByName(r_aug)
+    # right rows (_src=0) sort before left rows at equal timestamps, so
+    # a right row AT t is visible to a left row AT t (<= semantics).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("_src") == 1).drop("_t", "_src")
+
+
+@register(
+    "join_asof_prevailing",
+    oracle="""
+    WITH rates AS (
+        SELECT i AS rate_id,
+               TIMESTAMP '1995-01-01 00:00:00' + to_days(CAST(i * 90 AS INTEGER)) AS valid_from,
+               round(1.0 + 0.01 * (i % 7), 2) AS fx_rate
+        FROM range(0, 30) t(i)
+    )
+    SELECT o_orderkey, o_totalprice, fx_rate,
+           round(o_totalprice * fx_rate, 4) AS converted
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               (SELECT max_by(fx_rate, valid_from)
+                FROM rates WHERE valid_from <= o_orderdate) AS fx_rate
+        FROM orders WHERE o_orderkey <= 500
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def join_asof_prevailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: each order picks the prevailing FX rate (the
+    latest rate whose validity starts on/before the order date). The
+    oracle states the same semantics with a correlated max_by subquery;
+    the engine uses the linear union+carry-forward plan.
+
+    The rate table here is keyless (one global series), so the window
+    key is a constant — with a real key (currency, instrument) the same
+    code shards per key.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("_k", F.lit(1))
+    )
+    rates = spark.range(0, 30).select(
+        F.lit(1).alias("_k"),
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(days=F.col("id").cast("int") * 90)
+        ).alias("valid_from"),
+        F.round(1.0 + 0.01 * (F.col("id") % 7), 2).alias("fx_rate"),
+    )
+    joined = asof_join(
+        o, rates, on="_k", left_ts="o_orderdate", right_ts="valid_from",
+        value_cols=["fx_rate"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_totalprice",
+        "fx_rate",
+        F.round(F.col("o_totalprice") * F.col("fx_rate"), 4).alias("converted"),
+    ).orderBy("o_orderkey")

@@ -160,6 +160,90 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    mins AS (
+        SELECT l_partkey, MIN(unit_cost) AS unit_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand, s_name, round(c.unit_cost, 6) AS unit_cost
+    FROM costs c
+    JOIN mins m ON m.l_partkey = c.l_partkey AND m.unit_cost = c.unit_cost
+    JOIN part ON p_partkey = c.l_partkey
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each part, the supplier(s) achieving the
+    minimum observed unit cost — the correlated-min pattern, expressed
+    as an aggregate + semi-join on the (key, min) pair (Catalyst's
+    decorrelation target shape)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    s = load_table(spark, sf_dir, "supplier")
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    min_costs = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("unit_cost"))
+    return (
+        costs.join(min_costs, ["l_partkey", "unit_cost"], "left_semi")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", F.round("unit_cost", 6).alias("unit_cost")
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey) AS waiting
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND l1.l_shipdate > o.o_orderdate
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY waiting DESC, s.s_suppkey
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers with late lines on multi-supplier
+    finished orders — EXISTS (semi-join) + a non-equi predicate
+    (shipdate > orderdate) stacked on an equi-join."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    l1 = l.select("l_orderkey", "l_suppkey", "l_shipdate")
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    return (
+        l1.join(multi, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("waiting"))
+        .orderBy(F.col("waiting").desc(), "s_suppkey")
+    )
+
+
+@register(
     "sql_interface",
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers,

@@ -54,6 +54,7 @@ def _load_all() -> None:
     from gpu_database_spark.operators import (  # noqa: F401
         aggregates,
         aria_queries,
+        asof,
         extras,
         joins,
         relational,

@@ -83,6 +83,69 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     assert _rows(final) == _rows(batch)
 
 
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Feed two micro-batches from separate files: batch 1 advances
+    event time far ahead; batch 2 replays only old events. With a
+    1-hour watermark the old rows are late beyond the threshold and
+    must not create/extend windows in the final result."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+    cutoff = ev.agg(F.max("ts_ns")).first()[0]
+    late_day = cutoff - 7 * 24 * 3600 * 1_000_000_000  # a week before max
+    early = ev.filter(F.col("ts_ns") > late_day)
+    late = ev.filter(F.col("ts_ns") <= late_day).limit(50)
+    assert early.count() > 0 and late.count() > 0
+    src = os.path.join(str(tmp_path), "late_src")
+    sink = os.path.join(str(tmp_path), "late_sink")
+    ckpt = os.path.join(str(tmp_path), "late_ckpt")
+    os.makedirs(src)
+    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("long").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # emits only watermark-closed windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # arrival 1: recent events -> watermark advances to max(ts) - 1h
+    early.toPandas().rename(columns={"ts_ns": "ts"}).to_parquet(
+        os.path.join(src, "part-1-new.parquet")
+    )
+    run_once()
+    # arrival 2: a week-old replay -> beyond the watermark, must be dropped
+    late.toPandas().rename(columns={"ts_ns": "ts"}).to_parquet(
+        os.path.join(src, "part-2-late.parquet")
+    )
+    run_once()
+    out = spark.read.parquet(sink)
+    # the hour window containing late_day itself may hold on-time events;
+    # anything strictly before it can only have come from the late file
+    boundary_ws = (late_day // 1_000_000_000) // 3600 * 3600
+    late_windows = {r.ws for r in out.collect() if r.ws < boundary_ws}
+    assert late_windows == set(), f"late windows leaked: {late_windows}"
+    assert out.count() > 0
+
+
 def test_foreach_batch_aria_install(spark, sf_dir):
     """The streaming->transaction bridge: every micro-batch runs one
     Aria run_batch over ops derived from the events in the batch."""
