@@ -67,7 +67,10 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (lower = better)."""
-    return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Number of shuffle exchanges in the (final) plan — lower = better.
+
+    An executed AdaptiveSparkPlan prints the final plan followed by an
+    '== Initial Plan ==' section; count only the final one.
+    """
+    p = simple_plan(df).split("== Initial Plan ==")[0]
+    return p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")
