@@ -212,6 +212,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunking",
+    oracle="""
+    SELECT doc_id, chunk_idx,
+           CAST(len(words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+               AS chunk_md5
+    FROM (
+        SELECT doc_id, words,
+               unnest(range(0, greatest(len(words) - 1, 0) // 48 + 1)) AS chunk_idx
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 64-token windows
+    with stride 48 (16-token overlap) — the pretokenization shape every
+    LLM data pipeline needs. Emits per-chunk token counts + content
+    hash (not the text, keeping results scan-sized). Pure array
+    algebra: one explode, no UDF, no shuffle before the final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor((F.greatest(F.size(w) - 1, F.lit(0))) / 48) + 1
+    chunk = F.slice(F.col("words"), F.col("chunk_idx") * 48 + 1, 64)
+    return (
+        d.select(
+            "doc_id",
+            w.alias("words"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
     "text_source_rollup",
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,

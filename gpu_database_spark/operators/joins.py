@@ -313,6 +313,54 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_replicated",
+    oracle=f"""
+    WITH flag_info AS (
+        SELECT 'A' AS flag, 'accepted' AS label UNION ALL
+        SELECT 'N', 'new' UNION ALL
+        SELECT 'R', 'returned'
+    )
+    SELECT label, COUNT(*) AS n_lines, {dsum_sql('l_quantity')} AS total_qty
+    FROM lineitem JOIN flag_info ON l_returnflag = flag
+    GROUP BY label ORDER BY label
+    """,
+)
+def join_skew_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SKEW JOIN: the fact side's join key has only 3 values
+    (maximal skew — a plain shuffle join would put ~1/3 of 100 TB on
+    each of 3 reducers). Fix: salt the fact side into 16 sub-keys and
+    replicate the small side x16, so each hot key spreads over 16
+    reducers; results are identical to the plain join (the oracle).
+    With a genuinely small dim the broadcast join is better still —
+    this pattern is for when BOTH sides are too big to broadcast but
+    one key dominates."""
+    l = load_table(spark, sf_dir, "lineitem")
+    info = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")], ["flag", "label"]
+    )
+    n_salt = 16
+    salted_l = l.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    replicated = info.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        salted_l.join(
+            replicated,
+            (salted_l.l_returnflag == replicated.flag)
+            & (salted_l._salt == replicated._salt),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "join_skew_salted",
     oracle=f"""
     SELECT l_returnflag, COUNT(*) AS n_rows, {dsum_sql('l_extendedprice')} AS total
