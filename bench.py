@@ -64,8 +64,10 @@ def main() -> None:
     qs = registry.queries()
 
     # Warm the JVM/session on the smallest fixture so measured times are
-    # query time, not first-run class-loading.
+    # query time, not first-run class-loading; mm_extract warms the
+    # Python/Arrow worker pool the pandas-UDF queries reuse.
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+    qs["mm_extract_features"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -272,6 +272,51 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_predicates_misc",
+    oracle="""
+    SELECT c_custkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           (o_totalprice BETWEEN 100000 AND 200000) AS mid_price,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open,
+           COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey <= 300
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND o_orderpriority NOT LIKE '5%'
+      AND o_totalprice IS NOT NULL
+    ORDER BY c_custkey, order_month, o_totalprice
+    """,
+)
+def fn_predicates_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-family sweep: BETWEEN, IN-list, NOT LIKE, IS [NOT]
+    NULL, NULLIF/COALESCE, date_trunc — the SQL NULL semantics the
+    reference's CmpBool enum intended (src/database/common/type.h:22-26)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ~F.col("o_orderpriority").like("5%") & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "c_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+            F.col("o_totalprice").between(100000, 200000).alias("mid_price"),
+            status_or_null.alias("status_or_null"),
+            status_or_null.isNull().alias("is_open"),
+            F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+            "o_totalprice",
+        )
+        .orderBy("c_custkey", "order_month", "o_totalprice")
+        .drop("o_totalprice")
+    )
+
+
+@register(
     "sub_in",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

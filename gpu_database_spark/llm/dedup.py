@@ -266,6 +266,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation: every near-dup
+    pair graph needs this to turn pairs into dedup CLUSTERS (keep one
+    canonical doc per component).
+
+    nodes: (id), edges: (a, b). Returns (id, component) with component
+    = min node id reachable. Iterations ~ graph diameter (near-dup
+    clusters are shallow); each round is one join + groupBy-min,
+    localCheckpoint-ed to bound lineage. At 100 TB this is the
+    standard alternating min-label loop — no driver-side graph.
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: candidate pairs (LSH ∪ exact
+    hash) -> connected components -> (component, member, is_keeper).
+    The keeper (min doc_id per component) is what survives dedup; the
+    fixture corpus has no planted dups, so most components are
+    singletons — the pipeline shape is the deliverable (pytest covers
+    a planted multi-cluster graph against a union-find oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    lsh_pairs = lsh_candidate_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    exact_pairs = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    edges = lsh_pairs.unionAll(exact_pairs)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("component").alias("cluster_id"),
+        F.col("id").alias("doc_id"),
+        (F.col("component") == F.col("id")).alias("is_keeper"),
+    ).orderBy("cluster_id", "doc_id")
+
+
 @register(
     "dedup_simhash",
     oracle=f"""

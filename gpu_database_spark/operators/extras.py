@@ -355,6 +355,88 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+               AS bal_rank,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS group_size
+    FROM customer
+    ORDER BY c_nationkey, bal_rank
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each nation's customers arrive as one
+    pandas DataFrame; the UDF ranks them by balance. Integer outputs
+    keep it oracle-exact (the same relation as a window row_number —
+    which IS the better plan for this job; applyInPandas earns its keep
+    when the per-group logic is genuinely imperative, e.g. model
+    scoring or curve fitting per group)."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["bal_rank"] = pdf.index + 1
+        pdf["group_size"] = len(pdf)
+        return pdf[["c_nationkey", "c_custkey", "bal_rank", "group_size"]]
+
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(
+            rank_group,
+            schema="c_nationkey int, c_custkey long, bal_rank long, group_size long",
+        )
+        .orderBy("c_nationkey", "bal_rank")
+    )
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, word FROM (
+        SELECT doc_id,
+               generate_subscripts(words, 1) AS pos,
+               unnest(words) AS word
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    )
+    WHERE doc_id < 20
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> many output rows
+    (here: positional tokenization, so the oracle can state it as
+    unnest-with-ordinality). The UDTF surface is the escape hatch for
+    row-expanding logic with real side effects/state; for plain
+    splitting, posexplode is the builtin fast path — benchmarked
+    side-by-side in tests."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: long, word: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.strip().split()):
+                yield doc_id, i + 1, w
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.word
+        FROM udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )
+
+
 def _token_total_udf():
     """Grouped-aggregate pandas UDF: integer sum (exact, order-free)."""
 

@@ -249,6 +249,29 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT p_partkey, p_name, COUNT(l_orderkey) AS n_lines
+    FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+    WHERE p_partkey <= 100
+    GROUP BY p_partkey, p_name
+    ORDER BY p_partkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving parts with no lineitem references
+    (planner-wise a mirrored left join; COUNT(col) skips nulls)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "join_cross",
     oracle="""
     SELECT r_name, o_orderpriority, COUNT(*) AS combos

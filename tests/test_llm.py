@@ -57,6 +57,33 @@ def test_exact_dedup_finds_planted_copies(spark):
     assert by_n[3] == 1 and by_n[1] == 2
 
 
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must match a plain union-find on a planted
+    graph with chains, a triangle, and singletons."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    nodes = list(range(1, 5)) + [10, 11, 12, 20, 21, 30, 31]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(ndf, edf).collect()
+    }
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
+
+
 def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
     """mapInPandas schema/batch plumbing: every media row gets features,
     deterministic across runs, schema as declared."""
