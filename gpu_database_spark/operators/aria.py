@@ -297,43 +297,59 @@ def run_batch(
         return result
     overlays: list[DataFrame] = []
     for epoch in range(max_epochs):
-        ep_committed: list[int]
         if rmw:
             ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
             table = ep.table.localCheckpoint(eager=True)
             ep_committed, aborted = ep.committed, ep.aborted
-        else:
-            flag_rows = analyze(live, reserve(live)).collect()
-            ep_committed, aborted = [], []
-            for r in flag_rows:
-                abort = (r.waw or (r.raw and r.war)) if reorder else (r.waw or r.raw)
-                (aborted if abort else ep_committed).append(r.txn_id)
-            ep_committed.sort()
-            aborted.sort()
-            committed = live.sparkSession.createDataFrame(
-                [(t,) for t in ep_committed] or [(None,)], "txn_id long"
-            ).filter(F.col("txn_id").isNotNull())
-            overlays.append(
-                winners(live, F.broadcast(committed), new_value)
-                .withColumn("_epoch", F.lit(epoch))
+            result.commit_order.extend(ep_committed)
+            result.epochs += 1
+            if not aborted:
+                break
+            aborted_df = live.sparkSession.createDataFrame(
+                [(t, i + 1) for i, t in enumerate(aborted)],
+                "txn_id long, _new_tid long",
             )
-        result.commit_order.extend(ep_committed)
+            live = (
+                live.join(F.broadcast(aborted_df), "txn_id")
+                .select(
+                    F.col("_new_tid").alias("txn_id"), "op_idx", "key", "is_update"
+                )
+                .localCheckpoint(eager=True)
+            )
+            continue
+        # Distributed path: no per-txn driver collect — commit decisions,
+        # winner overlay and the Collect-phase renumbering all stay
+        # DataFrame-side, so a 100M-txn batch never touches the driver.
+        flags = analyze(live, reserve(live))
+        if reorder:
+            abort_col = F.col("waw") | (F.col("raw") & F.col("war"))
+        else:
+            abort_col = F.col("waw") | F.col("raw")
+        committed = flags.filter(~abort_col).select("txn_id")
+        aborted_df = flags.filter(abort_col).select("txn_id")
+        overlays.append(
+            winners(live, committed, new_value).withColumn("_epoch", F.lit(epoch))
+        )
+        result.commit_order.extend(
+            r.txn_id for r in committed.orderBy("txn_id").collect()
+        )
         result.epochs += 1
-        if not aborted:
+        n_aborted = aborted_df.limit(1).count()
+        if n_aborted == 0:
             break
-        # Collect: compact aborted txns to the queue front with fresh
-        # sequential Tids 1..m (order-preserving).
-        aborted_df = live.sparkSession.createDataFrame(
-            [(t, i + 1) for i, t in enumerate(aborted)], "txn_id long, _new_tid long"
+        # Collect phase: compact aborted txns to the queue front with
+        # fresh sequential Tids 1..m, order-preserving
+        # (TransctionManager.cuh:176-184) — distributed via row_number.
+        renum = aborted_df.select(
+            "txn_id",
+            F.row_number()
+            .over(Window.orderBy("txn_id"))
+            .cast("long")
+            .alias("_new_tid"),
         )
         live = (
-            live.join(F.broadcast(aborted_df), "txn_id")
-            .select(
-                F.col("_new_tid").alias("txn_id"),
-                "op_idx",
-                "key",
-                "is_update",
-            )
+            live.join(renum, "txn_id")
+            .select(F.col("_new_tid").alias("txn_id"), "op_idx", "key", "is_update")
             .localCheckpoint(eager=True)
         )
     if not rmw and overlays:
