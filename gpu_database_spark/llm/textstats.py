@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gpu_database_spark.functions.compat import davg_sql, dsum, dsum_sql
+from gpu_database_spark.functions.compat import davg_sql
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 

@@ -195,6 +195,29 @@ def aria_metadata_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+@register("aria_run_batch")  # rows-only: iterative epoch loop, not one SQL query
+def aria_run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Aria engine end-to-end through the driver contract:
+    multi-epoch run_batch (reorder mode) over a lineitem-derived batch
+    against a deterministic base table; returns the final table state
+    plus commit metadata. Deterministic across runs/engines by
+    construction (tests/test_aria.py proves == serial replay); declared
+    rows-only because the epoch loop is iterative, not one SQL query."""
+    from gpu_database_spark.operators.aria import run_batch
+
+    ops = fixture_ops(spark, sf_dir).filter(F.col("txn_id") <= 3000)
+    base = spark.range(1, 212).select(
+        F.col("id").alias("key"),
+        F.md5(F.concat(F.lit("init:"), F.col("id").cast("string"))).alias("value"),
+    )
+    result = run_batch(base, ops, reorder=True)
+    return (
+        result.table.withColumn("epochs", F.lit(result.epochs))
+        .withColumn("n_committed", F.lit(len(result.commit_order)))
+        .orderBy("key")
+    )
+
+
 @register(
     "aria_install",
     oracle=f"""

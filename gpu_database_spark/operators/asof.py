@@ -19,7 +19,7 @@ theta-join `l.ts >= r.ts` + max(), which is quadratic per key.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.registry import register
