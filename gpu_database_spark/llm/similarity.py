@@ -206,6 +206,63 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_ivf")  # rows-only: trained-index layout is engine-specific
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (pyspark.ml, fixed seed)
+    partitions the corpus into inverted lists; each query probes its
+    nprobe=3 nearest centroids and exact-reranks only those lists.
+
+    The 100 TB path: centroids train on a sample and broadcast; list
+    assignment is a narrow map; the probe joins each query against
+    ~nprobe/k of the corpus. tests/test_llm.py checks recall against
+    the exact scorer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    km = KMeans(k=16, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # nprobe nearest centroids per query
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "qid", "qv", "list_id",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    probed = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= 3)
+    cand = probed.select("qid", "qv", "list_id").join(
+        assigned.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "list_id"
+        ),
+        "list_id",
+    ).filter(F.col("qid") != F.col("cid"))
+    scored = cand.select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
 @register(
     "sim_norms",
     oracle="""

@@ -27,6 +27,20 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in approx)
 
 
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=3 of k=16 lists must recover a solid share of the
+    exact top-k (random 64-dim data clusters weakly; demand >=20% recall
+    and score consistency with the exact scorer)."""
+    exact = similarity.sim_topk_cosine(spark, sf_dir).collect()
+    approx = similarity.sim_ann_ivf(spark, sf_dir).collect()
+    exact_pairs = {(r.qid, r.cid): r.cos_sim for r in exact}
+    hits = sum(1 for r in approx if (r.qid, r.cid) in exact_pairs)
+    for r in approx:
+        if (r.qid, r.cid) in exact_pairs:
+            assert abs(exact_pairs[(r.qid, r.cid)] - r.cos_sim) < 1e-9
+    assert hits >= len(exact) * 0.2, f"IVF recall too low: {hits}/{len(exact)}"
+
+
 def test_minhash_detects_planted_near_dup(spark, sf_dir):
     """Plant a near-duplicate pair and an unrelated doc; the MinHash+LSH
     pipeline must bucket the planted pair together."""
