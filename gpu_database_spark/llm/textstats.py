@@ -255,6 +255,70 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, pos,
+               substr(md5(array_to_string(words[pos:pos + 3], ' ')), 1, 8) AS gh
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - 3, 0) + 1)) AS pos
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                  FROM documents)
+        )
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT doc_id, fp, COUNT(*) AS weight
+    FROM winnowed
+    WHERE doc_id < 100
+    GROUP BY doc_id, fp
+    ORDER BY doc_id, fp
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    word 4-gram, slide a window of 4 consecutive gram-hashes, keep each
+    window's minimum — guaranteeing any shared run of ~7 words between
+    two documents shares a fingerprint, with ~1/4 the storage of all
+    grams. The plagiarism/near-dup fingerprint family the plain content
+    hash (text_fingerprint) can't provide."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_g = F.greatest(F.size(w) - 3, F.lit(0))
+    grams = (
+        d.select("doc_id", w.alias("words"), n_g.alias("n_g"))
+        .filter(F.col("n_g") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_g"))).alias("pos"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("pos"), 4))), 1, 8
+            ).alias("gh"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        grams.select("doc_id", F.min("gh").over(win).alias("fp"))
+        .filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+@register(
     "text_source_rollup",
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,
