@@ -167,6 +167,33 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_percentiles",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           round(percent_rank() OVER w, 8) AS pct_rank,
+           round(cume_dist() OVER w, 8) AS cume,
+           CAST(ntile(3) OVER w AS BIGINT) AS tercile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_acctbal, s_suppkey
+    """,
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over the (small, pre-bounded)
+    supplier table — distribution-position analytics; the global window
+    is safe only because the input is dimension-sized."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.ntile(3).over(w).cast("long").alias("tercile"),
+    ).orderBy("s_acctbal", "s_suppkey")
+
+
+@register(
     "window_share_of_total",
     oracle="""
     SELECT n_name,
