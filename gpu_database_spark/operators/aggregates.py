@@ -174,6 +174,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # no oracle: sketch estimates are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the 100 TB quantile path —
+    one pass, bounded memory, mergeable partials — alongside the exact
+    interpolated percentile in agg_numeric_stats. Engine-specific
+    estimates, so the driver records rows-only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+            F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register(
     "agg_conditional",
     oracle=f"""

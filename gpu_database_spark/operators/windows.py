@@ -167,6 +167,43 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS peers_within_500,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6)))
+                OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS DOUBLE)
+               AS peer_bal_sum
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames elsewhere): peers
+    within +-500 of each customer's balance inside their nation — the
+    frame is defined by the ORDER BY value, so ties share identical
+    frames (which ROWS frames would split arbitrarily)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-500, 500)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("peers_within_500"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).over(w).cast("double").alias(
+            "peer_bal_sum"
+        ),
+    ).orderBy("c_nationkey", "c_acctbal", "c_custkey")
+
+
+@register(
     "window_percentiles",
     oracle="""
     SELECT s_suppkey, s_acctbal,
