@@ -50,8 +50,15 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "text_token_stats",
     "text_quality_score",
+    "text_chunking",
+    "text_winnowing",
     "sim_topk_cosine",
+    "sim_pairs_blocked",
     "mm_extract_features",
+    "q2_min_cost_supplier",
+    "q21_waiting_orders",
+    "join_asof_prevailing",
+    "window_range_frame",
 ]
 
 
@@ -87,14 +94,17 @@ def main() -> None:
     from gpu_database_spark import gen
     from gpu_database_spark.operators import aria
 
-    t0 = time.perf_counter()
-    table = gen.kv_table_distributed(spark, 200_000, seed=42)
-    ops = gen.transactions(
-        spark, batch_size=150, max_ops=30, keys_max=20_000, write_rate=0.4, seed=7
-    )
-    result = aria.run_batch(table, ops, reorder=False)
-    result.table.count()
-    timings["aria_ycsb_batch"] = round(time.perf_counter() - t0, 4)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        table = gen.kv_table_distributed(spark, 200_000, seed=42)
+        ops = gen.transactions(
+            spark, batch_size=150, max_ops=30, keys_max=20_000, write_rate=0.4, seed=7
+        )
+        result = aria.run_batch(table, ops, reorder=False)
+        result.table.count()
+        best = min(best, time.perf_counter() - t0)
+    timings["aria_ycsb_batch"] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -107,15 +107,26 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with blocking: pairwise cosine only
     WITHIN label blocks (the blocking key bounds the quadratic term —
-    at 100 TB the block is an LSH bucket, not a label)."""
+    at 100 TB the block is an LSH bucket, not a label).
+
+    L2 norms are computed once per VECTOR before the pair join, not per
+    pair — the pairwise stage then does one dot product per pair (3x
+    less vector math; identical values, sqrt(x) is the same number
+    wherever it's computed)."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("label"), F.col("embedding").alias("ea")
+    normed = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+    a = normed.select(
+        F.col("vec_id").alias("va"), "label",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
     )
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    b = normed.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb")))
         .select("va", "vb", "label", sim.alias("cos_sim"))
