@@ -79,32 +79,31 @@ def main() -> None:
     # min of two runs per query: the first run at a new scale factor pays
     # one-off costs (file listing, codegen compile); the min reflects the
     # engine's steady-state time and is stable across driver rounds.
+    def best_of(n: int, run) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-            assert rows is not None
-        timings[name] = round(best, 4)
+        timings[name] = best_of(2, lambda: fn(spark, SF_DIR).collect())
 
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen
     from gpu_database_spark.operators import aria
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def run_aria():
         table = gen.kv_table_distributed(spark, 200_000, seed=42)
         ops = gen.transactions(
             spark, batch_size=150, max_ops=30, keys_max=20_000, write_rate=0.4, seed=7
         )
-        result = aria.run_batch(table, ops, reorder=False)
-        result.table.count()
-        best = min(best, time.perf_counter() - t0)
-    timings["aria_ycsb_batch"] = round(best, 4)
+        aria.run_batch(table, ops, reorder=False).table.count()
+
+    timings["aria_ycsb_batch"] = best_of(2, run_aria)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

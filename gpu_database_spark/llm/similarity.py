@@ -33,8 +33,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 @register(
@@ -116,7 +120,7 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     normed = e.select(
         "vec_id", "label", "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a = normed.select(
         F.col("vec_id").alias("va"), "label",
@@ -292,6 +296,6 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         "label",
-        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
     ).orderBy("vec_id")
