@@ -183,7 +183,7 @@ def run_epoch(
 
 
 def _protocol_local(
-    rows: list, reorder: bool, max_epochs: int
+    rows: list, reorder: bool, max_epochs: int, strict: bool = True
 ) -> tuple[dict, list[int], int]:
     """The epoch protocol over plain tuples, for broadcast-sized batches.
 
@@ -200,10 +200,13 @@ def _protocol_local(
         epochs += 1
         rts: dict = {}
         wts: dict = {}
-        for t, _, k, u in live:
+        by_txn: dict = {}
+        for row in live:
+            t, _, k, u = row
             rts[k] = min(rts.get(k, t), t)
             if u:
                 wts[k] = min(wts.get(k, t), t)
+            by_txn.setdefault(t, []).append(row)
         flags: dict = {}
         for t, _, k, u in live:
             f = flags.setdefault(t, [False, False, False])  # raw, war, waw
@@ -219,14 +222,22 @@ def _protocol_local(
             abort = (waw or (raw and war)) if reorder else (waw or raw)
             (aborted if abort else committed).append(t)
         for t in committed:
-            for tt, op, k, u in sorted(r for r in live if r[0] == t):
+            for _, op, k, u in sorted(by_txn[t], key=lambda r: r[1]):
                 if u:
                     winner[k] = (t, op)
         commit_order.extend(committed)
         if not aborted:
+            live = []
             break
         renum = {t: i + 1 for i, t in enumerate(aborted)}
         live = [(renum[t], op, k, u) for t, op, k, u in live if t in renum]
+    if live and strict:
+        # exhausted the epoch budget with transactions still aborting —
+        # never silently drop their writes
+        raise RuntimeError(
+            f"aria: {len({t for t, _, _, _ in live})} transactions still live "
+            f"after max_epochs={max_epochs} — raise max_epochs"
+        )
     return winner, commit_order, epochs
 
 
@@ -266,15 +277,15 @@ def run_batch(
     fully distributed; equivalence of the paths is test-enforced
     (tests/test_aria.py::test_local_fast_path_equals_distributed).
     """
-    use_local = (
-        not rmw
-        and new_value is None
-        and ops.limit(local_threshold + 1).count() <= local_threshold
-    )
-    if use_local:
+    probe = None
+    if not rmw and new_value is None:
+        # ONE bounded job decides the path AND delivers the rows if local:
+        # collecting limit(threshold+1) never exceeds the local budget.
+        probe = ops.limit(local_threshold + 1).collect()
+    if probe is not None and len(probe) <= local_threshold:
         import hashlib
 
-        rows = [(r.txn_id, r.op_idx, r.key, r.is_update) for r in ops.collect()]
+        rows = [(r.txn_id, r.op_idx, r.key, r.is_update) for r in probe]
         result = BatchResult(table=table)
         if not rows:
             return result
@@ -351,6 +362,12 @@ def run_batch(
             live.join(renum, "txn_id")
             .select(F.col("_new_tid").alias("txn_id"), "op_idx", "key", "is_update")
             .localCheckpoint(eager=True)
+        )
+    else:
+        # range exhausted without the aborted-set ever draining
+        raise RuntimeError(
+            f"aria: transactions still live after max_epochs={max_epochs} "
+            "— raise max_epochs"
         )
     if not rmw and overlays:
         # Later epochs shadow earlier writes to the same key.

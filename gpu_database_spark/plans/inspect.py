@@ -69,8 +69,11 @@ def codegen_stage_count(df: DataFrame) -> int:
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the (final) plan — lower = better.
 
+    Counts every shuffle flavor (hash, range, AND single-partition —
+    the single-reducer trap this helper exists to catch) but not
+    BroadcastExchange, which is the cheap alternative to a shuffle.
     An executed AdaptiveSparkPlan prints the final plan followed by an
     '== Initial Plan ==' section; count only the final one.
     """
     p = simple_plan(df).split("== Initial Plan ==")[0]
-    return p.count("Exchange hashpartitioning") + p.count("Exchange rangepartitioning")
+    return p.count("Exchange ") - p.count("BroadcastExchange ")

@@ -58,11 +58,21 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Stateful streaming dedup on (user_id, event_type); state expired
-    past the watermark (batch statement: stream_dedup_first)."""
+    """Stateful streaming dedup on (user_id, event_type) via
+    dropDuplicatesWithinWatermark: keeps the FIRST-ARRIVING event per
+    key and — unlike plain dropDuplicates on a key subset, which never
+    expires state — evicts each key's state once the watermark passes
+    its event time, so state stays bounded on an unbounded stream.
+
+    Semantics note vs the batch statement (stream_dedup_first, which
+    picks the smallest event time): first-arriving == earliest-ts only
+    when the source replays in event-time order per key (true for the
+    fixture; the equality test compares the key sets, which agree
+    regardless of arrival order).
+    """
     return (
         events.withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
     )
 
@@ -138,7 +148,11 @@ def aria_foreach_batch_install(
     def _fn(batch_df: DataFrame, batch_id: int) -> None:
         ops = batch_to_ops(batch_df)
         result = aria.run_batch(state["table"], ops, reorder=True)
-        state["table"] = result.table
+        # Checkpoint per micro-batch: the install is a lazy full-outer
+        # join over the previous table; without truncation the plan
+        # would deepen by one join per batch (O(N^2) re-evaluation and
+        # eventual analysis stack overflow on a long-running stream).
+        state["table"] = result.table.localCheckpoint(eager=True)
         state["epochs"] += result.epochs
         state["committed"].extend(result.commit_order)
 

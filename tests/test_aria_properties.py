@@ -52,8 +52,8 @@ def test_reorder_first_epoch_commits_superset(ops):
     """Reorder-mode first-epoch commits ⊇ plain-mode commits."""
     if not ops:
         return
-    w_plain, c_plain, _ = _protocol_local(ops, False, max_epochs=1)
-    w_re, c_re, _ = _protocol_local(ops, True, max_epochs=1)
+    w_plain, c_plain, _ = _protocol_local(ops, False, max_epochs=1, strict=False)
+    w_re, c_re, _ = _protocol_local(ops, True, max_epochs=1, strict=False)
     assert set(c_plain) <= set(c_re)
 
 
