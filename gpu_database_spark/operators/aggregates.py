@@ -174,6 +174,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, n
+    FROM (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value, smallest on ties) —
+    count-then-rank rather than the builtin mode(), whose tie choice is
+    engine-specific."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+        .orderBy("l_returnflag")
+    )
+
+
+@register("scan_sample")  # rows-only: sampling layout is engine-specific
+def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + per-stratum sampleBy — reproducible
+    within Spark (fixed seed) but not across engines, so rows-only.
+    At 100 TB sampling feeds AQE statistics, data exploration, and
+    train/validation splits without full scans of the output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        l.sample(fraction=0.01, seed=42)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(F.lit("__overall__").alias("l_returnflag"), "n_sampled")
+    )
+    strat = (
+        l.sampleBy("l_returnflag", {"A": 0.02, "N": 0.01, "R": 0.005}, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return strat.unionByName(plain).orderBy("l_returnflag")
+
+
 @register("agg_approx_percentile")  # no oracle: sketch estimates are engine-specific
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the 100 TB quantile path —
