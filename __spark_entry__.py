@@ -11,9 +11,17 @@ themselves in ``gpu_database_spark.registry``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Robust under by-file import (importlib spec / runpy from any CWD):
+# make the package next to this file importable.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from gpu_database_spark import registry
 from gpu_database_spark.operators.relational import q1_pricing_summary
