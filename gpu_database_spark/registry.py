@@ -59,6 +59,7 @@ def _load_all() -> None:
         joins,
         relational,
         setops,
+        skyline,
         sorts,
         tpch,
         windows,
