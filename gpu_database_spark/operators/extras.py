@@ -356,6 +356,55 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_nested_structs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           (lines[1]).l_quantity AS first_line_qty,
+           (lines[-1]).l_partkey AS last_line_part,
+           CAST((lines[1]).l_linenumber AS BIGINT) AS first_ln
+    FROM (
+        SELECT o_orderkey,
+               list(struct_pack(l_linenumber := l_linenumber,
+                                l_quantity := l_quantity,
+                                l_partkey := l_partkey)
+                    ORDER BY l_linenumber, l_quantity, l_partkey) AS lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 200
+        GROUP BY o_orderkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def fn_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested (Dremel-style) shaping: nest each order's lines into an
+    ordered ARRAY<STRUCT>, then navigate back out with element/field
+    access — the record-assembly round trip columnar engines are built
+    around. Outputs are scalars so the cross-engine hash stays
+    representation-independent."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    l = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_quantity", "l_partkey"))
+            ).alias("lines")
+        )
+    )
+    first = F.element_at("lines", 1)
+    last = F.element_at("lines", -1)
+    return nested.select(
+        "o_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        first.getField("l_quantity").alias("first_line_qty"),
+        last.getField("l_partkey").alias("last_line_part"),
+        first.getField("l_linenumber").cast("long").alias("first_ln"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "udf_grouped_map",
     oracle="""
     SELECT c_nationkey, c_custkey,
