@@ -76,7 +76,7 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
     qs["mm_extract_features"](spark, "/root/testdata/sf0.001").collect()
 
-    # min of two runs per query: the first run at a new scale factor pays
+    # min of three runs per query: the first run at a new scale factor pays
     # one-off costs (file listing, codegen compile); the min reflects the
     # engine's steady-state time and is stable across driver rounds.
     def best_of(n: int, run) -> float:
@@ -90,7 +90,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        timings[name] = best_of(2, lambda: fn(spark, SF_DIR).collect())
+        timings[name] = best_of(3, lambda: fn(spark, SF_DIR).collect())
 
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen
@@ -103,7 +103,7 @@ def main() -> None:
         )
         aria.run_batch(table, ops, reorder=False).table.count()
 
-    timings["aria_ycsb_batch"] = best_of(2, run_aria)
+    timings["aria_ycsb_batch"] = best_of(3, run_aria)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
