@@ -58,6 +58,38 @@ def test_minhash_detects_planted_near_dup(spark, sf_dir):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_estimates_jaccard():
+    """Statistical soundness of the md5-chunk minhash family: the
+    fraction of agreeing signature rows estimates Jaccard similarity.
+    Pure-python replica of the engine's hash construction (md5 hex
+    chunks of s and 'x:'+s) over synthetic shingle sets with known
+    overlap."""
+    import hashlib
+
+    def chunks(s: str) -> list[str]:
+        m1 = hashlib.md5(s.encode()).hexdigest()
+        m2 = hashlib.md5(f"x:{s}".encode()).hexdigest()
+        return [m1[i : i + 8] for i in range(0, 32, 8)] + [
+            m2[i : i + 8] for i in range(0, 32, 8)
+        ]
+
+    def signature(shingles: set[str]) -> list[str]:
+        cols = [chunks(s) for s in shingles]
+        return [min(c[h] for c in cols) for h in range(8)]
+
+    # many independent 8-hash signatures -> tight estimate
+    agree = total = 0
+    for trial in range(200):
+        base = {f"sh-{trial}-{i}" for i in range(40)}
+        other = {f"sh-{trial}-{i}" for i in range(20, 60)}  # |inter|=20 |union|=60
+        sa, sb = signature(base), signature(other)
+        agree += sum(1 for x, y in zip(sa, sb) if x == y)
+        total += 8
+    est = agree / total
+    true_jaccard = 20 / 60
+    assert abs(est - true_jaccard) < 0.05, f"estimate {est:.3f} vs {true_jaccard:.3f}"
+
+
 def test_exact_dedup_finds_planted_copies(spark):
     docs = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
