@@ -167,6 +167,55 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hypertable_rollup",
+    oracle=f"""
+    SELECT epoch_ns(ts) // 86400000000000 * 86400 AS day_s,
+           CASE WHEN GROUPING(hour_s) = 0 THEN hour_s END AS hour_s,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value,
+           CAST(GROUPING(hour_s) AS BIGINT) AS is_day_total
+    FROM (SELECT ts, event_type, value,
+                 epoch_ns(ts) // 3600000000000 * 3600 AS hour_s
+          FROM events)
+    GROUP BY GROUPING SETS (
+        (epoch_ns(ts) // 86400000000000 * 86400, hour_s, event_type),
+        (epoch_ns(ts) // 86400000000000 * 86400, event_type)
+    )
+    ORDER BY day_s, is_day_total, hour_s, event_type
+    """,
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same event stream
+    rolled up at two time granularities (hour + day) in one pass via
+    grouping sets — the materialized-rollup shape a time-series store
+    keeps per chunk. In streaming deployment each granularity is a
+    watermarked windowed aggregate; batch-mode states both levels
+    at once for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("ts_ns div 86400000000000 * 86400").alias("day_s"),
+        F.expr("ts_ns div 3600000000000 * 3600").alias("hour_s"),
+        "event_type",
+        "value",
+    )
+    base.createOrReplaceTempView("ht_events")
+    return spark.sql(
+        """
+        SELECT day_s,
+               CASE WHEN GROUPING(hour_s) = 0 THEN hour_s END AS hour_s,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+               CAST(GROUPING(hour_s) AS BIGINT) AS is_day_total
+        FROM ht_events
+        GROUP BY GROUPING SETS ((day_s, hour_s, event_type), (day_s, event_type))
+        ORDER BY day_s, is_day_total, hour_s, event_type
+        """
+    )
+
+
+@register(
     "stream_rate_per_minute",
     oracle=f"""
     SELECT event_type,
