@@ -1,0 +1,181 @@
+"""Product-analytics query shapes over the event stream + TF-IDF.
+
+Funnels, cohort retention, and rolling distinct counts are the
+workhorse event-analytics patterns (the reference's epoch/event model
+is the natural input); TF-IDF is the classic corpus-statistics
+operator every text pipeline needs. All oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS step_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS step_click,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click THEN 1 END) AS step_purchase
+    FROM firsts
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users progressing view -> click -> purchase in
+    event-time order (first occurrence of each step must be strictly
+    later than the previous step's). One groupBy on user, conditional
+    mins, then global counts — no self-joins, no per-user explosion."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_ns")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("step_view"),
+        F.count(F.when(clicked, 1)).alias("step_click"),
+        F.count(F.when(purchased, 1)).alias("step_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT d.user_id) AS active_users
+    FROM days d JOIN cohorts c ON d.user_id = c.user_id
+    WHERE d.day - c.cohort_day <= 7
+    GROUP BY c.cohort_day, d.day - c.cohort_day
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, distinct
+    actives per day-offset for the first week. The cohort table is
+    user-sized (small) -> broadcast back onto the activity stream."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(cohorts), "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(len(list_distinct(array_agg(event_type)
+                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
+               AS distinct_types_10
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct count (DISTINCT is illegal inside window
+    aggregates in both engines — the portable idiom is
+    set-collect-then-size over the frame)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "distinct_types_10"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 8)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    WHERE rn = 1 AND doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency x inverse document frequency, top term
+    per document. Three aggregations (tf, df, N) joined back — df is
+    vocabulary-sized and broadcasts; the idf factor rounds at 8dp (one
+    ln + one multiply per term, deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 8
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id")
+    )

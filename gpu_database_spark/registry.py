@@ -53,6 +53,7 @@ def _load_all() -> None:
     # Imports are for their registration side effects.
     from gpu_database_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         aria_queries,
         asof,
         extras,
