@@ -272,6 +272,124 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_type_system",
+    oracle="""
+    SELECT o_orderkey,
+           (o_totalprice > 200000) AS t_boolean,
+           CAST(o_orderkey AS INTEGER) AS t_integer,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS t_decimal_str,
+           CAST(o_orderkey AS VARCHAR) AS t_varchar,
+           CAST(year(o_orderdate) AS BIGINT) AS t_timestamp_year,
+           CAST(CAST('123' AS INTEGER) + 1 AS BIGINT) AS t_roundtrip
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def fn_type_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's (vestigial) type system made real: its TypeId
+    enum {BOOLEAN, INTEGER, DECIMAL, VARCHAR, TIMESTAMP}
+    (src/database/common/type.h:9-16) maps to live Spark types with
+    working casts in every direction — the surface the reference's
+    empty Value class (value.h:9-20) never got.
+
+    double->DECIMAL(18,2) casting rounds identically in both engines
+    (deterministic function of the double's bits), and the decimal is
+    emitted as its canonical string so the hash compares text."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") > 200000).alias("t_boolean"),
+        F.col("o_orderkey").cast("int").alias("t_integer"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("t_decimal_str"),
+        F.col("o_orderkey").cast("string").alias("t_varchar"),
+        F.year("o_orderdate").cast("long").alias("t_timestamp_year"),
+        (F.lit("123").cast("int") + 1).cast("long").alias("t_roundtrip"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_three_valued_logic",
+    oracle="""
+    SELECT a, b,
+           (a = b) AS eq,
+           (a IS DISTINCT FROM b) AS distinct_from,
+           (a IS NOT DISTINCT FROM b) AS not_distinct,
+           (a = b OR TRUE) AS or_true,
+           (a = b AND FALSE) AS and_false,
+           (a IS NULL) AS a_is_null,
+           COALESCE(a, -1) AS a_filled
+    FROM (VALUES (1, 1), (1, 2), (NULL, 1), (1, NULL), (CAST(NULL AS INTEGER), NULL)) t(a, b)
+    ORDER BY a NULLS FIRST, b NULLS FIRST
+    """,
+)
+def fn_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL three-valued logic, the semantics the reference's CmpBool
+    enum {CmpFalse, CmpTrue, CmuNull} intended (type.h:22-26): NULL
+    comparisons are NULL, IS [NOT] DISTINCT FROM is the null-safe
+    equality, and NULL short-circuits through OR TRUE / AND FALSE."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (None, 1), (1, None), (None, None)], "a int, b int"
+    )
+    return df.select(
+        "a",
+        "b",
+        (F.col("a") == F.col("b")).alias("eq"),
+        (~F.col("a").eqNullSafe(F.col("b"))).alias("distinct_from"),
+        F.col("a").eqNullSafe(F.col("b")).alias("not_distinct"),
+        ((F.col("a") == F.col("b")) | F.lit(True)).alias("or_true"),
+        ((F.col("a") == F.col("b")) & F.lit(False)).alias("and_false"),
+        F.col("a").isNull().alias("a_is_null"),
+        F.coalesce(F.col("a"), F.lit(-1)).alias("a_filled"),
+    ).orderBy(F.col("a").asc_nulls_first(), F.col("b").asc_nulls_first())
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_ns(ts) // 3600000000000) AS h0,
+               MAX(epoch_ns(ts) // 3600000000000) AS h1
+        FROM events WHERE event_type = 'signup'
+    ),
+    calendar AS (
+        SELECT unnest(range(h0, h1 + 1)) * 3600 AS hour_s FROM bounds
+    ),
+    actual AS (
+        SELECT epoch_ns(ts) // 3600000000000 * 3600 AS hour_s, COUNT(*) AS n
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT c.hour_s, COALESCE(a.n, 0) AS n_signups,
+           (a.n IS NULL) AS gap_filled
+    FROM calendar c LEFT JOIN actual a ON a.hour_s = c.hour_s
+    ORDER BY c.hour_s
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the dense hour calendar
+    between min and max event time (sequence — distributed, no driver
+    loop) and left-join the sparse actuals, zero-filling silent hours.
+    Every monitoring/forecasting pipeline needs this before windowed
+    models; at scale the calendar is tiny and broadcasts."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    hours = e.select(F.expr("ts_ns div 3600000000000").alias("h"))
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    calendar = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    ).select((F.col("h") * 3600).alias("hour_s"))
+    actual = hours.groupBy((F.col("h") * 3600).alias("hour_s")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        calendar.join(actual, "hour_s", "left")
+        .select(
+            "hour_s",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_signups"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+        .orderBy("hour_s")
+    )
+
+
+@register(
     "fn_predicates_misc",
     oracle="""
     SELECT c_custkey,
