@@ -232,7 +232,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/k of the corpus. tests/test_llm.py checks recall against
     the exact scorer."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(

@@ -255,6 +255,65 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_scrub_pii",
+    oracle="""
+    WITH raw(doc_id, body) AS (VALUES
+        (1, 'contact alice@example.com or visit https://a.example.org/x?q=1 now'),
+        (2, 'call +1-555-123-4567 and mail bob.smith@corp.io today'),
+        (3, 'clean document with no sensitive content at all'),
+        (4, 'two mails: x@y.zz and x@y.zz plus http://plain.test')
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '\\+?[0-9][0-9-]{7,}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(body,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, 'https?://[^ ]+')) AS BIGINT) AS n_urls
+    FROM raw
+    ORDER BY doc_id
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails/URLs/phone numbers and count
+    occurrences — the compliance pass every training-data pipeline runs
+    before anything ships. Self-contained fixture rows (the synthetic
+    corpus has no PII) keep the regex behavior identical across
+    engines; pure regexp_replace chains, JVM-side, scan-speed at
+    100 TB."""
+    rows = [
+        (1, "contact alice@example.com or visit https://a.example.org/x?q=1 now"),
+        (2, "call +1-555-123-4567 and mail bob.smith@corp.io today"),
+        (3, "clean document with no sensitive content at all"),
+        (4, "two mails: x@y.zz and x@y.zz plus http://plain.test"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, body string")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    phone = r"\+?[0-9][0-9-]{7,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), email, "<EMAIL>"), url, "<URL>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("body", F.lit(email), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("body", F.lit(url), F.lit(0))).cast("long").alias(
+            "n_urls"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "text_winnowing",
     oracle="""
     WITH grams AS (

@@ -7,7 +7,6 @@ the rows of the corresponding batch query in streaming.batch_equiv.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from gpu_database_spark.sources.catalog import load_table
@@ -173,8 +172,6 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
 def test_foreach_batch_aria_install(spark, sf_dir):
     """The streaming->transaction bridge: every micro-batch runs one
     Aria run_batch over ops derived from the events in the batch."""
-    from gpu_database_spark.operators import aria
-
     table = spark.createDataFrame(
         [(k, f"init:{k}") for k in range(1, 51)], "key long, value string"
     )
