@@ -46,6 +46,35 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Write parquet clustered on sort_cols (range-partition + in-file
+    sort): row-group min/max stats become tight, so later filters on
+    those columns skip whole row groups — the single cheapest IO
+    optimization for append-only fact tables at 100 TB."""
+    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(
+        n_files, *sort_cols
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(spark, path: str, target_files: int) -> None:
+    """Compact a small-files directory to target_files (the streaming-
+    sink hygiene job: file sources and frequent micro-batches produce
+    file counts that dominate open/list costs at scale). Rewrites via a
+    temp dir so a crash mid-compaction never leaves the table halved."""
+    import shutil
+    import tempfile
+    import os
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

@@ -46,6 +46,53 @@ def test_partitioned_parquet_prunes_directories(spark, sf_dir, tmp_path):
     assert back.count() == d.filter(F.col("lang") == langs[0]).count()
 
 
+def test_sorted_write_round_trip_and_clustering(spark, sf_dir, tmp_path):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    p = os.path.join(str(tmp_path), "lineitem_sorted")
+    writers.write_sorted_parquet(l, p, ["l_shipdate"], n_files=4)
+    back = readers.read_parquet(spark, p)
+    assert back.count() == l.count()
+    # clustered: each output file covers a narrow, mostly disjoint
+    # shipdate range (files sorted by their min overlap only at edges)
+    import pyspark.sql.functions as SF
+
+    stats = (
+        back.withColumn("f", SF.input_file_name())
+        .groupBy("f")
+        .agg(SF.min("l_shipdate").alias("lo"), SF.max("l_shipdate").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) == 4
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.hi <= cur.lo, "range partitions overlap"
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    p = os.path.join(str(tmp_path), "nation_many_files")
+    n.repartition(10).write.parquet(p)
+    before = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(before) >= 10
+    writers.compact_parquet(spark, p, 2)
+    after = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(after) <= 2
+    assert _rows(readers.read_parquet(spark, p)) == _rows(n)
+
+
+def test_csv_permissive_malformed_rows(spark, tmp_path):
+    """PERMISSIVE CSV mode: malformed cells null out instead of failing
+    the scan (dirty-ingest behavior at the edge of the pipeline)."""
+    p = os.path.join(str(tmp_path), "dirty.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,10\n2,not_a_number\n3,30\n")
+    df = readers.read_csv(spark, p, "k INT, v INT")
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
