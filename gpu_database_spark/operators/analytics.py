@@ -128,6 +128,90 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH campaigns AS (
+        SELECT i AS campaign_id,
+               1704067200 + i * 432000 AS start_s,
+               1704067200 + i * 432000 + 259200 AS end_s
+        FROM range(0, 6) t(i)
+    )
+    SELECT campaign_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN campaigns
+      ON epoch_ns(ts) // 1000000000 >= start_s
+     AND epoch_ns(ts) // 1000000000 < end_s
+    GROUP BY campaign_id
+    ORDER BY campaign_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events falling inside (possibly overlapping)
+    campaign windows — 3-day campaigns every 5 days. The small interval
+    table broadcasts (nested-loop with a range predicate); at scale
+    with BOTH sides large, bucket intervals by coarse time bin first
+    and equi-join the bin (the standard interval-binning rewrite)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000000000").alias("t_s"), "user_id"
+    )
+    campaigns = spark.range(0, 6).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(1704067200) + F.col("id") * 432000).alias("start_s"),
+        (F.lit(1704067200) + F.col("id") * 432000 + 259200).alias("end_s"),
+    )
+    return (
+        e.join(
+            F.broadcast(campaigns),
+            (F.col("t_s") >= F.col("start_s")) & (F.col("t_s") < F.col("end_s")),
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("campaign_id")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a pre-existing aggregate over the
+    'old' partition merges with the delta partition's aggregate —
+    partial states (count, decimal sum) are mergeable, so the combined
+    result EQUALS the full recompute (the oracle) without rescanning
+    old data. This mergeability is why the engine's aggregates scale to
+    continuously-arriving 100 TB tables."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("_sum"),
+        )
+
+    merged = (
+        partial(old)
+        .unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum").cast("double").alias("total_value"),
+        )
+    )
+    return merged.orderBy("o_orderpriority")
+
+
+@register(
     "text_tfidf_top_terms",
     oracle="""
     WITH tok AS (
