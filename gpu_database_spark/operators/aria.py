@@ -28,6 +28,9 @@ Data model:
   table: (key: long, value: string)            — the KV store
   ops:   (txn_id: long, op_idx: int, key: long, is_update: boolean)
          update ops also *read*-reserve their key (TrancM_func.cuh:42-52).
+  Multi-table workloads (the reference's table_vec only ever uses
+  [0][0], database.h:10-22) pack the table id into the key — the
+  reservation algebra is table-agnostic.
 
 Scale notes (100 TB): each epoch is 3 shuffles (reserve groupBy,
 analyze join+groupBy, install join) all on `key` or `txn_id`; the

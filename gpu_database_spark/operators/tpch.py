@@ -204,6 +204,50 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_type IN ('PROMO', 'ECONOMY') AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 25)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: a 3-branch disjunction of conjunctive predicates
+    spanning both join sides — the shape that tests predicate
+    normalization. Catalyst extracts the common join key, pushes the
+    part-only disjuncts into the broadcast side's scan, and evaluates
+    the residual OR post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b3 = (
+        F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").between(20, 50)
+        & (F.col("l_quantity") >= 25)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "q21_waiting_orders",
     oracle="""
     SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey) AS waiting

@@ -98,6 +98,19 @@ def test_final_state_matches_serial_oracle(spark, workload, reorder, local_thres
     assert len(result.commit_order) == sum(epoch_commits)
 
 
+def test_overlay_equals_rmw_install_path(spark, workload):
+    """The end-of-batch overlay install (non-rmw default) and the
+    per-epoch install+checkpoint path (rmw=True) must produce the same
+    final table for read-independent value generators."""
+    _, table, _, ops = workload
+    overlay = aria.run_batch(table, ops, reorder=False, local_threshold=0)
+    rmw = aria.run_batch(table, ops, reorder=False, local_threshold=0, rmw=True)
+    assert sorted(map(tuple, overlay.table.collect())) == sorted(
+        map(tuple, rmw.table.collect())
+    )
+    assert overlay.commit_order == rmw.commit_order
+
+
 def test_local_fast_path_equals_distributed(spark, workload):
     _, table, _, ops = workload
     local = aria.run_batch(table, ops, reorder=True)
