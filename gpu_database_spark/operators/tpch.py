@@ -18,6 +18,155 @@ from gpu_database_spark.sources.catalog import load_table, register_views
 
 
 @register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one late-shipped line,
+    counted by priority — EXISTS with a correlated non-equi condition,
+    decorrelated into a semi-join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: the distribution of per-customer order counts
+    (count-of-counts, two stacked aggregations; the join predicate on
+    the OUTER join's ON clause — not a post-filter — keeps zero-order
+    customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT round({dsum_sql('l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                                      / COUNT(*))
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from orders below half a part's average
+    quantity — the correlated scalar-aggregate subquery, decorrelated
+    into a per-part aggregate join (exact-sum average per part)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part_avg = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH wealthy AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM wealthy
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers who never
+    ordered — scalar-average subquery + anti-join + aggregate, the
+    dormant-account prospect list."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .first()
+        .a
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle=f"""
     SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
