@@ -249,6 +249,252 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           round({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum_sql('volume')}, 8) AS mkt_share
+    FROM volumes
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of a region's purchase volume
+    per year — conditional-sum ratio over a 7-table star join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(dsum(target) / dsum(vol), 8).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01')}
+               AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%the%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and year for a part
+    family (the fixture has no partsupp, so unit cost proxies off
+    p_retailprice — same join/aggregate shape)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%the%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.01
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+    WITH supplier_value AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS value
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, value
+    FROM supplier_value
+    WHERE value > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                          * 0.012
+                   FROM lineitem)
+    ORDER BY value DESC, l_suppkey
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: suppliers holding an outsized share of total
+    flow value — HAVING against a scalar fraction-of-grand-total
+    subquery (partsupp proxied by lineitem value)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    total = (
+        l.agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("t"))
+        .first()
+        .t
+    )
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("value")
+        )
+        .filter(F.col("value") > total * 0.012)
+        .orderBy(F.col("value").desc(), "l_suppkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the quarter's top revenue supplier(s) — an
+    aggregate 'view' joined against its own MAX (keeps ties exactly,
+    unlike LIMIT 1)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT IN ('PROMO', 'LARGE')
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier counts per part attribute
+    combo, excluding flagged suppliers (NOT IN anti-join; lineitem
+    stands in for partsupp)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").isin("PROMO", "LARGE")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_supply",
+    oracle="""
+    WITH part_halves AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS shipped
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM part_halves
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'the%')
+          AND shipped > 40
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers who moved heavy volume of a part
+    family in a year — the nested IN-chain shape (supplier IN (... part
+    IN (...))), decorrelated into stacked semi-joins."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("the%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    heavy = (
+        l.join(F.broadcast(parts), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("shipped"))
+        .filter(F.col("shipped") > 40)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(heavy, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
