@@ -28,12 +28,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # scan/join/agg shapes that dominate at scale.
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_value_concentration",
     "q12_priority_shipping",
+    "q13_order_count_distribution",
     "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_supply",
+    "q21_waiting_orders",
+    "q22_sales_opportunity",
     "join_broadcast_dim",
     "join_skew_salted",
     "agg_distinct_exact",
@@ -55,8 +70,6 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_pairs_blocked",
     "mm_extract_features",
-    "q2_min_cost_supplier",
-    "q21_waiting_orders",
     "join_asof_prevailing",
     "window_range_frame",
 ]
