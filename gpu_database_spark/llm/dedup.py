@@ -341,6 +341,114 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bench AS (SELECT doc_id, h, minhash FROM sig WHERE doc_id < 25),
+    train AS (SELECT doc_id, h, minhash FROM sig WHERE doc_id >= 25),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS matching_hashes
+        FROM train t JOIN bench b ON t.h = b.h AND t.minhash = b.minhash
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.matching_hashes, 0) AS matching_hashes,
+           (COALESCE(h.matching_hashes, 0) >= 6) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose minhash
+    signature nearly matches any document in a holdout/benchmark set
+    (here doc_id < 25 plays the benchmark) — the eval-leakage gate
+    every LLM data pipeline needs. The signature join touches only
+    (h, minhash) bucket collisions, never doc x doc; at 100 TB the
+    benchmark side is tiny and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    bench = sig.filter(F.col("doc_id") < 25).select(
+        "h", F.col("minhash").alias("b_minhash")
+    )
+    train = sig.filter(F.col("doc_id") >= 25)
+    hits = (
+        train.join(
+            F.broadcast(bench),
+            (train.h == bench.h) & (F.col("minhash") == F.col("b_minhash")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matching_hashes"))
+    )
+    return (
+        d.filter(F.col("doc_id") >= 25)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("matching_hashes", F.lit(0)).alias("matching_hashes"),
+            (F.coalesce("matching_hashes", F.lit(0)) >= 6).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "data_mixing_plan",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, tokens,
+               CASE WHEN source IN ('src0','src1','src2') THEN 3.0 ELSE 1.0 END AS weight
+        FROM stats
+    )
+    SELECT source, tokens, weight,
+           round(weight * tokens / (SELECT CAST(SUM(CAST(weight * tokens AS DECIMAL(27,6)))
+                                                AS DOUBLE) FROM weighted), 8)
+               AS mix_fraction,
+           CAST(floor(weight * tokens
+                / (SELECT CAST(SUM(CAST(weight * tokens AS DECIMAL(27,6))) AS DOUBLE)
+                   FROM weighted) * 1000000) AS BIGINT) AS tokens_at_1m
+    FROM weighted
+    ORDER BY source
+    """,
+)
+def data_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture planning: per-source token counts x upsampling
+    weights -> normalized mixture fractions and per-source token quotas
+    for a target budget (1M here) — the mixture table a pretraining
+    run consumes. One aggregation per source plus a broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    stats = d.groupBy("source").agg(F.sum(tokens).alias("tokens"))
+    weighted = stats.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 3.0).otherwise(1.0),
+    )
+    total = (
+        weighted.agg(
+            F.sum((F.col("weight") * F.col("tokens")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("t")
+        )
+        .first()
+        .t
+    )
+    frac = F.col("weight") * F.col("tokens") / total
+    return weighted.select(
+        "source",
+        "tokens",
+        "weight",
+        F.round(frac, 8).alias("mix_fraction"),
+        F.floor(frac * 1_000_000).cast("long").alias("tokens_at_1m"),
+    ).orderBy("source")
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH tok AS (
