@@ -344,10 +344,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_decontaminate",
     oracle=f"""
     WITH sig AS ({_MINHASH_SQL}),
-    bench AS (SELECT doc_id, h, minhash FROM sig WHERE doc_id < 25),
+    bench AS (SELECT DISTINCT h, minhash FROM sig WHERE doc_id < 25),
     train AS (SELECT doc_id, h, minhash FROM sig WHERE doc_id >= 25),
     hits AS (
-        SELECT t.doc_id, COUNT(*) AS matching_hashes
+        SELECT t.doc_id, COUNT(DISTINCT t.h) AS matching_hashes
         FROM train t JOIN bench b ON t.h = b.h AND t.minhash = b.minhash
         GROUP BY t.doc_id
     )
@@ -368,8 +368,14 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side is tiny and broadcasts."""
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
-    bench = sig.filter(F.col("doc_id") < 25).select(
-        "h", F.col("minhash").alias("b_minhash")
+    # Dedup the benchmark signature pool and count DISTINCT hash
+    # positions per train doc: a doc can match at most 8 of 8, so the
+    # threshold means what it says even when several benchmark docs
+    # share signature values.
+    bench = (
+        sig.filter(F.col("doc_id") < 25)
+        .select("h", F.col("minhash").alias("b_minhash"))
+        .distinct()
     )
     train = sig.filter(F.col("doc_id") >= 25)
     hits = (
@@ -378,7 +384,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (train.h == bench.h) & (F.col("minhash") == F.col("b_minhash")),
         )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("matching_hashes"))
+        .agg(F.countDistinct(train.h).alias("matching_hashes"))
     )
     return (
         d.filter(F.col("doc_id") >= 25)
@@ -429,23 +435,23 @@ def data_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.when(F.col("source").isin("src0", "src1", "src2"), 3.0).otherwise(1.0),
     )
-    total = (
-        weighted.agg(
-            F.sum((F.col("weight") * F.col("tokens")).cast("decimal(27,6)"))
-            .cast("double")
-            .alias("t")
-        )
-        .first()
-        .t
+    total = weighted.agg(
+        F.sum((F.col("weight") * F.col("tokens")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_t")
     )
-    frac = F.col("weight") * F.col("tokens") / total
-    return weighted.select(
-        "source",
-        "tokens",
-        "weight",
-        F.round(frac, 8).alias("mix_fraction"),
-        F.floor(frac * 1_000_000).cast("long").alias("tokens_at_1m"),
-    ).orderBy("source")
+    frac = F.col("weight") * F.col("tokens") / F.col("_t")
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "tokens",
+            "weight",
+            F.round(frac, 8).alias("mix_fraction"),
+            F.floor(frac * 1_000_000).cast("long").alias("tokens_at_1m"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -59,7 +59,8 @@ def _skyline_scan(pdf):
     oracle="""
     SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
     FROM part a
-    WHERE NOT EXISTS (
+    WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM part b
         WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
           AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
@@ -71,15 +72,31 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of parts: cheapest-for-their-size / largest-for-
     their-price. Local skylines prune per partition, the global pass
     finishes on the survivors."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+        )
+        # dominance is undefined under NULLs; scope both engines to
+        # non-null axes (the oracle filters identically)
+        .dropna(subset=["p_retailprice", "p_size"])
     )
 
     def local(batches: Iterator) -> Iterator:
         for pdf in batches:
             yield _skyline_scan(pdf)
 
+    def global_scan(batches: Iterator) -> Iterator:
+        # One frame for the WHOLE pass: mapInPandas yields ~10k-row Arrow
+        # batches, and scanning them independently would let a row
+        # dominated only by a row in another batch survive.
+        import pandas as pd
+
+        frames = list(batches)
+        if frames:
+            yield _skyline_scan(pd.concat(frames, ignore_index=True))
+
     schema = "p_partkey long, p_retailprice double, p_size long"
     local_sky = p.mapInPandas(local, schema=schema)
-    global_sky = local_sky.coalesce(1).mapInPandas(local, schema=schema)
+    global_sky = local_sky.coalesce(1).mapInPandas(global_scan, schema=schema)
     return global_sky.orderBy("p_partkey")

@@ -141,19 +141,17 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant-account prospect list."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("a")
-        )
-        .first()
-        .a
+    # scalar stays IN the plan (broadcast cross join), like q15: no
+    # eager driver-side scan at construction time
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -357,17 +355,17 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow value — HAVING against a scalar fraction-of-grand-total
     subquery (partsupp proxied by lineitem value)."""
     l = load_table(spark, sf_dir, "lineitem")
-    total = (
-        l.agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("t"))
-        .first()
-        .t
+    total = l.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("_t")
     )
     return (
         l.groupBy("l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("value")
         )
-        .filter(F.col("value") > total * 0.012)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_t") * 0.012)
+        .select("l_suppkey", "value")
         .orderBy(F.col("value").desc(), "l_suppkey")
     )
 
@@ -419,8 +417,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand <> 'Brand#5'
       AND p_type NOT IN ('PROMO', 'LARGE')
       AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND l_suppkey NOT IN (
-          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      AND NOT EXISTS (
+          SELECT 1 FROM supplier
+          WHERE s_acctbal < 0 AND s_suppkey = l_suppkey
       )
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size

@@ -47,32 +47,44 @@ def write_bucketed_table(
 
 
 def write_sorted_parquet(
-    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
 ) -> None:
     """Write parquet clustered on sort_cols (range-partition + in-file
     sort): row-group min/max stats become tight, so later filters on
     those columns skip whole row groups — the single cheapest IO
-    optimization for append-only fact tables at 100 TB."""
-    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(
-        n_files, *sort_cols
-    )
-    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+    optimization for append-only fact tables at 100 TB. n_files is
+    required: the shuffle-partition default (200) would manufacture
+    exactly the small-files problem compact_parquet exists to fix."""
+    df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    ).write.mode("overwrite").parquet(path)
 
 
 def compact_parquet(spark, path: str, target_files: int) -> None:
-    """Compact a small-files directory to target_files (the streaming-
-    sink hygiene job: file sources and frequent micro-batches produce
-    file counts that dominate open/list costs at scale). Rewrites via a
-    temp dir so a crash mid-compaction never leaves the table halved."""
+    """Compact a LOCAL-filesystem small-files directory to target_files
+    (the streaming-sink hygiene job). Swap discipline: write compacted
+    data to a temp dir, move the old dir aside, move the new one in,
+    then delete the old — at no instant is `path` absent or partial,
+    and a crash leaves either the old data in place or (post-swap) only
+    the *_old leftover to clean. For object stores use the catalog's
+    atomic-commit (Iceberg/Delta rewriteDataFiles), not this."""
     import shutil
     import tempfile
     import os
 
     df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    parent = os.path.dirname(path) or "."
+    tmp = tempfile.mkdtemp(prefix="compact_new_", dir=parent)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    old = tempfile.mkdtemp(prefix="compact_old_", dir=parent)
+    os.rmdir(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original table
+        raise
+    shutil.rmtree(old)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
