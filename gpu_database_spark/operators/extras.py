@@ -179,6 +179,59 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_and(o_orderpriority <> '5-LOW') AS none_low
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (ANY/EVERY): existence and invariant checks
+    per group without count detours."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_and(F.col("o_orderpriority") != "5-LOW").alias("none_low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+    SELECT s, TRY_CAST(s AS INTEGER) AS as_int,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           COALESCE(TRY_CAST(s AS INTEGER), -1) AS with_default
+    FROM (VALUES ('42'), ('oops'), (''), ('-7'), ('1000000000000')) t(s)
+    ORDER BY s
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant casting: TRY_CAST nulls out unparseable cells
+    instead of failing the job — the dirty-data discipline for
+    string-typed ingest columns (pairs with the PERMISSIVE CSV reader)."""
+    # no decimal strings: DuckDB TRY_CAST('3.5' AS INT) rounds to 4 while
+    # Spark nulls it — a real cross-engine semantic gap; the overflow row
+    # nulls in both.
+    df = spark.createDataFrame(
+        [("42",), ("oops",), ("",), ("-7",), ("1000000000000",)], "s string"
+    )
+    return df.select(
+        "s",
+        F.expr("TRY_CAST(s AS INT)").alias("as_int"),
+        F.expr("TRY_CAST(s AS DOUBLE)").alias("as_double"),
+        F.coalesce(F.expr("TRY_CAST(s AS INT)"), F.lit(-1)).alias("with_default"),
+    ).orderBy("s")
+
+
+@register(
     "fn_bits",
     oracle="""
     SELECT l_orderkey,
