@@ -322,6 +322,34 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_explode_outer",
+    oracle="""
+    WITH docs(id, tags) AS (VALUES
+        (1, ['a', 'b']),
+        (2, CAST([] AS VARCHAR[])),
+        (3, CAST(NULL AS VARCHAR[])),
+        (4, ['c'])
+    )
+    SELECT id, t.tag
+    FROM docs LEFT JOIN LATERAL (SELECT unnest(tags) AS tag) t ON TRUE
+    ORDER BY id, tag NULLS FIRST
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: null-preserving row expansion — rows with empty or
+    NULL arrays survive with a NULL element instead of vanishing (the
+    plain-explode data-loss trap; the oracle states it as a lateral
+    left join)."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
+        "id int, tags array<string>",
+    )
+    return df.select("id", F.explode_outer("tags").alias("tag")).orderBy(
+        "id", F.col("tag").asc_nulls_first()
+    )
+
+
+@register(
     "fn_map_entries",
     oracle="""
     SELECT r_regionkey, k, v FROM (
