@@ -110,6 +110,64 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_by_name",
+    oracle="""
+    SELECT k, metric, CAST(extra AS BIGINT) AS extra FROM (
+        SELECT r_regionkey AS k, r_name AS metric, NULL AS extra FROM region
+        UNION ALL BY NAME
+        SELECT n_name AS metric, n_nationkey AS k, n_regionkey AS extra FROM nation
+    )
+    ORDER BY k, metric
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible union: unionByName with allowMissingColumns
+    aligns by column NAME (not position) and null-fills columns one
+    side lacks — the schema-evolution union (oracle: UNION ALL BY
+    NAME)."""
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("metric")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("metric"),
+        F.col("n_nationkey").alias("k"),
+        F.col("n_regionkey").cast("long").alias("extra"),
+    )
+    return (
+        r.unionByName(n, allowMissingColumns=True)
+        .select("k", "metric", "extra")
+        .orderBy("k", "metric")
+    )
+
+
+@register(
+    "agg_arg_minmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_custkey) AS newest_customer,
+           arg_min(c_name, c_custkey) AS oldest_customer,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): carry a companion column with
+    the extremum in ONE aggregation — no join-back. Ordered on the
+    unique custkey so tie behavior (engine-specific in both) never
+    engages."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("newest_customer"),
+            F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "set_distinct_rows",
     oracle="""
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -57,6 +57,25 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     return tumbling_hourly(events.withWatermark("ts", watermark))
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "3 hours") -> DataFrame:
+    """Watermarked sliding 2h/1h windows per event (each event lands in
+    two windows); distinct users via collect_set size — countDistinct
+    is illegal on streams (batch statement: stream_sliding_2h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("win_start_s"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) via
     dropDuplicatesWithinWatermark: keeps the FIRST-ARRIVING event per

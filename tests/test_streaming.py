@@ -56,21 +56,10 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
 def test_streaming_sliding_equals_batch(spark, sf_dir):
     """Sliding 2h/1h windows computed incrementally == the batch query."""
     ev = jobs.read_events_stream(spark, sf_dir)
-    agg = (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # exact distinct, streaming-legal (countDistinct is not):
-            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
-        )
-        .select(
-            F.col("win.start").cast("timestamp").cast("long").alias("win_start_s"),
-            "n_events",
-            "n_users",
-        )
-    )
     out = _run_stream(
-        spark, jobs.write_memory_sink(agg, "t_sliding"), "t_sliding"
+        spark,
+        jobs.write_memory_sink(jobs.sliding_counts_stream(ev), "t_sliding"),
+        "t_sliding",
     )
     batch = batch_equiv.stream_sliding_2h(spark, sf_dir)
     assert _rows(out) == _rows(batch)
