@@ -47,6 +47,16 @@ def test_filter_after_load_still_pushes(spark, sf_dir):
     assert "event_type" in pushed, f"not pushed through projection: {pushed}"
 
 
+def test_auto_broadcast_without_hint(spark, sf_dir):
+    """Catalyst auto-broadcasts dimension tables under the 10MB default
+    threshold with NO explicit hint — the engine's queries hint for
+    clarity, but the optimizer would get there alone."""
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")  # tiny, no broadcast() hint
+    j = l.join(n, l.l_suppkey % 25 == n.n_nationkey)
+    assert inspect.has_broadcast_join(j), inspect.simple_plan(j)
+
+
 def test_agg_is_two_phase(spark, sf_dir):
     """The flagship agg must be partial (map-side) + final — visible as
     two HashAggregate nodes around one exchange."""
