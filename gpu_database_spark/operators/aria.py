@@ -136,9 +136,22 @@ class EpochResult:
 
 @dataclass
 class BatchResult:
+    """Result of :func:`run_batch`.
+
+    ``commit_order`` lists ORIGINAL transaction ids in deterministic
+    commit order (epoch by epoch, Tid-ascending within an epoch) —
+    retried transactions are renumbered internally per the reference's
+    Collect phase (TransctionManager.cuh:176-184) but reported under
+    the id the caller submitted. On the fully distributed path it is
+    only populated when ``collect_commit_order=True``; the lazy
+    ``commit_order_df`` (epoch: int, txn_id: long, orig_tid: long) is
+    always available there and never touches the driver.
+    """
+
     table: DataFrame
     commit_order: list[int] = field(default_factory=list)
     epochs: int = 0
+    commit_order_df: DataFrame | None = None
 
 
 def default_new_value() -> Column:
@@ -194,10 +207,14 @@ def _protocol_local(
     tests/test_aria.py proves local == distributed. Returns
     (key -> (txn_id, op_idx) winning write, commit_order, epochs);
     later epochs shadow earlier ones, like the overlay path.
+    commit_order reports ORIGINAL ids (pre-renumbering); winning
+    values still regenerate from the renumbered Tid, matching the
+    reference's device value generation on retried epochs.
     """
     live = list(rows)
     winner: dict = {}
     commit_order: list[int] = []
+    orig: dict | None = None  # current Tid -> originally submitted Tid
     epochs = 0
     while live and epochs < max_epochs:
         epochs += 1
@@ -210,6 +227,8 @@ def _protocol_local(
             if u:
                 wts[k] = min(wts.get(k, t), t)
             by_txn.setdefault(t, []).append(row)
+        if orig is None:
+            orig = {t: t for t in by_txn}
         flags: dict = {}
         for t, _, k, u in live:
             f = flags.setdefault(t, [False, False, False])  # raw, war, waw
@@ -228,11 +247,12 @@ def _protocol_local(
             for _, op, k, u in sorted(by_txn[t], key=lambda r: r[1]):
                 if u:
                     winner[k] = (t, op)
-        commit_order.extend(committed)
+        commit_order.extend(orig[t] for t in committed)
         if not aborted:
             live = []
             break
         renum = {t: i + 1 for i, t in enumerate(aborted)}
+        orig = {renum[t]: orig[t] for t in renum}
         live = [(renum[t], op, k, u) for t, op, k, u in live if t in renum]
     if live and strict:
         # exhausted the epoch budget with transactions still aborting —
@@ -244,6 +264,41 @@ def _protocol_local(
     return winner, commit_order, epochs
 
 
+def global_renumber(df: DataFrame, col: str = "txn_id") -> DataFrame:
+    """Order-preserving dense renumber 1..m of ``df[col]`` at scale.
+
+    Replaces ``row_number() OVER (ORDER BY col)`` — whose unpartitioned
+    window funnels every row through ONE task — with the two-level
+    scheme: range-partition on ``col`` (partition i holds strictly
+    smaller values than partition i+1), rank within each partition in
+    parallel, then add broadcast cumulative partition-count offsets.
+    The only single-task step is the running sum over one row per
+    partition (bounded by cluster parallelism, not by data size).
+    Output: input columns plus ``_new_tid`` (long, 1-based).
+    """
+    part = df.repartitionByRange(F.col(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").count()
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    ranked = part.withColumn(
+        "_rank", F.row_number().over(Window.partitionBy("_pid").orderBy(col))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("_new_tid", (F.col("_offset") + F.col("_rank")).cast("long"))
+        .drop("_pid", "_rank", "_offset")
+    )
+
+
 def run_batch(
     table: DataFrame,
     ops: DataFrame,
@@ -252,6 +307,7 @@ def run_batch(
     max_epochs: int = 1000,
     rmw: bool = False,
     local_threshold: int = 100_000,
+    collect_commit_order: bool | None = None,
 ) -> BatchResult:
     """Epoch loop until every txn commits (DB::test, db.h:104-109).
 
@@ -279,6 +335,15 @@ def run_batch(
     stays distributed; only the op batch is local. Larger batches run
     fully distributed; equivalence of the paths is test-enforced
     (tests/test_aria.py::test_local_fast_path_equals_distributed).
+
+    ``collect_commit_order``: whether to materialize the driver-side
+    ``BatchResult.commit_order`` list. Default (``None``) resolves to
+    True on the local fast path and the rmw path — where the per-txn
+    rows are already on the driver, so the list is free — and False on
+    the fully distributed path, where building it would collect O(batch)
+    txn ids per epoch. The distributed path always exposes the lazy
+    ``commit_order_df`` instead; pass ``True`` to force the list there
+    (tests do, at test scale).
     """
     probe = None
     if not rmw and new_value is None:
@@ -309,16 +374,27 @@ def run_batch(
     live = ops
     if live.isEmpty():
         return result
+    if not rmw:
+        # Carry the originally submitted Tid through Collect-phase
+        # renumbering so commit evidence reports caller ids.
+        live = live.withColumn("orig_tid", F.col("txn_id"))
+    orig_map: dict[int, int] | None = None  # rmw path: current -> original Tid
     overlays: list[DataFrame] = []
+    co_frames: list[DataFrame] = []
     for epoch in range(max_epochs):
         if rmw:
             ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
             table = ep.table.localCheckpoint(eager=True)
             ep_committed, aborted = ep.committed, ep.aborted
-            result.commit_order.extend(ep_committed)
+            if orig_map is None:
+                orig_map = {t: t for t in ep_committed + aborted}
+            if collect_commit_order is not False:
+                # free: run_epoch already collected the per-txn flag rows
+                result.commit_order.extend(orig_map[t] for t in ep_committed)
             result.epochs += 1
             if not aborted:
                 break
+            orig_map = {i + 1: orig_map[t] for i, t in enumerate(aborted)}
             aborted_df = live.sparkSession.createDataFrame(
                 [(t, i + 1) for i, t in enumerate(aborted)],
                 "txn_id long, _new_tid long",
@@ -331,39 +407,59 @@ def run_batch(
                 .localCheckpoint(eager=True)
             )
             continue
-        # Distributed path: no per-txn driver collect — commit decisions,
-        # winner overlay and the Collect-phase renumbering all stay
-        # DataFrame-side, so a 100M-txn batch never touches the driver.
-        flags = analyze(live, reserve(live))
+        # Distributed path: commit decisions, winner overlay and the
+        # Collect-phase renumbering all stay DataFrame-side. With the
+        # default collect_commit_order=None the only driver traffic per
+        # epoch is the bounded aborted-set probe below — a 100M-txn
+        # batch never ships per-txn rows to the driver.
+        # (analyze() inlined to carry orig_tid through the groupBy.)
+        j = live.join(reserve(live), "key")
+        older_w = F.col("wts").isNotNull() & (F.col("wts") < F.col("txn_id"))
+        older_r = F.col("rts") < F.col("txn_id")
+        flags = j.groupBy("txn_id").agg(
+            F.max(older_w).alias("raw"),
+            F.max(F.col("is_update") & older_r).alias("war"),
+            F.max(F.col("is_update") & older_w).alias("waw"),
+            F.min("orig_tid").alias("orig_tid"),
+        )
         if reorder:
             abort_col = F.col("waw") | (F.col("raw") & F.col("war"))
         else:
             abort_col = F.col("waw") | F.col("raw")
-        committed = flags.filter(~abort_col).select("txn_id")
+        committed = flags.filter(~abort_col).select("txn_id", "orig_tid")
         aborted_df = flags.filter(abort_col).select("txn_id")
         overlays.append(
-            winners(live, committed, new_value).withColumn("_epoch", F.lit(epoch))
+            winners(live, committed.select("txn_id"), new_value).withColumn(
+                "_epoch", F.lit(epoch)
+            )
         )
-        result.commit_order.extend(
-            r.txn_id for r in committed.orderBy("txn_id").collect()
+        co_frames.append(
+            committed.select(
+                F.lit(epoch).alias("epoch"), "txn_id", "orig_tid"
+            )
         )
+        if collect_commit_order:
+            result.commit_order.extend(
+                r.orig_tid for r in committed.orderBy("txn_id").collect()
+            )
         result.epochs += 1
         n_aborted = aborted_df.limit(1).count()
         if n_aborted == 0:
             break
         # Collect phase: compact aborted txns to the queue front with
         # fresh sequential Tids 1..m, order-preserving
-        # (TransctionManager.cuh:176-184) — distributed via row_number.
-        renum = aborted_df.select(
-            "txn_id",
-            F.row_number()
-            .over(Window.orderBy("txn_id"))
-            .cast("long")
-            .alias("_new_tid"),
-        )
+        # (TransctionManager.cuh:176-184) — two-level renumber, no
+        # single-partition global window (see global_renumber).
+        renum = global_renumber(aborted_df, "txn_id")
         live = (
             live.join(renum, "txn_id")
-            .select(F.col("_new_tid").alias("txn_id"), "op_idx", "key", "is_update")
+            .select(
+                F.col("_new_tid").alias("txn_id"),
+                "op_idx",
+                "key",
+                "is_update",
+                "orig_tid",
+            )
             .localCheckpoint(eager=True)
         )
     else:
@@ -372,6 +468,11 @@ def run_batch(
             f"aria: transactions still live after max_epochs={max_epochs} "
             "— raise max_epochs"
         )
+    if co_frames:
+        codf = co_frames[0]
+        for c in co_frames[1:]:
+            codf = codf.unionAll(c)
+        result.commit_order_df = codf
     if not rmw and overlays:
         # Later epochs shadow earlier writes to the same key.
         allw = overlays[0]

@@ -88,14 +88,20 @@ def test_final_state_matches_serial_oracle(spark, workload, reorder, local_thres
     100k -> driver-local fast path) must match the serial-order replay."""
     table_rows, table, ops_rows, ops = workload
     result = aria.run_batch(
-        table, ops, reorder=reorder, local_threshold=local_threshold
+        table,
+        ops,
+        reorder=reorder,
+        local_threshold=local_threshold,
+        collect_commit_order=True,
     )
     got = {r.key: r.value for r in result.table.collect()}
     want, epoch_commits = serial_oracle(table_rows, ops_rows, reorder)
     assert got == want
     assert result.epochs == len(epoch_commits)
-    # every txn commits exactly once across epochs
+    # every txn commits exactly once across epochs, reported under the
+    # ORIGINAL id it was submitted with (not the retry renumbering)
     assert len(result.commit_order) == sum(epoch_commits)
+    assert sorted(result.commit_order) == sorted({t for t, _, _, _ in ops_rows})
 
 
 def test_overlay_equals_rmw_install_path(spark, workload):
@@ -103,7 +109,9 @@ def test_overlay_equals_rmw_install_path(spark, workload):
     per-epoch install+checkpoint path (rmw=True) must produce the same
     final table for read-independent value generators."""
     _, table, _, ops = workload
-    overlay = aria.run_batch(table, ops, reorder=False, local_threshold=0)
+    overlay = aria.run_batch(
+        table, ops, reorder=False, local_threshold=0, collect_commit_order=True
+    )
     rmw = aria.run_batch(table, ops, reorder=False, local_threshold=0, rmw=True)
     assert sorted(map(tuple, overlay.table.collect())) == sorted(
         map(tuple, rmw.table.collect())
@@ -114,12 +122,19 @@ def test_overlay_equals_rmw_install_path(spark, workload):
 def test_local_fast_path_equals_distributed(spark, workload):
     _, table, _, ops = workload
     local = aria.run_batch(table, ops, reorder=True)
-    dist = aria.run_batch(table, ops, reorder=True, local_threshold=0)
+    dist = aria.run_batch(
+        table, ops, reorder=True, local_threshold=0, collect_commit_order=True
+    )
     assert local.commit_order == dist.commit_order
     assert local.epochs == dist.epochs
     assert sorted(map(tuple, local.table.collect())) == sorted(
         map(tuple, dist.table.collect())
     )
+    # default distributed path: list stays empty, lazy frame agrees
+    lazy = aria.run_batch(table, ops, reorder=True, local_threshold=0)
+    assert lazy.commit_order == []
+    co = lazy.commit_order_df.orderBy("epoch", "txn_id").collect()
+    assert [r.orig_tid for r in co] == dist.commit_order
 
 
 def test_deterministic_across_runs(spark, workload):

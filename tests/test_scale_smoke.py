@@ -84,5 +84,8 @@ def test_aria_distributed_path_at_100k_ops(spark):
     n = result.table.count()
     elapsed = time.perf_counter() - t0
     assert n >= 50_000
-    assert result.epochs >= 1 and len(result.commit_order) == 5_000
+    # default distributed path never collects per-txn rows; commit
+    # evidence lives in the lazy frame
+    assert result.commit_order == []
+    assert result.epochs >= 1 and result.commit_order_df.count() == 5_000
     assert elapsed < 120, f"100k-op distributed batch took {elapsed:.1f}s"
