@@ -33,41 +33,59 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts <= left_ts within the same `on` key. Left columns are
     preserved; `value_cols` arrive from the right side (null when no
-    right row precedes the left row)."""
+    right row precedes the left row).
+
+    When several right rows share one (key, timestamp), the winner is
+    the greatest ``tiebreak_cols`` tuple (default: ``value_cols``
+    themselves) — a total order, so the result never depends on
+    partition/arrival order. Pass a unique right-side column for a
+    caller-defined resolution.
+    """
+    tb = tiebreak_cols if tiebreak_cols is not None else list(value_cols)
+    carry_cols = value_cols + [c for c in tb if c not in value_cols]
     lt = left.withColumn("_t", F.col(left_ts)).withColumn("_src", F.lit(1))
     rt = (
         right.select(
-            on, F.col(right_ts).alias("_t"), *[F.col(c) for c in value_cols]
+            on, F.col(right_ts).alias("_t"), *[F.col(c) for c in carry_cols]
         )
         .withColumn("_src", F.lit(0))
     )
     l_aug = lt.select(
-        *left.columns, "_t", "_src", *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in value_cols]
+        *left.columns, "_t", "_src", *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in carry_cols]
     )
     r_aug = rt.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
         F.col(on),
         "_t",
         "_src",
-        *value_cols,
+        *carry_cols,
     ).select(*l_aug.columns)
     unioned = l_aug.unionByName(r_aug)
     # right rows (_src=0) sort before left rows at equal timestamps, so
-    # a right row AT t is visible to a left row AT t (<= semantics).
+    # a right row AT t is visible to a left row AT t (<= semantics);
+    # tied right rows order by the tiebreak tuple (left rows hold null
+    # there, which never affects their own carried value).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t").asc(), F.col("_src").asc())
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_src").asc(),
+            *[F.col(c).asc_nulls_first() for c in tb],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[c for c in unioned.columns if c not in value_cols],
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
-    return carried.filter(F.col("_src") == 1).drop("_t", "_src")
+    return carried.filter(F.col("_src") == 1).drop(
+        "_t", "_src", *[c for c in carry_cols if c not in value_cols]
+    )
 
 
 @register(

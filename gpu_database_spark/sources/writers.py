@@ -64,10 +64,14 @@ def compact_parquet(spark, path: str, target_files: int) -> None:
     """Compact a LOCAL-filesystem small-files directory to target_files
     (the streaming-sink hygiene job). Swap discipline: write compacted
     data to a temp dir, move the old dir aside, move the new one in,
-    then delete the old — at no instant is `path` absent or partial,
-    and a crash leaves either the old data in place or (post-swap) only
-    the *_old leftover to clean. For object stores use the catalog's
-    atomic-commit (Iceberg/Delta rewriteDataFiles), not this."""
+    then delete the old. `path` is never PARTIAL, but the swap is two
+    renames, not one atomic exchange — a concurrent reader can observe
+    a brief window where `path` is absent and must tolerate a
+    retryable miss; a crash leaves either the old data in place or
+    (post-swap) only the *_old leftover to clean. A truly gapless swap
+    needs RENAME_EXCHANGE or a catalog commit — for object stores use
+    the catalog's atomic-commit (Iceberg/Delta rewriteDataFiles), not
+    this."""
     import shutil
     import tempfile
     import os

@@ -49,6 +49,28 @@ def test_generators_reproducible_and_in_spec(spark):
     assert sorted(map(tuple, df.collect())) == sorted(a)
 
 
+def test_asof_join_deterministic_on_tied_timestamps(spark):
+    """Multiple right rows sharing one (key, timestamp) must resolve to
+    the same winner regardless of partition/arrival order: the greatest
+    tiebreak tuple (default: the value columns)."""
+    from gpu_database_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k long, t long"
+    )
+    right_rows = [(1, 10, "a"), (1, 10, "c"), (1, 10, "b"), (1, 15, "x")]
+    results = set()
+    for n_parts in (1, 2, 4):
+        right = spark.createDataFrame(
+            right_rows, "k long, rt long, v string"
+        ).repartition(n_parts)
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", value_cols=["v"]
+        )
+        results.add(tuple(sorted((r.t, r.v) for r in out.collect())))
+    assert results == {((10, "c"), (20, "x"))}, results
+
+
 def test_kv_generators_deterministic(spark):
     t1 = gen.kv_table(spark, 100, seed=9).collect()
     t2 = gen.kv_table(spark, 100, seed=9).collect()
