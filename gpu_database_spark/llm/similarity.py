@@ -98,20 +98,49 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pairs_blocked",
     oracle="""
-    SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) > 0.3
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ed AS (
+        SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e
+    ),
+    proj AS (
+        SELECT vec_id, p.plane,
+               CASE WHEN sum(CAST(floor(v[i] * 1000000.0) AS BIGINT) * (CASE WHEN
+                        CAST('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                            || CAST(i - 1 AS VARCHAR)), 1, 4)
+                             AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM ed CROSS JOIN (SELECT unnest(range(0, 4)) AS plane) p
+        GROUP BY vec_id, p.plane
+    ),
+    sig AS (
+        SELECT vec_id, CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    eb AS (
+        SELECT e.vec_id, e.label, e.v, s.bucket
+        FROM e JOIN sig s ON e.vec_id = s.vec_id
+    )
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.label, a.bucket,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM eb a JOIN eb b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.3
     ORDER BY va, vb
     """,
 )
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs with blocking: pairwise cosine only
-    WITHIN label blocks (the blocking key bounds the quadratic term —
-    at 100 TB the block is an LSH bucket, not a label).
+    """Embedding near-dup pairs with LSH-bucket blocking: pairwise
+    cosine only within (label, LSH bucket) blocks. The bucket — table 0
+    of :func:`lsh_bucket_array`, a 4-bit random-hyperplane signature —
+    is the key that keeps the quadratic term bounded at 100 TB: block
+    size tracks true neighborhoods instead of whatever cardinality the
+    label happens to have. Label equality stays as a secondary filter
+    (the business rule); the oracle reproduces the bucket bit-for-bit
+    because the projection accumulates in exact decimal and the +-1
+    pattern derives from md5.
 
     L2 norms are computed once per VECTOR before the pair join, not per
     pair — the pairwise stage then does one dot product per pair (3x
@@ -121,19 +150,34 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select(
         "vec_id", "label", "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
+        F.element_at(lsh_bucket_array(F.col("embedding")), 1)
+        .cast("long")
+        .alias("bucket"),
     )
-    a = normed.select(
-        F.col("vec_id").alias("va"), "label",
+    # Co-locate each (label, bucket) block on one partition BEFORE the
+    # pair stage: the per-pair dot products — the quadratic term — then
+    # parallelize across blocks instead of wherever the (possibly
+    # single-file) scan happened to land, and both join sides hang off
+    # the same shuffled subplan.
+    blocked = normed.repartition("label", "bucket")
+    a = blocked.select(
+        F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = normed.select(
+    b = blocked.select(
         F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
     sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb")))
-        .select("va", "vb", "label", sim.alias("cos_sim"))
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb", "label", "bucket", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") > 0.3)
         .orderBy("va", "vb")
     )
@@ -143,24 +187,45 @@ N_TABLES = 4  # LSH tables (OR-amplification)
 N_BITS = 4    # hyperplanes per table (AND-amplification)
 
 
+EMBED_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+def _plane_signs(plane: int, dim: int = EMBED_DIM) -> list[int]:
+    """The +-1 projection pattern for one hyperplane, derived from md5
+    of "plane:dim_index" — reproducible anywhere (the oracle re-derives
+    it with SQL md5), no stored model. Computed ONCE at plan-build time:
+    the pattern is data-independent, so evaluating md5 per row per
+    element would put ~dim x planes hash calls in the scan's hot loop
+    for a constant. At scale this is "broadcast the tiny static model",
+    expressed as plan literals."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:4], 16) % 2 == 1
+        else -1
+        for i in range(dim)
+    ]
+
+
 def _plane_bit(vec: Column, plane: int) -> Column:
-    """Sign bit of a pseudo-random +-1 projection; the +-1 pattern per
-    (plane, dimension) derives from md5 — reproducible anywhere, no
-    stored model."""
+    """Sign bit of the pseudo-random +-1 projection for one hyperplane.
+
+    The projection quantizes each term to floor(x * 1e6) and
+    accumulates in LONG: integer addition is exact, order-independent
+    and engine-independent, so the sign — and therefore every bucket
+    id — is bit-reproducible by the DuckDB oracle, where a float sum's
+    last-bit drift could flip a near-zero projection. (Primitive long
+    arithmetic is also ~5x faster here than the DECIMAL(27,6)
+    alternative — no per-element decimal object churn.)"""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane)])
     proj = F.aggregate(
-        F.transform(
+        F.zip_with(
             vec,
-            lambda x, i: x.cast("double")
-            * F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(plane), i)), 1, 4), 16, 10
-                ).cast("long")
-                % 2
-                == 1,
-                1.0,
-            ).otherwise(-1.0),
+            signs,
+            lambda x, s: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+            * s.cast("long"),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     return F.when(proj > 0, 1).otherwise(0)
