@@ -295,78 +295,170 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- synthesized partsupp -------------------------------------------------
+#
+# The fixture ships no partsupp table, so we DERIVE one, deterministically,
+# from `part` and the supplier count — using the TPC-H dbgen supplier-
+# assignment formula (spec 4.2.3: ps_suppkey = (ps_partkey + i*(S/4 +
+# (ps_partkey-1)/S)) mod S + 1, i in 0..3). availqty/supplycost follow from
+# arithmetic on the keys. Every expression is mirrored token-for-token in
+# the oracle CTE below, so Spark and DuckDB synthesize the identical table
+# and q9/q11/q16/q20 run their TRUE TPC-H shapes against it.
+# (With the fixture's small supplier counts the dbgen formula can assign a
+# part the same supplier twice; DISTINCT restores the (partkey, suppkey)
+# primary key on both sides.)
+
+_PS_SQL = """
+    WITH s_cnt AS (SELECT count(*) AS s FROM supplier),
+    ps0 AS (
+        SELECT DISTINCT p_partkey AS ps_partkey,
+               (p_partkey + i.i * ((s // 4) + ((p_partkey - 1) // s))) % s
+                   AS ps_suppkey
+        FROM part, s_cnt, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    partsupp AS (
+        SELECT ps_partkey,
+               CAST(ps_suppkey AS BIGINT) AS ps_suppkey,
+               CAST((ps_partkey * 7 + ps_suppkey * 131) % 9999 + 1 AS BIGINT)
+                   AS ps_availqty,
+               CAST((ps_partkey * 31 + ps_suppkey * 517) % 99900 AS DOUBLE)
+                   / 100.0 + 1.0 AS ps_supplycost
+        FROM ps0
+    )
+"""
+
+
+def partsupp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp as a DataFrame: part x {0..3} with the
+    dbgen supplier-assignment formula (see _PS_SQL). The supplier count
+    enters the plan as a broadcast scalar (no driver .first())."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s"))
+    idx = spark.range(0, 4).select(F.col("id").alias("i"))
+    ps0 = (
+        p.crossJoin(F.broadcast(s_cnt))
+        .crossJoin(F.broadcast(idx))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * ((s div 4) + ((p_partkey - 1) div s))) % s"
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    sk = F.col("ps_suppkey")
+    return ps0.select(
+        "ps_partkey",
+        sk.cast("long").alias("ps_suppkey"),
+        ((F.col("ps_partkey") * 7 + sk * 131) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 31 + sk * 517) % 99900).cast("double") / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
 @register(
     "q9_product_profit",
     oracle=f"""
-    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           {dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01')}
-               AS profit
+    {_PS_SQL}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity')}
+               AS sum_profit
     FROM lineitem
       JOIN part ON p_partkey = l_partkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%the%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, year(o_orderdate)
-    ORDER BY n_name, o_year
+    ORDER BY nation, o_year DESC
     """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9-style: profit by supplier nation and year for a part
-    family (the fixture has no partsupp, so unit cost proxies off
-    p_retailprice — same join/aggregate shape)."""
+    """TPC-H Q9 (true shape): profit by supplier nation and year for a
+    part family, unit cost from the synthesized partsupp
+    (ps_supplycost * l_quantity), ordered nation asc / year desc per
+    spec."""
     l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%the%"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ps = partsupp_frame(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.01
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(dsum(profit).alias("profit"))
-        .orderBy("n_name", "o_year")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
     )
 
 
 @register(
     "q11_value_concentration",
-    oracle="""
-    WITH supplier_value AS (
-        SELECT l_suppkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS value
-        FROM lineitem GROUP BY l_suppkey
+    oracle=f"""
+    {_PS_SQL},
+    national AS (
+        SELECT ps_partkey, ps_availqty, ps_supplycost
+        FROM partsupp
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
     )
-    SELECT l_suppkey, value
-    FROM supplier_value
-    WHERE value > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
-                          * 0.012
-                   FROM lineitem)
-    ORDER BY value DESC, l_suppkey
+    SELECT ps_partkey,
+           CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,6))) AS DOUBLE)
+               AS value
+    FROM national
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,6))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(27,6)))
+                          AS DOUBLE) * 0.005
+              FROM national)
+    ORDER BY value DESC, ps_partkey
     """,
 )
 def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11-style: suppliers holding an outsized share of total
-    flow value — HAVING against a scalar fraction-of-grand-total
-    subquery (partsupp proxied by lineitem value)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    total = l.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("_t")
+    """TPC-H Q11 (true shape): parts whose stock value held by one
+    nation's suppliers exceeds a fraction of that nation's total stock
+    value — group over the synthesized partsupp, HAVING against a
+    scalar fraction-of-grand-total subquery (in-plan via broadcast
+    crossJoin, no driver .first())."""
+    ps = partsupp_frame(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    national = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", "ps_availqty", "ps_supplycost")
     )
+    val = F.sum(
+        (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(27,6)")
+    ).cast("double")
+    total = national.agg(val.alias("_t"))
     return (
-        l.groupBy("l_suppkey")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("value")
-        )
+        national.groupBy("ps_partkey")
+        .agg(val.alias("value"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("_t") * 0.012)
-        .select("l_suppkey", "value")
-        .orderBy(F.col("value").desc(), "l_suppkey")
+        .filter(F.col("value") > F.col("_t") * 0.005)
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
     )
 
 
@@ -410,47 +502,49 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_supplier_part_counts",
-    oracle="""
+    oracle=f"""
+    {_PS_SQL}
     SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
-           COUNT(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON p_partkey = l_partkey
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
     WHERE p_brand <> 'Brand#5'
       AND p_type NOT IN ('PROMO', 'LARGE')
       AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND NOT EXISTS (
-          SELECT 1 FROM supplier
-          WHERE s_acctbal < 0 AND s_suppkey = l_suppkey
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16-style: distinct supplier counts per part attribute
-    combo, excluding flagged suppliers (NOT IN anti-join; lineitem
-    stands in for partsupp)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    """TPC-H Q16 (true shape): distinct supplier counts per part
+    attribute combo over the synthesized partsupp, excluding flagged
+    suppliers (NOT IN anti-join; the subquery column is non-null so
+    anti-join == NOT IN here)."""
+    ps = partsupp_frame(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & ~F.col("p_type").isin("PROMO", "LARGE")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
-        F.col("s_suppkey").alias("l_suppkey")
+        F.col("s_suppkey").alias("ps_suppkey")
     )
     return (
-        l.join(bad, "l_suppkey", "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
 
 @register(
     "q20_excess_supply",
-    oracle="""
-    WITH part_halves AS (
+    oracle=f"""
+    {_PS_SQL},
+    shipped_q AS (
         SELECT l_partkey, l_suppkey,
                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS shipped
         FROM lineitem
@@ -458,36 +552,50 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l_partkey, l_suppkey
     )
-    SELECT s_suppkey, s_name FROM supplier
-    WHERE s_suppkey IN (
-        SELECT l_suppkey FROM part_halves
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'the%')
-          AND shipped > 40
+    SELECT s_suppkey, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp JOIN shipped_q
+          ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty > 0.5 * shipped
     )
     ORDER BY s_suppkey
     """,
 )
 def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20-style: suppliers who moved heavy volume of a part
-    family in a year — the nested IN-chain shape (supplier IN (... part
-    IN (...))), decorrelated into stacked semi-joins."""
+    """TPC-H Q20 (true shape): suppliers in one nation holding more
+    than half the quantity they shipped of a part family in a year —
+    the nested IN chain over partsupp with the correlated half-of-
+    shipped scalar, decorrelated into a (partkey, suppkey) aggregate
+    joined back (inner join == the spec's NULL-excluding scalar
+    comparison: pairs that shipped nothing fail `> NULL` there and
+    simply don't match here)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
+    ps = partsupp_frame(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
-    parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("the%")).select(
-        F.col("p_partkey").alias("l_partkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    parts = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    shipped_q = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("shipped")
     )
     heavy = (
-        l.join(F.broadcast(parts), "l_partkey", "left_semi")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("shipped"))
-        .filter(F.col("shipped") > 40)
-        .select(F.col("l_suppkey").alias("s_suppkey"))
+        ps.join(F.broadcast(parts), "ps_partkey", "left_semi")
+        .join(
+            shipped_q,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("shipped"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
     )
     return (
-        s.join(heavy, "s_suppkey", "left_semi")
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, "s_suppkey", "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
