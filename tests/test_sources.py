@@ -113,3 +113,53 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+def test_merge_upsert_sink(spark, tmp_path):
+    """Delta-style MERGE sink: insert/update/delete across committed
+    snapshots, atomic pointer, time travel, vacuum."""
+    p = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    v1 = writers.merge_upsert(spark, p, base, ["k"])
+    assert v1 == 1
+    assert _rows(writers.read_snapshot(spark, p)) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    ]
+    # matched-update (k=2), not-matched-insert (k=4), NULL value carried
+    upd = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    v2 = writers.merge_upsert(spark, p, upd, ["k"])
+    assert v2 == 2
+    assert _rows(writers.read_snapshot(spark, p)) == [
+        (1, "a", 10.0), (2, "B", None), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+    # matched delete via delete_col; delete flag on a missing key is a no-op
+    dels = spark.createDataFrame(
+        [(3, "x", 0.0, True), (9, "y", 0.0, True), (1, "A", 11.0, False)],
+        "k long, name string, v double, _del boolean",
+    )
+    v3 = writers.merge_upsert(spark, p, dels, ["k"], delete_col="_del")
+    assert v3 == 3
+    assert _rows(writers.read_snapshot(spark, p)) == [
+        (1, "A", 11.0), (2, "B", None), (4, "d", 40.0)
+    ]
+    # time travel to v1; vacuum keeps the last keep_versions snapshots
+    assert _rows(writers.read_snapshot(spark, p, version=1)) == _rows(base)
+    assert writers.snapshot_versions(p) == [1, 2, 3]
+    v4 = writers.merge_upsert(spark, p, upd, ["k"], keep_versions=2)
+    assert writers.snapshot_versions(p) == [3, 4] and v4 == 4
+
+
+def test_merge_upsert_schema_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "m2")
+    writers.merge_upsert(
+        spark, p, spark.createDataFrame([(1, "a")], "k long, s string"), ["k"]
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        writers.merge_upsert(
+            spark, p, spark.createDataFrame([(1, 2.0)], "k long, other double"), ["k"]
+        )
