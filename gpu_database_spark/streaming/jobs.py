@@ -147,6 +147,96 @@ def user_running_totals_stream(events: DataFrame, watermark: str = "2 hours") ->
     )
 
 
+def user_stats_transform_with_state(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithStateInPandas
+    — the successor API to applyInPandasWithState (SPARK-49564): state
+    is declared as named, schema-full primitives (ValueState/MapState/
+    ListState + timers) on a StatefulProcessor handle instead of one
+    opaque tuple, so the runtime can evolve/inspect state and the
+    processor composes multiple state variables.
+
+    Here: per-user running totals in a ValueState plus per-event-type
+    counts in a MapState (distinct-type cardinality from its keys) —
+    the same state machine family as user_running_totals_stream, kept
+    side-by-side deliberately so both APIs stay covered. Emits one row
+    per (user, batch); the final row per user equals the batch
+    aggregate (test-enforced, tests/test_streaming.py).
+
+    Requires the RocksDB state store provider (the transformWithState
+    backend; tests set spark.sql.streaming.stateStore.providerClass)
+    and the google.protobuf package (the Python state server's wire
+    format — absent in this container, so the execution-equivalence
+    test skips here and the plan-construction test runs everywhere).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals",
+                StructType(
+                    [StructField("n", LongType()), StructField("total", DoubleType())]
+                ),
+            )
+            self.type_counts = handle.getMapState(
+                "type_counts",
+                StructType([StructField("event_type", StringType())]),
+                StructType([StructField("cnt", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self.totals.get() if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.type_counts.getValue((t,))[0]
+                        if self.type_counts.containsKey((t,))
+                        else 0
+                    )
+                    self.type_counts.updateValue((t,), (prev + int(c),))
+            self.totals.update((n, total))
+            n_types = sum(1 for _ in self.type_counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=(
+                "user_id LONG, n_events LONG, total_value DOUBLE, n_types LONG"
+            ),
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def aria_foreach_batch_install(
     spark: SparkSession,
     table: DataFrame,

@@ -7,6 +7,7 @@ the rows of the corresponding batch query in streaming.batch_equiv.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gpu_database_spark.sources.catalog import load_table
@@ -93,6 +94,80 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         .agg(SF.count(SF.lit(1)).alias("n_events"))
     )
     assert _rows(final) == _rows(batch)
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas's Python state server speaks protobuf
+    to the JVM; without the package the worker crashes at init."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_builds(spark, sf_dir):
+    """The transformWithStateInPandas job must construct — streaming
+    plan, output schema, state declarations — independent of the
+    optional protobuf runtime dependency."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    out = jobs.user_stats_transform_with_state(ev)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_types",
+    ]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState worker needs google.protobuf"
+)
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB
+    backend): the last emitted row per user must equal the batch
+    aggregate — count, exact value sum, distinct event types."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = jobs.read_events_stream(spark, sf_dir)
+        out = _run_stream(
+            spark,
+            jobs.write_memory_sink(
+                jobs.user_stats_transform_with_state(ev), "t_tws", complete=False
+            ),
+            "t_tws",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    w = Window.partitionBy("user_id").orderBy(SF.col("n_events").desc())
+    final = (
+        out.withColumn("rn", SF.row_number().over(w))
+        .filter(SF.col("rn") == 1)
+        .select("user_id", "n_events", SF.round("total_value", 6).alias("tv"), "n_types")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.round(SF.sum("value"), 6).alias("tv"),
+            SF.countDistinct("event_type").alias("n_types"),
+        )
+    )
+    assert _rows(final) == _rows(batch)
+    assert final.count() > 0
 
 
 def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
