@@ -91,19 +91,22 @@ def main() -> None:
 
     # min of three runs per query: the first run at a new scale factor pays
     # one-off costs (file listing, codegen compile); the min reflects the
-    # engine's steady-state time and is stable across driver rounds.
-    def best_of(n: int, run) -> float:
-        best = float("inf")
+    # engine's steady-state time and is stable across driver rounds. The
+    # max-min spread rides along so a round-over-round regression can be
+    # told apart from run-to-run noise.
+    def best_of(n: int, run) -> tuple[float, float]:
+        ts = []
         for _ in range(n):
             t0 = time.perf_counter()
             run()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 4), round(max(ts) - min(ts), 4)
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        timings[name] = best_of(3, lambda: fn(spark, SF_DIR).collect())
+        timings[name], spread[name] = best_of(3, lambda: fn(spark, SF_DIR).collect())
 
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen
@@ -116,7 +119,7 @@ def main() -> None:
         )
         aria.run_batch(table, ops, reorder=False).table.count()
 
-    timings["aria_ycsb_batch"] = best_of(3, run_aria)
+    timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(3, run_aria)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -124,6 +127,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -89,3 +89,85 @@ def test_aria_distributed_path_at_100k_ops(spark):
     assert result.commit_order == []
     assert result.epochs >= 1 and result.commit_order_df.count() == 5_000
     assert elapsed < 120, f"100k-op distributed batch took {elapsed:.1f}s"
+
+
+def synth_documents(spark, n_docs: int):
+    """Deterministic document corpus from spark.range: ~30 words per doc
+    from a closed vocabulary, with every 50th doc a near-copy of its
+    predecessor (shares most shingles -> real LSH candidate pairs)."""
+    near_dup = F.pmod(F.col("id"), 50) == 1
+    text_id = F.when(near_dup, F.col("id") - 1).otherwise(F.col("id"))
+    words = [
+        F.concat(F.lit("w"), F.pmod(text_id * (2 * k + 1) + k * 17, 500).cast("string"))
+        for k in range(30)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
+def test_dedup_minhash_lsh_at_10x_docs(spark):
+    """MinHash + banded LSH at 50k docs (10x the bench fixture): the
+    signature stage and the bucket self-join must stay shuffle-bounded
+    and finish without driver involvement."""
+    from gpu_database_spark.llm import dedup
+
+    docs = synth_documents(spark, 50_000)
+    t0 = time.perf_counter()
+    n_sigs = dedup.minhash_signatures(docs).count()
+    pairs = dedup.lsh_candidate_pairs(docs)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    assert n_sigs == 50_000 * 8  # one row per (doc, minhash index)
+    # every near-dup neighbor pair collides in some band; ~1k planted
+    assert n_pairs >= 500, f"only {n_pairs} candidate pairs"
+    assert elapsed < 120, f"50k-doc minhash+LSH took {elapsed:.1f}s"
+
+
+def test_sim_blocked_pairs_at_10x_vectors(spark):
+    """(label, LSH-bucket)-blocked pairwise cosine at 20k vectors (10x
+    the bench fixture): the pair count must track block sizes, not the
+    quadratic all-pairs term."""
+    from gpu_database_spark.llm.similarity import dot, l2_norm, lsh_bucket_array
+
+    e = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), 10).cast("string").alias("label"),
+        F.array(
+            *[
+                (F.pmod(F.col("id") * (k + 3) + k * k, 1000) / 500.0 - 1.0)
+                for k in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    normed = e.select(
+        "vec_id", "label", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.element_at(lsh_bucket_array(F.col("embedding")), 1).cast("long").alias("bucket"),
+    ).repartition("label", "bucket")
+    a = normed.select(
+        F.col("vec_id").alias("va"), "label", "bucket",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    t0 = time.perf_counter()
+    n = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.3)
+        .count()
+    )
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 180, f"20k-vector blocked pairs took {elapsed:.1f}s"
+    assert n >= 0
