@@ -1,0 +1,148 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Random sampling (``df.sample``/``sampleBy``) is Bernoulli over
+partition iteration order: the kept set changes with partitioning,
+file layout, and cluster size — unacceptable for a reproducible
+training corpus. These operators sample on a CONTENT-DERIVED hash
+(md5 of the key), so the kept set is a pure function of the data:
+re-running on any cluster, any partitioning, any engine keeps exactly
+the same rows (the DuckDB oracle reproduces every stage).
+
+The hash-to-unit-interval trick: the first 15 hex chars of md5 as a
+long, modulo a large prime bucket space — uniform enough for rate
+control, deterministic everywhere (same discipline as the minhash /
+LSH stack, llm/dedup.py).
+
+Scale notes: all narrow maps over the scan except the per-source
+rollups (one shuffle on the group key); no driver participation, no
+RNG state to coordinate across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+BUCKETS = 1_000_000  # hash buckets per unit interval (ppm rate resolution)
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic uniform bucket in [0, BUCKETS) from md5(key)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % BUCKETS
+
+
+def _hash_bucket_sql(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15) AS BIGINT) "
+        f"% {BUCKETS}"
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH rates(source, rate_ppm) AS (
+        VALUES ('src0', 250000), ('src1', 500000), ('src2', 750000),
+               ('src3', 1000000), ('src4', 100000)
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_hash_bucket_sql('d.doc_id')} < r.rate_ppm
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling at fixed rates, hash-determined:
+    keep a doc iff md5-bucket(doc_id) < rate. Identical kept set on any
+    cluster/partitioning — the reproducibility property `sampleBy`
+    cannot give. Rates are parts-per-million per source."""
+    rates = [
+        ("src0", 250_000),
+        ("src1", 500_000),
+        ("src2", 750_000),
+        ("src3", 1_000_000),
+        ("src4", 100_000),
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    r = spark.createDataFrame(rates, "source string, rate_ppm long")
+    kept = d.join(F.broadcast(r), "source").filter(
+        hash_bucket(F.col("doc_id")) < F.col("rate_ppm")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               CASE WHEN {_hash_bucket_sql('doc_id')} < 900000 THEN 'train'
+                    WHEN {_hash_bucket_sql('doc_id')} < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source, COUNT(*) AS n_docs
+    FROM tagged GROUP BY split, source ORDER BY split, source
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split on the content hash:
+    a document's split never changes as the corpus grows or moves
+    clusters — the property that prevents silent train/test leakage
+    across pipeline re-runs. Returns the (split, source) census."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 900_000, "train").when(b < 950_000, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT (length(text) // 200) * 200 AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    GROUP BY (length(text) // 200) * 200
+    ORDER BY len_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram (200-char buckets) — the first plot of
+    every corpus audit; one narrow map + one shuffle on the bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 200) * 200).cast("long")
+    return (
+        d.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.length("text")).cast("long").alias("min_len"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -343,6 +343,106 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_DIM = 16  # matryoshka prefix length
+
+
+@register(
+    "sim_topk_truncated",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[])[1:{TRUNC_DIM}] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[])[1:{TRUNC_DIM}] AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT qid, cid,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q JOIN c ON qid <> cid
+    )
+    SELECT qid, cid, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, cid) AS rk
+        FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    ORDER BY qid, rk
+    """,
+)
+def sim_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated retrieval: exact top-k over only the first
+    {TRUNC_DIM} dimensions of each embedding — the cheap first stage of
+    a truncate-then-rerank cascade (prefix dot products cost dim/4 of
+    the full scan; compare against sim_topk_cosine to measure the
+    rank agreement the truncation keeps)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    trunc = F.slice(F.col("embedding"), 1, TRUNC_DIM)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), trunc.alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), trunc.alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE vec_id < 200
+    ),
+    scaled AS (
+        SELECT vec_id, label,
+               list_aggregate(list_transform(vec, x -> abs(x)), 'max') / 127.0
+                   AS scale,
+               vec
+        FROM v
+    )
+    SELECT vec_id, label, round(scale, 6) AS scale_r,
+           round(list_aggregate(
+               list_transform(vec, x -> abs(x - round(x / scale) * scale)),
+               'max'), 6) AS max_err
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale =
+    max|x| / 127, worst-case reconstruction error per vector — the
+    4x-compression sanity check before shipping a quantized ANN index
+    (error must stay below scale/2). All JVM-side higher-order
+    functions; the oracle mirrors each lambda in DuckDB list calls."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    vec = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / 127.0
+    scaled = e.select("vec_id", "label", vec.alias("vec"), scale.alias("scale"))
+    err = F.array_max(
+        F.transform(
+            F.col("vec"),
+            lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale")),
+        )
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale_r"),
+        F.round(err, 6).alias("max_err"),
+    ).orderBy("vec_id")
+
+
 @register(
     "sim_norms",
     oracle="""

@@ -402,3 +402,45 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first())
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words
+    ),
+    bigrams AS (
+        SELECT lower(w[i]) || ' ' || lower(w[i + 1]) AS bigram FROM pairs
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (top 30): adjacent-word pairs
+    via zip_with over the word array against its own tail — a narrow
+    per-doc map, then one count shuffle on the bigram. The n-gram LM /
+    tokenizer-vocab precursor; at 100 TB the only wide stage is the
+    final count, and a (bigram % k) pre-aggregation salts any hot
+    head word."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", F.lower(a), F.lower(b)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(30)
+    )

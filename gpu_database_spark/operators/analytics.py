@@ -267,3 +267,63 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sessionize_lag_cumsum",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 OR
+                         LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts_us,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS start_us,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the lag + cumulative-sum idiom (30-minute
+    inactivity gap): mark session starts with LAG, number sessions with
+    a running SUM of start flags, then aggregate per session. The batch
+    twin of stream_session_windows' session_window, expressed in pure
+    window algebra — one shuffle on user_id, every window shares the
+    same partitioning (no extra exchanges)."""
+    # microsecond precision on both engines: DuckDB TIMESTAMP is us,
+    # the parquet fixture is ns -> truncate ns div 1000 (epoch-int rule)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 1_800_000_000  # 30 min
+    is_start = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+    ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_id", "ts_us", is_start.alias("is_start")
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").cast("long").alias("start_us"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )

@@ -595,3 +595,59 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(udf("text").alias("total_tokens"))
         .orderBy("lang")
     )
+
+
+@register(
+    "sink_merge_snapshot",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END AS bal
+    FROM supplier WHERE s_suppkey % 7 <> 3
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 'new_supplier', 42.0
+    ORDER BY s_suppkey
+    """,
+)
+def sink_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-style MERGE sink exercised end-to-end through the
+    driver contract: three committed snapshot versions — full load,
+    matched-update + not-matched-insert, matched-delete — then the
+    final snapshot read back from disk. The oracle states the net
+    effect of the three merges in one SQL expression; matching it
+    proves the sink's upsert/delete semantics AND the atomic
+    version-pointer round trip (sources/writers.py: merge_upsert /
+    read_snapshot)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gpu_database_spark.sources import writers
+
+    # keep scratch inside the repo tree (spark-warehouse discipline)
+    scratch_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "_merge_sink_scratch",
+    )
+    os.makedirs(scratch_root, exist_ok=True)
+    path = tempfile.mkdtemp(dir=scratch_root)
+    try:
+        s = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", F.col("s_acctbal").alias("bal")
+        )
+        writers.merge_upsert(spark, path, s, ["s_suppkey"])
+        upd = s.filter(F.col("bal") < 0).withColumn("bal", F.lit(0.0)).unionByName(
+            spark.createDataFrame(
+                [(-1, "new_supplier", 42.0)], "s_suppkey long, s_name string, bal double"
+            )
+        )
+        writers.merge_upsert(spark, path, upd, ["s_suppkey"])
+        dels = s.filter(F.col("s_suppkey") % 7 == 3).withColumn("_del", F.lit(True))
+        writers.merge_upsert(spark, path, dels, ["s_suppkey"], delete_col="_del")
+        final = writers.read_snapshot(spark, path).orderBy("s_suppkey")
+        # materialize before the scratch dir disappears (bounded: one
+        # row per supplier — a dimension table, driver-safe by size)
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema).orderBy("s_suppkey")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

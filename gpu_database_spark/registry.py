@@ -72,6 +72,7 @@ def _load_all() -> None:
     from gpu_database_spark.llm import (  # noqa: F401
         dedup,
         multimodal,
+        sampling,
         similarity,
         textstats,
     )
