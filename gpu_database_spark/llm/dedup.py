@@ -503,3 +503,109 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+DEDUP_COS_TAU = 0.35  # near-dup cosine threshold for the fixture embeddings
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ed AS (
+        SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e
+    ),
+    proj AS (
+        SELECT vec_id, p.plane,
+               CASE WHEN sum(CAST(floor(v[i] * 1000000.0) AS BIGINT) * (CASE WHEN
+                        CAST('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                            || CAST(i - 1 AS VARCHAR)), 1, 4)
+                             AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM ed CROSS JOIN (SELECT unnest(range(0, 4)) AS plane) p
+        GROUP BY vec_id, p.plane
+    ),
+    sig AS (
+        SELECT vec_id, CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    eb AS (
+        SELECT e.vec_id, e.label, e.v, s.bucket
+        FROM e JOIN sig s ON e.vec_id = s.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id, b.label
+        FROM eb a JOIN eb b
+          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {DEDUP_COS_TAU}
+    )
+    SELECT e.label, COUNT(*) AS n_total,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept,
+           CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS dropped_id_sum
+    FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (semantic dedup): within each
+    (label, LSH-bucket) block, a vector is dropped if any LOWER-id
+    block-mate has cosine >= tau — the deterministic keep-first-by-id
+    rule, the greedy pass of SemDeDup-style pipelines. Blocking reuses
+    table 0 of :func:`similarity.lsh_bucket_array`, so the quadratic
+    term stays bucket-bounded at 100 TB (never all-pairs within a
+    label); norms are computed once per vector before the pair stage.
+    Returns the per-label census + dropped-id checksum; the oracle
+    re-derives the bucket bit-for-bit from md5 and exact long sums."""
+    from gpu_database_spark.llm.similarity import l2_norm, lsh_bucket_array, dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id", "label", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.element_at(lsh_bucket_array(F.col("embedding")), 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    blocked = normed.repartition("label", "bucket")
+    a = blocked.select(
+        F.col("vec_id").alias("va"), "label", "bucket",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .filter(sim >= DEDUP_COS_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dropped") == 1, F.col("vec_id"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dropped_id_sum"),
+        )
+        .orderBy("label")
+    )

@@ -65,6 +65,7 @@ def _load_all() -> None:
         setops,
         skyline,
         sorts,
+        sql_surface,
         tpch,
         windows,
     )
