@@ -48,3 +48,25 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> Data
     """JSON-lines with a required explicit schema (no inference pass)."""
     tune_session(spark)
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive/Trino
+    estates). Same pushdown class as parquet: column pruning, predicate
+    pushdown into stripes, split by stripe."""
+    tune_session(spark)
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """binaryFile source: one row per file with (path, modificationTime,
+    length, content BINARY) — the ingest edge for multimodal corpora
+    (images/audio land as opaque bytes + metadata; llm.multimodal decodes
+    downstream via mapInPandas). Splitting is per-file, so pair with a
+    repartition when file sizes are skewed."""
+    tune_session(spark)
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

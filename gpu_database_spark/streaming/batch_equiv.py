@@ -249,3 +249,46 @@ def stream_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "minute_s")
     )
+
+
+@register(
+    "stream_join_view_click",
+    oracle="""
+    WITH pairs AS (
+        SELECT v.user_id,
+               (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000 AS gap_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND epoch_ns(c.ts) >= epoch_ns(v.ts)
+         AND epoch_ns(c.ts) <= epoch_ns(v.ts) + 3600000000000
+    )
+    SELECT user_id, COUNT(*) AS n_pairs,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the stream-stream interval join
+    (streaming.jobs.view_click_join_stream): (view, click) pairs by the
+    same user with the click within 1h after the view, rolled up per
+    user. In streaming the same view_click_pairs plan runs with
+    watermarks bounding the join state; tests/test_streaming.py proves
+    the pair sets identical."""
+    from gpu_database_spark.streaming.jobs import split_view_click, view_click_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    views, clicks = split_view_click(e)
+    return (
+        view_click_pairs(views, clicks)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )

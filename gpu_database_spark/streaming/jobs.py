@@ -266,3 +266,83 @@ def aria_foreach_batch_install(
         state["committed"].extend(result.commit_order)
 
     return _fn, state
+
+
+def split_view_click(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two event-time streams carved out of one source: views and
+    clicks, with disambiguated column names for the self-join."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("ts_ns").alias("v_ts_ns"),
+        F.col("event_id").alias("v_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("ts_ns").alias("c_ts_ns"),
+        F.col("event_id").alias("c_id"),
+    )
+    return views, clicks
+
+
+def view_click_pairs(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Interval self-join: every (view, click) by the same user with the
+    click in [view, view + 1h]. The time-range predicate on the event
+    -time columns is what lets streaming bound join state: with both
+    sides watermarked, a buffered view can be evicted once the watermark
+    passes v_ts + 1h (no unbounded state growth). Shared verbatim by the
+    batch equivalent; gap computed on the exact ns column."""
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 1 hour"))
+    )
+    return views.join(clicks, cond).select(
+        F.col("v_user").alias("user_id"),
+        "v_id",
+        "c_id",
+        # truncate EACH side to us before the diff (not the diff itself):
+        # matches engines whose timestamps are us-precision, where the
+        # truncation happens per-value at read time
+        F.expr("(c_ts_ns div 1000) - (v_ts_ns div 1000)").alias("gap_us"),
+    )
+
+
+def view_click_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join (append mode): watermarks on BOTH sides
+    plus the interval condition give Spark the state-eviction bound —
+    the canonical funnel-in-flight operator."""
+    views, clicks = split_view_click(events)
+    return view_click_pairs(
+        views.withWatermark("v_ts", watermark),
+        clicks.withWatermark("c_ts", watermark),
+    )
+
+
+def cohort_dim(spark: SparkSession, events_batch: DataFrame) -> DataFrame:
+    """A small static dimension derived from the corpus: user -> cohort
+    (deterministic user_id % 7). Stands in for the profile table a
+    production stream would broadcast."""
+    return (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 7).cast("long"))
+    )
+
+
+def enriched_cohort_counts_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation: each micro-batch joins the
+    static dim (broadcast — no stream-side shuffle, no join state at
+    all: the static side is re-broadcast per batch), then running
+    per-cohort totals (complete mode)."""
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )

@@ -163,3 +163,45 @@ def test_merge_upsert_schema_mismatch_rejected(spark, tmp_path):
         writers.merge_upsert(
             spark, p, spark.createDataFrame([(1, 2.0)], "k long, other double"), ["k"]
         )
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round trip preserves values; filters reach the ORC scan
+    (PushedFilters in the physical plan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gpu_database_spark.sources import readers
+
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    n.write.orc(path)
+    back = readers.read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+    filtered = readers.read_orc(spark, path, columns=["n_nationkey", "n_name"]).filter(
+        "n_nationkey = 3"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan and "IsNotNull(n_nationkey)" in plan
+    assert filtered.count() == 1
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingest: bytes come back exactly, with per-file
+    metadata — the multimodal corpus front door."""
+    from gpu_database_spark.sources import readers
+
+    blobs = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not a blob")
+
+    df = readers.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        assert bytes(rows[name].content) == data
+        assert rows[name].length == len(data)

@@ -265,3 +265,41 @@ def test_foreach_batch_aria_install(spark, sf_dir):
     )
     q2.awaitTermination(180)
     assert _rows(final) == _rows(state2["table"])
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (append mode) emits exactly the
+    batch join's pair set — watermark state eviction must not lose or
+    duplicate pairs when all data is within the watermark."""
+    ev = jobs.read_events_stream(spark, sf_dir)
+    out = _run_stream(
+        spark,
+        jobs.write_memory_sink(
+            jobs.view_click_join_stream(ev), "t_ssjoin", complete=False
+        ),
+        "t_ssjoin",
+    )
+    bv, bc = jobs.split_view_click(load_table(spark, sf_dir, "events"))
+    batch = jobs.view_click_pairs(bv, bc)
+    assert _rows(out.select("user_id", "v_id", "c_id", "gap_us")) == _rows(
+        batch.select("user_id", "v_id", "c_id", "gap_us")
+    )
+    assert out.count() > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment + running aggregation
+    (complete mode) converges to the batch result."""
+    events_batch = load_table(spark, sf_dir, "events")
+    dim = jobs.cohort_dim(spark, events_batch)
+    ev = jobs.read_events_stream(spark, sf_dir)
+    out = _run_stream(
+        spark,
+        jobs.write_memory_sink(
+            jobs.enriched_cohort_counts_stream(ev, dim), "t_stjoin"
+        ),
+        "t_stjoin",
+    )
+    batch = jobs.enriched_cohort_counts_stream(events_batch, dim)
+    assert _rows(out) == _rows(batch)
+    assert out.count() > 0
