@@ -1,0 +1,187 @@
+"""End-to-end corpus curation + sequence packing for LLM training.
+
+``corpus_curation_pipeline`` chains the individual stages this package
+ships (language gate -> quality gate -> exact dedup -> deterministic
+hash sampling) into ONE declarative plan — the shape of a production
+pretraining-data job. Because every stage is a DataFrame transform,
+Catalyst fuses the gates into the scan (one pass over text) and the
+only shuffles are the dedup groupBy and the final census.
+
+``pack_sequences_chunked`` is concat-and-chunk sequence packing: lay
+every document's tokens end-to-end in doc_id order, cut the tape into
+fixed-length training sequences, report per-sequence composition. The
+global prefix-sum over token counts is computed WITHOUT a
+single-partition window: fixed-width doc_id buckets get per-bucket
+running sums (window partitioned by bucket), bucket totals form a tiny
+cumulative-offset table (a few thousand rows at 100 TB) that joins
+back by bucket — the classic two-level scan/prefix-sum decomposition,
+so the operator scales linearly while staying bit-deterministic (no
+sampled range boundaries, no spark_partition_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.llm.sampling import BUCKETS, hash_bucket
+from gpu_database_spark.llm.textstats import token_count
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+SEQ_LEN = 512          # tokens per packed training sequence
+DOC_BUCKET = 4096      # docs per prefix-sum bucket (fixed width, deterministic)
+SAMPLE_PPM = 800_000   # curation keep-rate after the gates
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               md5(text) AS content_hash
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored
+        WHERE lang IN ('en', 'de', 'fr') AND n_tokens >= 10
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % {BUCKETS} < {SAMPLE_PPM}
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM sampled GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-stage curation chain in one plan: language gate ->
+    min-length quality gate -> exact dedup (keep lowest doc_id per
+    content hash) -> deterministic hash sample at {SAMPLE_PPM} ppm ->
+    per-(lang, source) token census. The gates are scan-fused narrow
+    filters; dedup is one shuffle on the 128-bit content hash; the
+    sample is a narrow filter again — at 100 TB this whole pipeline is
+    two shuffles total (dedup + census)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "source", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    gated = scored.filter(
+        F.col("lang").isin("en", "de", "fr") & (F.col("n_tokens") >= 10)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    sampled = deduped.filter(hash_bucket(F.col("doc_id")) < SAMPLE_PPM)
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, n_tok, start_tok,
+               start_tok // {SEQ_LEN} AS seq_first,
+               (start_tok + n_tok - 1) // {SEQ_LEN} AS seq_last
+        FROM pos WHERE n_tok > 0
+    )
+    SELECT CAST(seq_first AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs_starting,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+           COUNT(CASE WHEN seq_last > seq_first THEN 1 END) AS n_spanning
+    FROM spans GROUP BY seq_first ORDER BY seq_id
+    """,
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing census: each document's tokens start at
+    its exclusive prefix-sum offset; sequence k owns token range
+    [k*{SEQ_LEN}, (k+1)*{SEQ_LEN}). Reports, per sequence, how many
+    documents start in it, their total tokens, and how many straddle
+    the boundary (the loss-masking cases).
+
+    The prefix sum is two-level: per-bucket running sums (window keyed
+    by doc_id div {DOC_BUCKET} — thousands of independent partitions),
+    plus a cumulative bucket-offset table small enough to broadcast.
+    The oracle states the same math with one flat window, which DuckDB
+    can afford at fixture scale — the RESULTS are identical, only the
+    physical decomposition differs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_census(toks)
+
+
+def doc_start_offsets(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tok) -> (doc_id, n_tok, start_tok): the exclusive
+    prefix sum of token counts in doc_id order, via the two-level
+    bucket decomposition (see module docstring)."""
+    b = toks.withColumn("bkt", F.expr(f"doc_id div {DOC_BUCKET}"))
+    # level 1: running sum within each fixed-width bucket
+    wb = Window.partitionBy("bkt").orderBy("doc_id")
+    local = b.withColumn("local_end", F.sum("n_tok").over(wb))
+    # level 2: cumulative offsets across buckets (tiny: one row per bucket)
+    bucket_totals = b.groupBy("bkt").agg(F.sum("n_tok").alias("bkt_tok"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "bkt", F.coalesce(F.sum("bkt_tok").over(wo), F.lit(0)).alias("bkt_off")
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "n_tok",
+        (F.col("bkt_off") + F.col("local_end") - F.col("n_tok")).alias("start_tok"),
+    )
+
+
+def pack_census(toks: DataFrame) -> DataFrame:
+    """Per-sequence packing census from a (doc_id, n_tok) frame."""
+    spans = doc_start_offsets(toks).filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"start_tok div {SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(start_tok + n_tok - 1) div {SEQ_LEN}").alias("seq_last"),
+    )
+    return (
+        spans.groupBy(F.col("seq_first").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_starting"),
+            F.sum("n_tok").cast("long").alias("tokens_started"),
+            F.count(F.when(F.col("seq_last") > F.col("seq_first"), 1)).alias(
+                "n_spanning"
+            ),
+        )
+        .orderBy("seq_id")
+    )

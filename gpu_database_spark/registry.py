@@ -71,6 +71,7 @@ def _load_all() -> None:
     )
     from gpu_database_spark.functions import scalars  # noqa: F401
     from gpu_database_spark.llm import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         sampling,

@@ -171,3 +171,44 @@ def test_sim_blocked_pairs_at_10x_vectors(spark):
     elapsed = time.perf_counter() - t0
     assert elapsed < 180, f"20k-vector blocked pairs took {elapsed:.1f}s"
     assert n >= 0
+
+
+def test_pack_sequences_two_level_prefix_at_1m_docs(spark):
+    """The two-level prefix sum must equal a flat global window (checked
+    on a verifiable slice) and conserve tokens at 1M docs — the packing
+    operator's 100x headroom proof."""
+    from pyspark.sql import Window
+
+    from gpu_database_spark.llm.curation import SEQ_LEN, doc_start_offsets
+
+    toks = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, 900) + 1).cast("long").alias("n_tok"),
+    )
+    t0 = time.perf_counter()
+    pos = doc_start_offsets(toks)
+    total = pos.agg(
+        F.sum("n_tok").alias("s"),
+        F.max(F.col("start_tok") + F.col("n_tok")).alias("end"),
+        F.min("start_tok").alias("first"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert total.first == 0 and total.end == total.s, total
+    assert elapsed < 90, f"1M-doc prefix sum took {elapsed:.1f}s"
+
+    # exact agreement with the flat single-window formulation on 50k docs
+    small = toks.filter(F.col("doc_id") < 50_000)
+    flat = small.withColumn(
+        "start_tok",
+        F.coalesce(
+            F.sum("n_tok").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    two = doc_start_offsets(small)
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, flat.select("doc_id", "n_tok", "start_tok").collect())
+    )
+    assert SEQ_LEN > 0
