@@ -72,6 +72,17 @@ HEADLINE = [
     "mm_extract_features",
     "join_asof_prevailing",
     "window_range_frame",
+    # round-2 flagships
+    "dedup_embedding_cosine",
+    "corpus_curation_pipeline",
+    "pack_sequences_chunked",
+    "sample_stratified_hash",
+    "sessionize_lag_cumsum",
+    "stream_join_view_click",
+    "fn_variant_json",
+    "sql_recursive_cte",
+    "sim_topk_truncated",
+    "text_bigram_counts",
 ]
 
 
