@@ -39,6 +39,9 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas-UDF paths (vectors, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let custom Python DataSources (sources/pysource.py) receive
+    # pushFilters — off by default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
