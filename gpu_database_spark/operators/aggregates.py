@@ -295,3 +295,74 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") > 100)
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 6) AS covar_pq,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression aggregates (price ~ quantity per return flag):
+    slope/intercept/R^2/correlation/covariance in ONE pass — each is a
+    closed form over the same five running moments, which Spark
+    accumulates map-side and merges associatively (no per-group row
+    buffering, unlike a naive two-pass fit). Rounded to 6dp on both
+    engines: the moments are float sums whose last-bit accumulation
+    order differs, ~1e-12 relative — far below the rounding."""
+    l = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.corr(y, x), 6).alias("corr_pq"),
+            F.round(F.covar_samp(y, x), 6).alias("covar_pq"),
+            F.regr_count(y, x).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps: keys map to
+    (bucket, bit position); per (group, bucket) a fixed 4KB bitmap ORs
+    all bits (bitmap_construct_agg), then popcounts sum per group.
+    Unlike COUNT(DISTINCT) — whose shuffle carries every distinct key —
+    the shuffle here carries one bitmap per (group, bucket): bounded
+    bytes per key-range regardless of row count, mergeable across
+    partitions/days like the HLL sketches but exact. The oracle is the
+    plain COUNT(DISTINCT) it must equal."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct"))
+        .orderBy("o_orderstatus")
+    )

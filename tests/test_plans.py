@@ -62,3 +62,36 @@ def test_agg_is_two_phase(spark, sf_dir):
     two HashAggregate nodes around one exchange."""
     plan = inspect.simple_plan(q1_pricing_summary(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS gives the optimizer exact
+    row counts / column NDVs — the input cost-based join reordering
+    and broadcast decisions key off at scale. Assert the analyzed
+    stats actually reach the optimized plan."""
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_cbo_t"
+    )
+    spark.sql("ANALYZE TABLE nation_cbo_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        n_rows = spark.table("nation_cbo_t").count()
+        stats = (
+            spark.table("nation_cbo_t")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined(), "ANALYZE row count missing from plan"
+        assert stats.rowCount().get() == n_rows
+        # column-level NDV recorded for the key
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED nation_cbo_t n_nationkey"
+            ).collect()
+        }
+        assert int(desc["distinct_count"]) == n_rows, desc
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS nation_cbo_t")
