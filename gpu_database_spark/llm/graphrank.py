@@ -1,0 +1,152 @@
+"""Link-graph ranking for crawl/corpus selection (PageRank).
+
+Web-scale pretraining pipelines rank domains by link authority to
+prioritize what to crawl and what to keep (harmonic/PageRank-style
+centrality over the host graph). Here: a deterministic synthetic link
+graph derived from the documents table (md5-derived out-links, so any
+engine reproduces it), power-iteration PageRank on DataFrames, and an
+oracle-gated degree census.
+
+Scale notes: each PageRank iteration is contributions (edges join
+ranks, shuffle on src) + a sum per dst — two keyed shuffles over the
+edge list, the textbook Pregel decomposition. Ranks are
+``localCheckpoint``-ed every few iterations to truncate the lineage
+(without it the plan doubles per iteration and the 20th iteration
+re-evaluates the 1st). Dangling mass is redistributed uniformly each
+iteration so ranks stay a probability distribution (sum == 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+N_LINKS = 3       # out-links per doc
+DAMPING = 0.85
+N_ITERS = 10
+
+
+def synth_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) — each document links to N_LINKS md5-derived targets
+    (mod corpus size, self-links removed). A pure function of doc_ids:
+    both engines and every retry see the same graph."""
+    n = docs.select(F.max("doc_id").alias("m")).select(
+        (F.col("m") + 1).alias("n")
+    )
+    with_n = docs.select("doc_id").crossJoin(F.broadcast(n))
+    edges = None
+    for k in range(N_LINKS):
+        e = with_n.select(
+            F.col("doc_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(k))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    return edges.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
+    """Power iteration: rank' = (1-d)/N + d * (inbound contributions
+    + dangling mass / N). nodes: (id); edges: (src, dst). Returns
+    (id, rank). Deterministic: per-iteration sums are over exact
+    out-degree fractions; the final rank is rounded by callers."""
+    n_nodes = nodes.count()  # scalar; one job, reused every iteration
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges with degree, cached: reused every iteration unchanged
+    ed = edges.join(out_deg, "src").select("src", "dst", "deg").cache()
+    ed.count()
+
+    ranks = nodes.select(F.col("id"), F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(n_iters):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        # dangling nodes (no out-links) leak rank — redistribute it
+        dangling = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING)
+                    * (F.coalesce(F.col("inbound"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 4 == 0:
+            # truncate lineage: keeps the per-iteration plan constant-size
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@register("graph_pagerank")  # rows-only: iterative; pytest vs numpy oracle
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic doc link graph: top-ranked docs with
+    in/out degree context. tests/test_graphrank.py checks the ranks
+    against a dense numpy power iteration on the same graph."""
+    d = load_table(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = synth_edges(d)
+    ranks = pagerank(nodes, edges)
+    in_deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        ranks.join(in_deg, "id", "left")
+        .select(
+            "id",
+            F.round("rank", 8).alias("rank"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(50)
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM n) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    indeg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+    SELECT d AS in_degree, COUNT(*) AS n_nodes
+    FROM indeg GROUP BY d ORDER BY in_degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the synthetic link graph — the census
+    that sizes the skew story before ranking (hub nodes = hot keys).
+    Oracle re-derives the identical md5 graph in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        indeg.groupBy(F.col("d").alias("in_degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("in_degree")
+    )

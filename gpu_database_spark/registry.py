@@ -73,6 +73,7 @@ def _load_all() -> None:
     from gpu_database_spark.llm import (  # noqa: F401
         curation,
         dedup,
+        graphrank,
         multimodal,
         sampling,
         similarity,

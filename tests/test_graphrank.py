@@ -1,0 +1,59 @@
+"""PageRank vs a dense numpy power-iteration oracle on the same graph."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gpu_database_spark.llm.graphrank import (
+    DAMPING,
+    N_ITERS,
+    pagerank,
+    synth_edges,
+)
+from gpu_database_spark.sources.catalog import load_table
+
+
+def _numpy_pagerank(n, edge_list, n_iters):
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        inbound = np.zeros(n)
+        for s, d in edge_list:
+            inbound[d] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - DAMPING) / n + DAMPING * (inbound + dangling / n)
+    return r
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = synth_edges(d)
+    got = {r.id: r.rank for r in pagerank(nodes, edges, N_ITERS).collect()}
+
+    n = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
+    edge_list = [(r.src, r.dst) for r in edges.collect()]
+    want = _numpy_pagerank(n, edge_list, N_ITERS)
+
+    assert len(got) == n
+    total = sum(got.values())
+    assert abs(total - 1.0) < 1e-9, f"ranks must sum to 1, got {total}"
+    worst = max(abs(got[i] - want[i]) for i in range(n))
+    assert worst < 1e-12, f"max |spark - numpy| = {worst}"
+
+
+def test_pagerank_ranks_hubs_first(spark, sf_dir):
+    """The query's top-50 must be ordered by rank and favor high
+    in-degree nodes overall (rank correlates with in-degree on a
+    uniform random graph)."""
+    from gpu_database_spark.registry import queries
+
+    rows = queries()["graph_pagerank"](spark, sf_dir).collect()
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    mean_top_deg = sum(r.in_deg for r in rows[:10]) / 10
+    mean_tail_deg = sum(r.in_deg for r in rows[-10:]) / 10
+    assert mean_top_deg >= mean_tail_deg

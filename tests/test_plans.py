@@ -95,3 +95,39 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS nation_cbo_t")
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """With static auto-broadcast off, AQE must still convert the
+    sort-merge join to a broadcast join once runtime stats reveal the
+    small side — the re-plan that saves mis-estimated joins at scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the runtime conversion has its own threshold, which defaults to
+    # the (now disabled) static one — give it a real value
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try:
+        l = load_table(spark, sf_dir, "lineitem")
+        s = load_table(spark, sf_dir, "supplier").filter("s_suppkey < 5")
+        j = l.join(s, l.l_suppkey == s.s_suppkey).groupBy("s_name").count()
+        j.collect()  # finalize the adaptive plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """Tiny aggregation output must not occupy all configured shuffle
+    partitions: AQE's coalescer merges them (fewer, fuller partitions —
+    at 100 TB this is what keeps task counts proportional to data, not
+    to a static conf)."""
+    n = load_table(spark, sf_dir, "nation")
+    agg = n.groupBy("n_regionkey").count()
+    agg.collect()
+    final = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final, final[:2000]
+    got = agg.rdd.getNumPartitions()
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert got < conf, f"{got} partitions, conf {conf} — no coalescing"
