@@ -185,3 +185,117 @@ def pack_census(toks: DataFrame) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+VOCAB_MILESTONES = (1, 10, 100, 1000, 5000)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM freq
+    ),
+    cum AS (
+        SELECT rk, SUM(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cumc
+        FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS vocab_size,
+           round(cum.cumc / (SELECT SUM(c) FROM freq), 6) AS coverage
+    FROM (SELECT unnest([{", ".join(str(m) for m in VOCAB_MILESTONES)}]) AS m)
+    JOIN cum ON cum.rk = m
+    ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    the top-K word types cover, at K = {VOCAB_MILESTONES} — the curve
+    that sizes a tokenizer vocab (where it flattens, subwords take
+    over). No global window over the full vocabulary: total count is
+    one scalar agg, and only the top max(K) types (a LIMIT — Spark's
+    distributed take-ordered) are ranked, on a frame small enough that
+    its window is free. Milestones beyond the vocab size are omitted
+    on both engines."""
+    top_k = max(VOCAB_MILESTONES)
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = freq.agg(F.sum("c").alias("total"))
+    top = freq.orderBy(F.col("c").desc(), "w").limit(top_k)
+    wk = Window.orderBy(F.col("c").desc(), "w")  # <= top_k rows: tiny
+    cum = top.select(
+        F.row_number().over(wk).alias("rk"),
+        F.sum("c").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias("cumc"),
+    )
+    miles = spark.createDataFrame(
+        [(m,) for m in VOCAB_MILESTONES], "vocab_size long"
+    )
+    return (
+        cum.join(F.broadcast(miles), cum.rk == miles.vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size", F.round(F.col("cumc") / F.col("total"), 6).alias("coverage")
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@register(
+    "quality_tier_census",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    q AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS qs FROM t)
+    SELECT CAST((CASE WHEN n_tokens > qs[3] THEN 3
+                      WHEN n_tokens > qs[2] THEN 2
+                      WHEN n_tokens > qs[1] THEN 1
+                      ELSE 0 END) AS BIGINT) AS tier,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t, q
+    GROUP BY 1 ORDER BY tier
+    """,
+)
+def quality_tier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum tiers by VALUE thresholds, not by rank: exact length
+    quartiles (one percentile agg), then tier = how many thresholds a
+    doc exceeds. Rank-based NTILE would need a global sort of the
+    corpus; value thresholds need one aggregate + a narrow map — the
+    scale-correct way to stratify quality for curriculum schedules.
+    Both engines use linear-interpolated exact percentiles (verified
+    identical on integer inputs)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    qs = t.agg(
+        F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("qs")
+    )
+    tier = (
+        F.when(F.col("n_tokens") > F.col("qs")[2], 3)
+        .when(F.col("n_tokens") > F.col("qs")[1], 2)
+        .when(F.col("n_tokens") > F.col("qs")[0], 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        t.crossJoin(F.broadcast(qs))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("tier")
+    )

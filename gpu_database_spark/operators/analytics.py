@@ -327,3 +327,38 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "skew_key_census",
+    oracle="""
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+           CAST(SUM(CASE WHEN c >= 30 THEN c ELSE 0 END) AS BIGINT) AS heavy_rows,
+           COUNT(CASE WHEN c >= 30 THEN 1 END) AS n_heavy_keys,
+           round(SUM(CASE WHEN c >= 30 THEN c ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS heavy_share
+    FROM cnt
+    """,
+)
+def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis in one pass: per-key row counts,
+    then the census that decides the strategy — max rows per key and
+    the share of data under heavy keys (>= 30 rows). This is the probe
+    you run BEFORE choosing salting / replicated-skew-join / AQE skew
+    split for a 100 TB join; threshold-based (no global rank sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    heavy = F.when(F.col("c") >= 30, F.col("c")).otherwise(0)
+    return cnt.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("long").alias("max_rows_per_key"),
+        F.sum(heavy).cast("long").alias("heavy_rows"),
+        F.count(F.when(F.col("c") >= 30, 1)).alias("n_heavy_keys"),
+        F.round(
+            F.sum(heavy) / F.sum("c").cast("double"), 6
+        ).alias("heavy_share"),
+    )
