@@ -61,6 +61,7 @@ def _load_all() -> None:
         asof,
         extras,
         joins,
+        maintenance,
         relational,
         setops,
         skyline,
@@ -73,6 +74,7 @@ def _load_all() -> None:
     from gpu_database_spark.llm import (  # noqa: F401
         curation,
         dedup,
+        filtering,
         graphrank,
         multimodal,
         sampling,
