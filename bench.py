@@ -83,6 +83,17 @@ HEADLINE = [
     "sql_recursive_cte",
     "sim_topk_truncated",
     "text_bigram_counts",
+    # round-3 flagships
+    "text_repetition_filter",
+    "text_dsir_weights",
+    "text_bm25_search",
+    "text_inverted_index",
+    "layout_zorder_clustering",
+    "ivm_delta_agg",
+    "timeseries_ohlc",
+    "graph_triangle_count",
+    "er_fuzzy_match",
+    "stat_exact_quantiles_distributed",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Scale-property tests for the layout/maintenance operators.
+
+Correctness is covered by the auto-generated oracle parity sweep
+(tests/test_oracle_parity.py); these tests pin the *scale* claims:
+z-order beats a linear sort on zone-map tightness, the distributed
+quantile plan never range-partitions the raw column, and the IVM
+fold is mergeable across batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpu_database_spark.operators import maintenance
+from gpu_database_spark.sources.catalog import load_table
+
+
+def test_zorder_zone_maps_tighter_than_linear_sort(spark, sf_dir):
+    """Files cut from the Morton order must have tighter 2-D zone maps
+    than files cut from a single-column sort: with x-sorted files the
+    y dimension is unclustered (full-width ranges), so any y-predicate
+    scan skips nothing. Compare total bounding-box area."""
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_custkey").bitwiseAND(F.lit(255)).alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+        .bitwiseAND(F.lit(255))
+        .alias("y"),
+    )
+    n_files = 16
+
+    def total_area(df_with_file):
+        return (
+            df_with_file.groupBy("file_id")
+            .agg(
+                ((F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)).alias(
+                    "area"
+                )
+            )
+            .agg(F.sum("area"))
+            .collect()[0][0]
+        )
+
+    z = dims.withColumn(
+        "zval", maintenance._zvalue(F.col("x"), F.col("y"))
+    ).withColumn("file_id", F.expr("zval div 4096"))
+    zorder_area = total_area(z)
+
+    # linear layout: sort by x alone, cut into equal-count files
+    from pyspark.sql.window import Window
+
+    n = dims.count()
+    linear = dims.withColumn(
+        "rn", F.row_number().over(Window.orderBy("x", "y"))
+    ).withColumn("file_id", ((F.col("rn") - 1) * n_files / n).cast("long"))
+    linear_area = total_area(linear)
+
+    assert zorder_area < linear_area, (zorder_area, linear_area)
+
+
+def test_distributed_quantiles_no_raw_column_range_partition(spark, sf_dir):
+    """The selection plan must not global-sort the measure column: no
+    rangepartitioning exchange keyed on the raw value (only the final
+    4-row ORDER BY q is allowed to)."""
+    df = maintenance.stat_exact_quantiles_distributed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(v" not in plan, plan[:2000]
+
+
+def test_ivm_fold_is_mergeable_across_batches(spark, sf_dir):
+    """IVM contract: folding two changelog halves independently and
+    merging (sum of partials) equals the one-shot fold — the property
+    that lets the maintained view absorb micro-batches forever."""
+    e = load_table(spark, sf_dir, "events")
+    op = F.when(F.col("event_id") % 7 == 0, F.lit(-1)).otherwise(F.lit(1))
+    log = e.select("user_id", op.alias("op"), "value")
+
+    def fold(df):
+        return df.groupBy("user_id").agg(
+            F.sum("op").alias("net_rows"),
+            F.sum(F.col("op") * F.col("value")).alias("net_value"),
+        )
+
+    half_a = fold(log.filter(F.col("value") < 50))
+    half_b = fold(log.filter(~(F.col("value") < 50)))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("user_id")
+        .agg(
+            F.sum("net_rows").alias("net_rows"),
+            F.round(F.sum("net_value"), 6).alias("net_value"),
+        )
+    )
+    oneshot = fold(log).select(
+        "user_id", "net_rows", F.round("net_value", 6).alias("net_value")
+    )
+    assert merged.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(merged).count() == 0
