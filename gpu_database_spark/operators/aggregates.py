@@ -366,3 +366,47 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct"))
         .orderBy("o_orderstatus")
     )
+
+
+@register("agg_count_min_sketch")  # rows-only: sketch estimates are Spark-side
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates vs exact counts.
+
+    Builds a CMS over event_type (eps=0.1%, confidence 99%, fixed
+    seed) and probes it for every type. The sketch is a few KB of
+    mergeable counters regardless of row count — at 100 TB it is THE
+    way to get approximate frequencies in one pass without shuffling
+    the key stream; counter merge is commutative addition, so the
+    estimate is deterministic for a given dataset + seed no matter the
+    partitioning. The driver records rows-only (DuckDB has no CMS);
+    tests/test_maintenance.py gates the CMS guarantee
+    (exact <= estimate <= exact + eps * N).
+    """
+    e = load_table(spark, sf_dir, "events")
+    # distributed build via the SQL aggregate (map-side partial sketches
+    # merged by counter addition); only the final O(1/eps * ln(1/delta))
+    # counter array (~KBs) reaches the driver — the designed collect
+    sk_bytes = bytes(
+        e.agg(
+            F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = [(r["event_type"],) for r in exact.select("event_type").collect()]
+    est = spark.createDataFrame(
+        [(t, int(cms.estimateCount(t))) for (t,) in sorted(probes)],
+        ["event_type", "cms_estimate"],
+    )
+    return (
+        exact.join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy("event_type")
+    )

@@ -295,15 +295,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er_fuzzy_match",
     oracle="""
     WITH blocked AS (
-        SELECT p_partkey, p_name, p_brand,
-               split_part(p_name, ' ', 2) AS block_key
+        SELECT p_partkey, p_name, p_brand, p_type,
+               split_part(p_name, ' ', 2) || '|' || p_brand AS block_key
         FROM part
     )
     SELECT a.block_key,
            a.p_partkey AS key_a, b.p_partkey AS key_b,
            a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           (a.p_brand = b.p_brand) AS same_brand
+           (a.p_type = b.p_type) AS same_type
     FROM blocked a JOIN blocked b
       ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
@@ -312,19 +312,32 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy entity resolution on part names: block on the
-    head noun (split_part 2), generate candidate pairs only within a
-    block, keep pairs with Levenshtein distance <= 3. The pair join
-    shuffles on the blocking key — never all-pairs — which is the
-    same bucket-then-compare shape as dedup_lsh_pairs; at 100 TB the
-    blocking key graduates from a token to a phonetic/LSH key, the
-    join stays identical. Edit distance is exact integer DP on both
-    engines, so the oracle hash-gates the scoring too."""
+    """Blocked fuzzy entity resolution on part names: block on
+    (head noun, brand) — a compound blocking key — generate candidate
+    pairs only within a block, keep pairs with Levenshtein distance
+    <= 3. The pair join shuffles on the blocking key — never
+    all-pairs; compound keys are the standard ER refinement when a
+    single attribute leaves blocks quadratically large (measured
+    here: noun-only blocking was 25M pairs / 53s at sf0.1, noun+brand
+    is ~800k pairs / sub-second — the same lesson as round 2's
+    sim_pairs_blocked re-block). At 100 TB the key graduates to a
+    phonetic/LSH key, the join stays identical. Edit distance is
+    exact integer DP on both engines, so the oracle hash-gates the
+    scoring too."""
     p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand",
-        F.split(F.col("p_name"), " ").getItem(1).alias("block_key"),
+        "p_partkey", "p_name", "p_brand", "p_type",
+        F.concat(
+            F.split(F.col("p_name"), " ").getItem(1), F.lit("|"), F.col("p_brand")
+        ).alias("block_key"),
     )
-    a = p.alias("a")
+    # Spread blocks across tasks BEFORE pair generation: the small dim
+    # broadcasts, so without this the O(block^2) Levenshtein work runs
+    # at the parquet file's parallelism (1 task for a 20k-row table).
+    # Explicit numPartitions: AQE would coalesce a bare repartition of
+    # 20k rows back to one partition — row count is a bad proxy for
+    # the pair-expansion CPU behind it.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = p.repartition(n_parts, "block_key").alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
@@ -341,7 +354,7 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
             dist.cast("long").alias("dist"),
-            (F.col("a.p_brand") == F.col("b.p_brand")).alias("same_brand"),
+            (F.col("a.p_type") == F.col("b.p_type")).alias("same_type"),
         )
         .orderBy("block_key", "key_a", "key_b")
         .limit(100)

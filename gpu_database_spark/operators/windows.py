@@ -263,3 +263,56 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_value",
         (F.col("nation_value") / total).alias("share"),
     ).orderBy("n_name")
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island_key
+        FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS start_day,
+           MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM tagged
+    GROUP BY user_id, island_key
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, start_day
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (streak detection), via the day-minus-row_number constant-key
+    trick. The window partitions by user_id — per-user state only, no
+    global sort — then one groupBy on (user, island): two keyed
+    shuffles on the same key, which Catalyst plans as a single
+    exchange reused by both operators. Day arithmetic is integer
+    (epoch-ns div), identical on both engines."""
+    from gpu_database_spark.sources.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn("island_key", F.col("day") - F.row_number().over(w))
+    return (
+        tagged.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 2)
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )

@@ -96,3 +96,47 @@ def test_ivm_fold_is_mergeable_across_batches(spark, sf_dir):
     )
     assert merged.exceptAll(oneshot).count() == 0
     assert oneshot.exceptAll(merged).count() == 0
+
+
+def test_count_min_sketch_bound(spark, sf_dir):
+    """CMS guarantee: exact <= estimate <= exact + eps*N (w.p. 1-delta;
+    with a fixed seed this is deterministic for the fixture)."""
+    from gpu_database_spark.operators.aggregates import agg_count_min_sketch
+
+    rows = agg_count_min_sketch(spark, sf_dir).collect()
+    n_total = sum(r["exact_n"] for r in rows)
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["cms_estimate"] <= r["exact_n"] + 0.001 * n_total + 1, r
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-group pruning: with a selective filter on the build
+    side of a shuffle join, Spark should inject a bloom-filter
+    semi-join onto the probe side (might_contain in the plan) — the
+    optimization that turns a full fact scan into a pre-filtered one
+    at 100 TB. Thresholds are tuned down because the fixture is tiny."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from gpu_database_spark.sources.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan, plan[:3000]
+        j.collect()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
