@@ -144,16 +144,41 @@ def main() -> None:
     timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(3, run_aria)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-precision detail (incl. max-min spread) goes to a sidecar file;
+    # stdout carries one COMPACT JSON line. The driver keeps only the last
+    # ~2000 chars of output, so the line must stay under that budget or the
+    # round's bench is recorded unparsed (this bit round 3).
+    detail = {
         "metric": "headline-query-set wall time (sum of per-query sec)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    out = {
+        "metric": "headline wall time",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort: coarser rounding before dropping detail
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+
+    # Stop Spark BEFORE printing so no shutdown chatter can land after the
+    # JSON line in the combined-stream tail the driver captures.
     spark.stop()
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

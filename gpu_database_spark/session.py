@@ -72,6 +72,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # Keep stage-progress bars out of the combined stdout/stderr stream
+        # the bench driver tails (they can push the result line out of the
+        # capture window).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # ~128 MB scan tasks — the right granularity from laptop to cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
