@@ -94,6 +94,16 @@ HEADLINE = [
     "graph_triangle_count",
     "er_fuzzy_match",
     "stat_exact_quantiles_distributed",
+    # round-5: event-analytics + streaming surface (repaired after the
+    # ts_ns fixture re-encode) gets wall-time evidence too
+    "window_gap_islands",
+    "window_rolling_distinct",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "timeseries_gapfill",
+    "join_interval_overlap",
+    "stream_rate_per_minute",
+    "stream_hypertable_rollup",
 ]
 
 
@@ -126,9 +136,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        timings[name], spread[name] = best_of(3, lambda: fn(spark, SF_DIR).collect())
+        # One broken/renamed query must never zero out the round's whole
+        # bench (this bit round 4): record the failure, keep timing.
+        try:
+            fn = qs[name]
+            timings[name], spread[name] = best_of(
+                3, lambda: fn(spark, SF_DIR).collect()
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen
@@ -141,7 +160,11 @@ def main() -> None:
         )
         aria.run_batch(table, ops, reorder=False).table.count()
 
-    timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(3, run_aria)
+    try:
+        timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(3, run_aria)
+    except Exception as exc:  # noqa: BLE001
+        errors["aria_ycsb_batch"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: aria_ycsb_batch FAILED: {errors['aria_ycsb_batch']}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -156,6 +179,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "errors": errors,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -168,10 +192,20 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
+        "n_queries": len(timings),
     }
+    if errors:
+        out["n_err"] = len(errors)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort: coarser rounding before dropping detail
+    if len(line) > 1900:  # coarser rounding before dropping detail
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    # Last resort: drop the fastest queries from the stdout dict until the
+    # line fits the driver's ~2000-char output tail ("value" stays the FULL
+    # sum; BENCH_DETAIL.json always has every timing + spread).
+    while len(line) > 1900 and out["queries"]:
+        fastest = min(out["queries"], key=out["queries"].get)
+        del out["queries"][fastest]
         line = json.dumps(out, separators=(",", ":"))
 
     # Stop Spark BEFORE printing so no shutdown chatter can land after the

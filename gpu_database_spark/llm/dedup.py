@@ -312,14 +312,46 @@ def connected_components(
     return labels
 
 
-@register("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    lsh AS (
+        SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+        FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+    ),
+    ex AS (
+        SELECT MIN(doc_id) AS a, MAX(doc_id) AS b
+        FROM documents GROUP BY md5(text) HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    edges AS (
+        SELECT a, b FROM lsh UNION SELECT b, a FROM lsh
+        UNION SELECT a, b FROM ex UNION SELECT b, a FROM ex
+    ),
+    walk(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    )
+    SELECT CAST(MIN(comp) AS BIGINT) AS cluster_id,
+           CAST(id AS BIGINT) AS doc_id,
+           (MIN(comp) = id) AS is_keeper
+    FROM walk GROUP BY id ORDER BY cluster_id, doc_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: candidate pairs (LSH ∪ exact
     hash) -> connected components -> (component, member, is_keeper).
     The keeper (min doc_id per component) is what survives dedup; the
     fixture corpus has no planted dups, so most components are
-    singletons — the pipeline shape is the deliverable (pytest covers
-    a planted multi-cluster graph against a union-find oracle)."""
+    singletons — the pipeline shape is the deliverable (pytest also
+    covers a planted multi-cluster graph against a union-find oracle).
+    Oracle: min-label connected components IS SQL-expressible — the
+    component of a node is MIN(id) over its undirected reachability
+    set, computed by a recursive CTE walk over the identical edge set
+    (per-component size² rows; fine at fixture scale, which is all the
+    oracle ever runs at — the Spark loop is the 100 TB path)."""
     d = load_table(spark, sf_dir, "documents")
     lsh_pairs = lsh_candidate_pairs(d).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")

@@ -61,7 +61,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
                       THEN 1 END) AS n_hi,
            COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL

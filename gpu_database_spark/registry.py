@@ -87,23 +87,34 @@ def _load_all() -> None:
 
 
 def _driver_checked() -> set[str]:
-    """Names already verified by the driver in any past round.
+    """Names already verified GREEN by the driver in any past round.
 
     The verification driver samples the FIRST 50 keys of ``queries()``
     and writes per-round evidence to ``CORRECTNESS_r{N}.json`` at the
     repo root. Reading those files back lets the registry rotate
-    not-yet-driver-checked queries to the front each round, so every
+    not-yet-driver-green queries to the front each round, so every
     declared query eventually earns a driver-green row with no manual
-    bookkeeping.
+    bookkeeping. A row only counts if it actually passed (no error and
+    rows matched) — a name whose last sample errored or mismatched
+    rotates back to the front so the fix gets re-verified.
     """
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
     for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)
+                continue
+            if row.get("err"):
+                continue
+            if row.get("rows_match") is False or row.get("hash_match") is False:
+                continue
+            seen.add(name)
     return seen
 
 

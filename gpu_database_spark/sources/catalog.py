@@ -6,12 +6,13 @@ hash tables (``src/database/common/database.h:10-22``) bulk-loaded by
 an immutable DataFrame backed by parquet; "bulk load" is a columnar
 parquet scan with pushdown — the distributed analogue.
 
-The ``events`` table needs special handling: the fixture parquet
-stores ``ts`` as TIMESTAMP(NANOS) which Spark's vectorized reader
-rejects. With ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in
-session.tune_session) it reads as epoch-nanoseconds LongType; we keep
-that as ``ts_ns`` and derive a microsecond-precision TIMESTAMP_NTZ
-``ts`` column (UTC, deterministic).
+The ``events`` table needs special handling: fixtures have shipped
+``ts`` both as TIMESTAMP(NANOS) (unreadable by Spark's vectorized
+reader; surfaces as epoch-nanos LongType under
+``spark.sql.legacy.parquet.nanosAsLong=true``) and as plain
+timestamp[us]. ``load_table`` normalizes either encoding to the
+engine's two-column event-time contract: ``ts`` (TIMESTAMP_NTZ, UTC,
+us precision) plus ``ts_ns`` (LongType epoch-nanos).
 """
 
 from __future__ import annotations
@@ -44,20 +45,41 @@ def _path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes the events timestamp."""
+    """Load one fixture table; normalizes the events timestamp.
+
+    The engine's event-time contract is two columns regardless of the
+    fixture's physical encoding:
+
+    * ``ts``    — TIMESTAMP_NTZ, microsecond precision, UTC instant.
+    * ``ts_ns`` — LongType epoch-nanoseconds of the same instant.
+
+    Fixtures have shipped ``ts`` two ways: TIMESTAMP(NANOS) (read as
+    epoch-nanos LongType under ``nanosAsLong``) and TIMESTAMP(MICROS)
+    (read as timestamp/timestamp_ntz). Both normalize here so every
+    downstream consumer sees the same schema.
+    """
     tune_session(spark)
     df = spark.read.parquet(_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # epoch-nanos long -> microsecond TIMESTAMP_NTZ (session tz is UTC,
-        # so the LTZ->NTZ cast is the identity on the underlying instant).
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # epoch-nanos long -> microsecond TIMESTAMP_NTZ (session tz is
+            # UTC, so the LTZ->NTZ cast is the identity on the instant).
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts",
                 F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
             )
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
-        )
+        elif ts_type in ("timestamp", "timestamp_ntz"):
+            # timestamp[us] fixture: derive epoch-nanos; unix_micros needs
+            # TIMESTAMP (LTZ) — the NTZ->LTZ cast is identity under UTC.
+            df = df.withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        if "ts_ns" in df.columns:
+            df = df.select(
+                "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
+            )
     return df
 
 

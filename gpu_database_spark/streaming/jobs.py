@@ -39,13 +39,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return (
-        stream.withColumnRenamed("ts", "ts_ns")
-        # TIMESTAMP (LTZ; session tz is pinned UTC): watermarks require it —
-        # Spark rejects TIMESTAMP_NTZ event time. The batch catalog keeps
-        # NTZ; with UTC the two views denote the same instants.
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) fixture read as epoch-nanos under nanosAsLong.
+        stream = stream.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    else:
+        # timestamp[us] fixture. Watermarks require TIMESTAMP (LTZ) —
+        # Spark rejects TIMESTAMP_NTZ event time; the NTZ->LTZ cast is
+        # identity under the pinned-UTC session timezone.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros("ts") * F.lit(1000)
+        )
+    return stream.select(
+        "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
     )
 
 

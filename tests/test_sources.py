@@ -205,3 +205,26 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     for name, data in blobs.items():
         assert bytes(rows[name].content) == data
         assert rows[name].length == len(data)
+
+
+def test_events_schema_contract_every_sf(spark):
+    """The engine's event-time contract: load_table('events') must yield
+    BOTH ``ts`` (timestamp_ntz, us precision) and ``ts_ns`` (long,
+    epoch-nanos = unix_micros(ts)*1000) regardless of how the fixture
+    physically encodes ts (TIMESTAMP(NANOS)-as-bigint or timestamp[us]).
+    A silent fixture re-encode broke 12 queries in round 4 — this test
+    makes the next one fail loudly in-repo."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        ev = load_table(spark, d, "events")
+        types = dict(ev.dtypes)
+        assert types.get("ts") == "timestamp_ntz", (sf, types)
+        assert types.get("ts_ns") == "bigint", (sf, types)
+        bad = ev.filter(
+            F.unix_micros(F.col("ts").cast("timestamp")) * 1000 != F.col("ts_ns")
+        ).count()
+        assert bad == 0, f"{sf}: ts/ts_ns disagree on {bad} rows"
