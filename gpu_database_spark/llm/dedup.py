@@ -77,14 +77,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """
     sh = shingles(docs)
     m1, m2 = F.md5("shingle"), F.md5(F.concat(F.lit("x:"), F.col("shingle")))
-    chunks = F.array(
-        *[F.substring(m1, 1 + 8 * i, 8) for i in range(4)],
-        *[F.substring(m2, 1 + 8 * i, 8) for i in range(4)],
-    )
+    base = sh.select("doc_id", m1.alias("m1"), m2.alias("m2"))
+    # 8 column-wise MINs in ONE grouped agg, then explode the tiny
+    # per-doc result to (h, minhash) rows: the shingle stream passes the
+    # partial aggregation once (not 8x via posexplode-then-group), so
+    # map-side state and shuffle rows are per-doc, not per-(doc, h).
+    mins = [
+        F.min(F.substring("m1", 1 + 8 * i, 8)).alias(f"c{i}") for i in range(4)
+    ] + [F.min(F.substring("m2", 1 + 8 * i, 8)).alias(f"c{i + 4}") for i in range(4)]
     return (
-        sh.select("doc_id", F.posexplode(chunks).alias("h", "hv"))
-        .groupBy("doc_id", F.col("h").cast("long").alias("h"))
-        .agg(F.min("hv").alias("minhash"))
+        base.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*[f"c{i}" for i in range(8)])).alias("h", "hv"),
+        )
+        .select("doc_id", F.col("h").cast("long").alias("h"), F.col("hv").alias("minhash"))
     )
 
 
@@ -121,8 +129,16 @@ _BANDS_SQL = f"""
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): distinct pairs sharing >=1 LSH band bucket."""
-    b = lsh_bands(minhash_signatures(docs))
+    """(doc_a, doc_b): distinct pairs sharing >=1 LSH band bucket.
+
+    The bands table is eagerly materialized (localCheckpoint) before
+    the self-join: AQE turns the join into a broadcast, whose build
+    and probe sides share no exchange, so without materialization the
+    whole shingle->md5->minhash pipeline — the dominant cost at scale
+    — would execute twice. At 100 TB this is the standard pattern of
+    persisting the (tiny, 4-rows-per-doc) signature table before
+    bucket-joining it against itself."""
+    b = lsh_bands(minhash_signatures(docs)).localCheckpoint(eager=True)
     a = b.alias("a")
     c = b.alias("c")
     return (
@@ -233,7 +249,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates would be empty). |A∩B| via a shingle equi-join,
     |A∪B| = |A|+|B|-|A∩B|."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d).distinct()
+    # Materialized once: the shingle set feeds three consumers (sizes +
+    # both sides of the intersection join) that share no exchange.
+    sh = shingles(d).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     d2 = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
     pairs = d.select("doc_id", "lang").join(
@@ -399,7 +417,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h, minhash) bucket collisions, never doc x doc; at 100 TB the
     benchmark side is tiny and broadcasts."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    # Materialize the signature table once — both the benchmark pool and
+    # the train side read it, and their join shapes share no exchange
+    # (the bench side broadcasts), so the md5 pipeline would run twice.
+    sig = minhash_signatures(d).localCheckpoint(eager=True)
     # Dedup the benchmark signature pool and count DISTINCT hash
     # positions per train doc: a doc can match at most 8 of 8, so the
     # threshold means what it says even when several benchmark docs
@@ -598,11 +619,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select(
         "vec_id", "label", "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
-        F.element_at(lsh_bucket_array(F.col("embedding")), 1)
+        F.element_at(lsh_bucket_array("embedding"), 1)
         .cast("long")
         .alias("bucket"),
     )
-    blocked = normed.repartition("label", "bucket")
+    # Materialized once: AQE broadcasts one pair-join side, so without
+    # this the per-vector norm/bucket projection computes twice.
+    blocked = normed.repartition("label", "bucket").localCheckpoint(eager=True)
     a = blocked.select(
         F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),

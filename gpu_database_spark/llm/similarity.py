@@ -150,16 +150,19 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select(
         "vec_id", "label", "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
-        F.element_at(lsh_bucket_array(F.col("embedding")), 1)
+        F.element_at(lsh_bucket_array("embedding"), 1)
         .cast("long")
         .alias("bucket"),
     )
     # Co-locate each (label, bucket) block on one partition BEFORE the
     # pair stage: the per-pair dot products — the quadratic term — then
     # parallelize across blocks instead of wherever the (possibly
-    # single-file) scan happened to land, and both join sides hang off
-    # the same shuffled subplan.
-    blocked = normed.repartition("label", "bucket")
+    # single-file) scan happened to land. Eagerly materialized: AQE
+    # broadcasts one join side, so the sides share no exchange and the
+    # per-vector projection/norm stage would otherwise compute twice —
+    # at scale, persist the (small) normed+bucketed vector table, then
+    # self-join it.
+    blocked = normed.repartition("label", "bucket").localCheckpoint(eager=True)
     a = blocked.select(
         F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
@@ -207,8 +210,9 @@ def _plane_signs(plane: int, dim: int = EMBED_DIM) -> list[int]:
     ]
 
 
-def _plane_bit(vec: Column, plane: int) -> Column:
-    """Sign bit of the pseudo-random +-1 projection for one hyperplane.
+def _plane_bit_sql(vec_sql: str, plane: int) -> str:
+    """Sign bit of the pseudo-random +-1 projection for one hyperplane,
+    as a SQL snippet.
 
     The projection quantizes each term to floor(x * 1e6) and
     accumulates in LONG: integer addition is exact, order-independent
@@ -217,33 +221,39 @@ def _plane_bit(vec: Column, plane: int) -> Column:
     last-bit drift could flip a near-zero projection. (Primitive long
     arithmetic is also ~5x faster here than the DECIMAL(27,6)
     alternative — no per-element decimal object churn.)"""
-    signs = F.array(*[F.lit(s) for s in _plane_signs(plane)])
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            signs,
-            lambda x, s: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
-            * s.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    arr = "array(" + ",".join(str(s) for s in _plane_signs(plane)) + ")"
+    proj = (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, s) -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT) * CAST(s AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    return F.when(proj > 0, 1).otherwise(0)
+    return f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)"
 
 
-def lsh_bucket_array(vec: Column) -> Column:
+def lsh_bucket_array(vec: Column | str) -> Column:
     """Array of N_TABLES bucket ids (N_BITS-bit signatures); element t
     is the bucket of table t. A pair is a candidate if it collides in
     ANY table (OR over tables, AND over bits — standard LSH
     amplification; single-table wide signatures have near-zero recall
-    on moderate-similarity neighbors)."""
-    buckets = []
+    on moderate-similarity neighbors).
+
+    The whole array — 16 planes x 64 static +-1 coefficients — is
+    emitted as ONE SQL expression string: building it Column-by-Column
+    costs ~1000 py4j round-trips (~1.5s of driver time PER QUERY
+    BUILD) for what is a constant plan fragment. Accepts a column name
+    / SQL snippet (fast path) or a Column (resolved via its SQL
+    form)."""
+    if not isinstance(vec, str):
+        # Column -> its expression string (a plain name for simple refs)
+        vec = vec._jc.toString()
+    tables = []
     for t in range(N_TABLES):
-        sig = F.lit(0)
-        for b in range(N_BITS):
-            sig = sig + _plane_bit(vec, t * N_BITS + b) * (1 << b)
-        buckets.append(sig)
-    return F.array(*buckets)
+        bits = [
+            f"{_plane_bit_sql(vec, t * N_BITS + b)} * {1 << b}"
+            for b in range(N_BITS)
+        ]
+        tables.append("(" + " + ".join(bits) + ")")
+    return F.expr("array(" + ",".join(tables) + ")")
 
 
 @register("sim_ann_lsh")  # rows-only: bucket layout is engine-specific
@@ -258,7 +268,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against sim_topk_cosine.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    signed = e.select("vec_id", "embedding", lsh_bucket_array(F.col("embedding")).alias("bk"))
+    signed = e.select("vec_id", "embedding", lsh_bucket_array("embedding").alias("bk"))
     exploded = signed.select("vec_id", F.posexplode("bk").alias("tbl", "bucket"))
     q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
