@@ -259,10 +259,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the identical md5 graph."""
     d = load_table(spark, sf_dir, "documents")
     edges = synth_edges(d)
+    # Materialized once: five consumers (three join legs, the degree
+    # census, the edge count) share no exchange, so the md5 edge
+    # synthesis would otherwise recompute per consumer.
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")

