@@ -57,8 +57,14 @@ def transactions(
     """One batch of transactions in exploded ops form
     (txn_id, op_idx, key, is_update), reference distributions."""
     rows = transactions_local(batch_size, max_ops, keys_max, write_rate, seed)
+    # Slice count tracks batch size: a reference-scale batch (~2k op
+    # rows) in defaultParallelism(=32) slices pays ~30 task overheads
+    # per probe/collect for no parallelism gain; ~512 rows per slice
+    # keeps big batches spread and small ones cheap.
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 512 + 1))
     return spark.createDataFrame(
-        rows, "txn_id long, op_idx int, key long, is_update boolean"
+        spark.sparkContext.parallelize(rows, n_slices),
+        "txn_id long, op_idx int, key long, is_update boolean",
     )
 
 

@@ -113,18 +113,24 @@ def winners(ops: DataFrame, committed: DataFrame, new_value: Column) -> DataFram
 
 
 def install(table: DataFrame, winning: DataFrame) -> DataFrame:
-    """MERGE the winners over the live table: coalesce(new, old).
+    """MERGE the winners over the live table.
 
     Write-back of committed txns (TrancM_func.cuh:188-197). Upsert
     semantics: keys not present in the table are inserted (the
     op-parallel path's read-upsert, operation_parallel.cuh:72-83).
+
+    Shape: broadcast anti-join (rows the winners don't touch) + union
+    of the winners, NOT a full-outer coalesce — full-outer cannot use
+    a broadcast build side, so it would sort-merge-shuffle the WHOLE
+    table to merge an epoch's worth of writes; the anti+union keeps
+    the table side shuffle-free at any scale. Equivalent because a
+    winner's value is never NULL (it is a generated write) and keys
+    are unique on both sides.
     """
-    t = table.select("key", F.col("value").alias("_old"))
-    n = winning.select("key", F.col("value").alias("_new"))
-    return (
-        t.join(n, "key", "full_outer")
-        .select("key", F.coalesce("_new", "_old").alias("value"))
+    keep = table.select("key", "value").join(
+        F.broadcast(winning.select("key")), "key", "left_anti"
     )
+    return keep.unionByName(winning.select("key", "value"))
 
 
 @dataclass
