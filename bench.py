@@ -104,6 +104,10 @@ HEADLINE = [
     "join_interval_overlap",
     "stream_rate_per_minute",
     "stream_hypertable_rollup",
+    # round-5 additions
+    "dedup_ngram_spans",
+    "sim_ivf_train_step",
+    "events_anomaly_mad",
 ]
 
 

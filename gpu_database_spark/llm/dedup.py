@@ -664,3 +664,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+SPAN_WORDS = 8  # exact-substring span width (word 8-grams)
+
+
+@register(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH sp AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[pos:pos + {SPAN_WORDS - 1}], ' ') AS span
+        FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, greatest(len(words) - {SPAN_WORDS - 1}, 1) + 1)) AS pos
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                  FROM documents)
+        )
+    ),
+    sd AS (SELECT span, COUNT(*) AS n_docs_span FROM sp GROUP BY span)
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(CAST(SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM sp s JOIN sd d USING (span)
+    GROUP BY s.doc_id
+    HAVING SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection: word 8-gram spans occurring
+    in >= 2 distinct documents, reported per document as a duplicated-
+    span ratio — the groupBy-friendly relative of suffix-array exact
+    substring dedup (the third member of the exact / MinHash-approx /
+    semantic dedup triad; a high dup_ratio doc is boilerplate or a
+    partial copy even when whole-doc hashes and minhash bands miss it).
+
+    Scale shape: spans explode to ~1 row per corpus word, but the only
+    shuffles are groupBy(span) — key is the span string; at 100 TB
+    you'd group on md5(span) to fix key width — and groupBy(doc_id)
+    for the census. No pairwise joins anywhere: cross-document overlap
+    is discovered by the span group cardinality, which is why this
+    scales where suffix arrays need specialized machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    n_sp = F.greatest(F.size(w) - (SPAN_WORDS - 1), F.lit(1))
+    sp = (
+        d.select("doc_id", w.alias("words"), n_sp.alias("n_sp"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_sp"))).alias("pos"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("words"), F.col("pos"), SPAN_WORDS)).alias(
+                "span"
+            ),
+        )
+        .distinct()
+    )
+    span_docs = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs_span"))
+    dup = F.sum(F.when(F.col("n_docs_span") >= 2, 1).otherwise(0))
+    return (
+        sp.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.cast("long").alias("n_dup_spans"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .orderBy("doc_id")
+    )

@@ -474,3 +474,71 @@ def sim_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(v), 6).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
     ).orderBy("vec_id")
+
+
+N_CENTROIDS = 4  # seed centroids for the IVF train step (vec_id < 4)
+
+
+@register(
+    "sim_ivf_train_step",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    scored AS (
+        SELECT v.vec_id, c.cid,
+               round(list_cosine_similarity(vv, cv), 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    best AS (
+        SELECT vec_id, cid, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rk
+        FROM scored
+    )
+    SELECT cid AS centroid_id,
+           COUNT(*) AS n_assigned,
+           round(CAST(SUM(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_sim
+    FROM best WHERE rk = 1
+    GROUP BY cid ORDER BY cid
+    """,
+)
+def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IVF/k-means training iteration: assign every vector to its
+    nearest seed centroid (max cosine, centroid-id tiebreak) and report
+    the per-centroid census + mean similarity (the inertia signal a
+    training loop watches for convergence). This is the step that
+    produces the coarse quantizer sim_ann_ivf probes; seeds are the
+    first N_CENTROIDS vectors — deterministic, no RNG.
+
+    Scale shape: centroids broadcast (k vectors by definition); the
+    assignment is a narrow map over the corpus — per-vector argmax, no
+    shuffle; the census is one groupBy(k groups). Exactly the plan a
+    1000-executor k-means iteration runs. Mean similarity goes through
+    the exact DECIMAL sum so the oracle hash-matches (compat.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy(F.col("cid").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_sim"),
+        )
+        .orderBy("centroid_id")
+    )

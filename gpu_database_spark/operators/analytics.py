@@ -362,3 +362,95 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(heavy) / F.sum("c").cast("double"), 6
         ).alias("heavy_share"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, value AS median, n
+        FROM ranked WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.median, m.n,
+               abs(e.value - m.median) AS d
+        FROM events e JOIN med m USING (event_type)
+    ),
+    dranked AS (
+        SELECT event_type, median, n, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, d AS mad
+        FROM dranked WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    )
+    SELECT v.event_type,
+           CAST(v.n AS BIGINT) AS n_events,
+           v.median, a.mad,
+           CAST(SUM(CASE WHEN v.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies
+    FROM dev v JOIN mad a USING (event_type)
+    GROUP BY v.event_type, v.n, v.median, a.mad
+    ORDER BY v.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census per event type: median + MAD (median
+    absolute deviation), flagging values beyond 3 MADs — the standard
+    outlier gate that, unlike mean/stddev, is not dragged by the very
+    outliers it hunts. Exact rank-based order statistics (value at
+    rank ceil(n/2)), not interpolated percentiles: the k-th order
+    statistic VALUE is deterministic under ties on both engines, so
+    the oracle hash-gates median, MAD and the anomaly counts.
+
+    Scale shape: two rank-selection passes (value, then |value-med|),
+    each one per-group sort shuffle, plus a broadcast of the per-type
+    medians (group count = event-type cardinality, tiny by
+    definition). For very hot single groups the histogram-bucket
+    selection plan of stat_exact_quantiles_distributed substitutes
+    for the sort; the MAD algebra is unchanged."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = e.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long")
+    ).select("event_type", F.col("value").alias("median"), "n")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median",
+        "n",
+        F.abs(F.col("value") - F.col("median")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median", "mad")
+        .agg(
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            "median",
+            "mad",
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
