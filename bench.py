@@ -108,6 +108,9 @@ HEADLINE = [
     "dedup_ngram_spans",
     "sim_ivf_train_step",
     "events_anomaly_mad",
+    "ivm_delta_join",
+    "stream_watermark_audit",
+    "events_pattern_vshape",
 ]
 
 

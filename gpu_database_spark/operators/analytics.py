@@ -454,3 +454,107 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+WATERMARK_NS = 2 * 3600 * 1_000_000_000  # 2h, matches streaming/jobs.py
+
+
+@register(
+    "stream_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_type, epoch_ns(ts) AS ts_ns,
+               MAX(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY event_id
+                                       ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN high_water - ts_ns > {WATERMARK_NS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(MAX(high_water - ts_ns) // 1000000000 AS BIGINT)
+               AS max_lateness_s
+    FROM arr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data census: replay events in arrival order (event_id) and
+    count, per type, the events that a 2-hour watermark would DROP —
+    event time more than 2h behind the high-water mark at their
+    arrival. This is the audit you run before picking a watermark for
+    the streaming jobs (streaming/jobs.py uses the same 2h): n_late is
+    exactly the rows tumbling_counts_stream finalizes away.
+
+    Scale shape: the high-water mark is a per-key running max — the
+    same per-partition watermark bookkeeping a Kafka source does;
+    partitioning by event_type bounds every window to one key's
+    stream, no global sequential pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = e.select("event_type", "ts_ns", "event_id").withColumn(
+        "high_water", F.max("ts_ns").over(w)
+    )
+    late = F.col("high_water") - F.col("ts_ns")
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late > WATERMARK_NS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.expr("MAX(high_water - ts_ns) div 1000000000")
+            .cast("long")
+            .alias("max_lateness_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_pattern_vshape",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               LAG(value, 2) OVER w AS v2,
+               LAG(value, 1) OVER w AS v1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN v2 > v1 AND value > v1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vshapes
+    FROM seq
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN v2 > v1 AND value > v1 THEN 1 ELSE 0 END) >= 3
+    ORDER BY user_id
+    """,
+)
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern (CEP) detection, MATCH_RECOGNIZE-style: count
+    strict V-shapes — value drops then recovers (v[t-2] > v[t-1] <
+    v[t]) — per user over the event-time-ordered stream, keeping users
+    with >= 3 occurrences. Lag-chains are how Flink-CEP-class fixed-
+    length patterns compile onto a relational engine: one window
+    shuffle on the partition key, then pure row-local predicates — no
+    NFA state machine needed until patterns get variable-length.
+
+    Scale shape: single per-user window (the same shuffle any
+    sessionization pays), constant memory per row; 100 TB cost is one
+    exchange on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select("user_id", "value", "ts_ns", "event_id").withColumn(
+        "v2", F.lag("value", 2).over(w)
+    ).withColumn("v1", F.lag("value", 1).over(w))
+    hit = F.when((F.col("v2") > F.col("v1")) & (F.col("value") > F.col("v1")), 1).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(F.sum(hit).cast("long").alias("n_vshapes"))
+        .filter(F.col("n_vshapes") >= 3)
+        .orderBy("user_id")
+    )

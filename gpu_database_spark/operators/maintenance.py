@@ -439,3 +439,73 @@ def stat_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFr
         .select("q", "k", F.col("v").alias("value"))
         .orderBy("q")
     )
+
+
+@register(
+    "ivm_delta_join",
+    oracle="""
+    WITH dord AS (SELECT * FROM orders   WHERE o_orderkey % 10 = 0),
+    oord AS (SELECT * FROM orders   WHERE o_orderkey % 10 <> 0),
+    dcus AS (SELECT * FROM customer WHERE c_custkey % 13 = 0),
+    delta AS (
+        SELECT c.c_mktsegment, o.o_totalprice, 'delta_orders' AS src
+        FROM dord o JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT c.c_mktsegment, o.o_totalprice, 'delta_customers' AS src
+        FROM oord o JOIN dcus c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_delta_rows,
+           CAST(SUM(CASE WHEN src = 'delta_orders' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_from_delta_orders,
+           CAST(SUM(CASE WHEN src = 'delta_customers' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_from_delta_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS delta_value
+    FROM delta
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view: the delta rule
+    dJ = dA |><| B_new  UNION ALL  A_old |><| dB applied to the
+    orders |><| customer view (dA = every 10th order, dB = every 13th
+    customer — deterministic stand-ins for a changelog batch), rolled
+    up per market segment. The two terms are disjoint by construction
+    (the first fixes the orders side to the delta, the second to the
+    old rows), so the union needs no dedup — the textbook derivation
+    J_new - J_old = dA|><|B_new + A_old|><|dB.
+
+    Scale shape: this is WHY IVM wins at 100 TB — both joins touch one
+    DELTA side (batch-sized, broadcastable) instead of re-joining two
+    full tables; the A_old |><| dB term broadcasts dB, the dA |><|
+    B_new term broadcasts the customer dimension. Companion of
+    ivm_delta_agg (signed-changelog aggregate maintenance)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d_ord = o.filter(F.col("o_orderkey") % 10 == 0)
+    old_ord = o.filter(F.col("o_orderkey") % 10 != 0)
+    d_cus = c.filter(F.col("c_custkey") % 13 == 0)
+    part1 = d_ord.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_totalprice", F.lit("delta_orders").alias("src"))
+    part2 = old_ord.join(
+        F.broadcast(d_cus), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_totalprice", F.lit("delta_customers").alias("src"))
+    delta = part1.unionByName(part2)
+    return (
+        delta.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta_rows"),
+            F.sum(F.when(F.col("src") == "delta_orders", 1).otherwise(0))
+            .cast("long")
+            .alias("n_from_delta_orders"),
+            F.sum(F.when(F.col("src") == "delta_customers", 1).otherwise(0))
+            .cast("long")
+            .alias("n_from_delta_customers"),
+            dsum(F.col("o_totalprice")).alias("delta_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
