@@ -509,3 +509,129 @@ def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH lasts AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+                                  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn,
+               epoch_ns(ts) // 86400000000000 AS day
+        FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, day, value FROM lasts WHERE rn = 1)
+    SELECT user_id, day AS valid_from_day,
+           COALESCE(LEAD(day) OVER w - 1, 99999) AS valid_to_day,
+           value,
+           (LEAD(day) OVER w IS NULL) AS is_current
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ORDER BY user_id, valid_from_day
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 construction: compress a
+    change stream (each user's last purchase value per day) into
+    validity intervals [valid_from_day, valid_to_day] with an
+    is_current flag — the dimension-history build every warehouse
+    runs to make "what was the value AS OF day X" a range lookup
+    instead of an event-log scan. Day-grain keeps interval arithmetic
+    in exact integers; the open interval is capped at day 99999 (the
+    conventional SCD2 'infinity' row).
+
+    Scale shape: one window per user for the daily last-value (the
+    dedup), one more for the LEAD — both shuffles on user_id, which a
+    pre-bucketed dimension store makes one. No joins, no state beyond
+    a single LEAD row."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day = F.expr("ts_ns div 86400000000000")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.select("user_id", "ts_ns", "event_id", "value", day.alias("day"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return (
+        daily.select(
+            "user_id",
+            F.col("day").alias("valid_from_day"),
+            F.coalesce(nxt - 1, F.lit(99999)).alias("valid_to_day"),
+            "value",
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_day")
+    )
+
+
+COMPACT_TARGET = 8  # target rows per compacted output group (fixture scale)
+
+
+@register(
+    "layout_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+        SELECT n_nationkey AS file_id, n_regionkey AS dir_id,
+               n_nationkey % 5 + 1 AS n_rows
+        FROM nation
+    ),
+    ordered AS (
+        SELECT file_id, dir_id, n_rows,
+               SUM(n_rows) OVER (PARTITION BY dir_id ORDER BY file_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_rows
+        FROM files
+    )
+    SELECT dir_id,
+           CAST((cum_rows - 1) // {COMPACT_TARGET} AS BIGINT) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS group_rows,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM ordered
+    GROUP BY dir_id, (cum_rows - 1) // {COMPACT_TARGET}
+    ORDER BY dir_id, group_id
+    """,
+)
+def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: assign each file (simulated from
+    nation: file size = key%5+1 'rows', directory = region) to a
+    compaction group by running-size bucketing — cumulative size within
+    the directory, divided by the target group size. Contiguous files
+    land in the same group until it fills: the greedy first-fit plan
+    OPTIMIZE/compaction jobs execute, as one window + one groupBy.
+
+    Scale shape: the input here is FILE METADATA (one row per file —
+    millions of rows at 100 TB, not the data itself); per-directory
+    prefix sums shuffle on dir_id, and the plan output drives the
+    actual rewrite job. The same two-level prefix-sum trick as
+    pack_sequences_chunked applies if one directory ever dominates."""
+    n = load_table(spark, sf_dir, "nation")
+    files = n.select(
+        F.col("n_nationkey").cast("long").alias("file_id"),
+        F.col("n_regionkey").cast("long").alias("dir_id"),
+        (F.col("n_nationkey") % 5 + 1).cast("long").alias("n_rows"),
+    )
+    w = (
+        Window.partitionBy("dir_id")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = files.withColumn("cum_rows", F.sum("n_rows").over(w))
+    gid = F.expr(f"(cum_rows - 1) div {COMPACT_TARGET}").cast("long")
+    return (
+        ordered.withColumn("group_id", gid)
+        .groupBy("dir_id", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("group_rows"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("dir_id", "group_id")
+    )
