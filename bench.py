@@ -111,6 +111,8 @@ HEADLINE = [
     "ivm_delta_join",
     "stream_watermark_audit",
     "events_pattern_vshape",
+    "scd2_user_history",
+    "stat_ks_test",
 ]
 
 

@@ -142,3 +142,73 @@ def join_asof_prevailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fx_rate",
         F.round(F.col("o_totalprice") * F.col("fx_rate"), 4).alias("converted"),
     ).orderBy("o_orderkey")
+
+
+TOLERANCE_DAYS = 120  # max staleness of a matched rate
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH rates AS (
+        SELECT i AS rate_id,
+               TIMESTAMP '1995-01-01 00:00:00' + to_days(CAST(i * 90 AS INTEGER)) AS valid_from,
+               round(1.0 + 0.01 * (i % 7), 2) AS fx_rate
+        FROM range(0, 30) t(i)
+    )
+    SELECT o_orderkey, o_totalprice, fx_rate,
+           (fx_rate IS NULL) AS is_stale
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               (SELECT max_by(fx_rate, valid_from) FROM rates
+                WHERE valid_from <= o_orderdate
+                  AND valid_from >= o_orderdate - INTERVAL {TOLERANCE_DAYS} DAY
+               ) AS fx_rate
+        FROM orders WHERE o_orderkey <= 500
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof's
+    ``tolerance=``): the prevailing rate only matches if it is no older
+    than {TOLERANCE_DAYS} days at the order date — beyond that the row
+    surfaces as stale (NULL rate) instead of silently carrying an
+    ancient value, the correctness guard every market-data pipeline
+    wants. Same union+carry-forward plan as join_asof_prevailing with
+    the matched timestamp carried alongside the value, then one
+    row-local staleness predicate — tolerance costs nothing extra at
+    any scale."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("_k", F.lit(1))
+    )
+    rates = spark.range(0, 30).select(
+        F.lit(1).alias("_k"),
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(F.col("id").cast("int") * 90)
+        ).alias("valid_from"),
+        F.round(1.0 + 0.01 * (F.col("id") % 7), 2).alias("fx_rate"),
+    )
+    joined = asof_join(
+        o.withColumn("_ts", F.col("o_orderdate").cast("timestamp_ntz")),
+        rates,
+        on="_k",
+        left_ts="_ts",
+        right_ts="valid_from",
+        value_cols=["fx_rate", "valid_from"],
+        tiebreak_cols=["valid_from"],
+    )
+    fresh = F.col("valid_from") >= F.col("_ts") - F.expr(
+        f"INTERVAL {TOLERANCE_DAYS} DAY"
+    )
+    rate = F.when(fresh, F.col("fx_rate"))
+    return joined.select(
+        "o_orderkey",
+        "o_totalprice",
+        rate.alias("fx_rate"),
+        rate.isNull().alias("is_stale"),
+    ).orderBy("o_orderkey")

@@ -635,3 +635,83 @@ def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dir_id", "group_id")
     )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    by_v AS (
+        SELECT value, SUM(in1) AS c1, SUM(in2) AS c2 FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum2,
+               SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        FROM by_v
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           round(MAX(abs(CAST(cum1 AS DOUBLE) / n1
+                         - CAST(cum2 AS DOUBLE) / n2)), 6) AS d_stat,
+           round(1.36 * sqrt(CAST(MAX(n1) + MAX(n2) AS DOUBLE)
+                             / (MAX(n1) * MAX(n2))), 6) AS critical_05,
+           MAX(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2))
+               > 1.36 * sqrt(CAST(MAX(n1) + MAX(n2) AS DOUBLE)
+                             / (MAX(n1) * MAX(n2))) AS drifted
+    FROM cum
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the 'view' and
+    'purchase' value distributions: D = max |ECDF1 - ECDF2|, compared
+    against the alpha=0.05 critical value 1.36*sqrt((n1+n2)/(n1*n2)) —
+    THE distribution-drift gate a training-data pipeline runs when a
+    new corpus batch lands. Exact, not binned: ECDFs evaluated at
+    every distinct value via cumulative counts, so D is a ratio of
+    integers and hash-matches the oracle (single IEEE division + abs
+    + max; no approximate histograms).
+
+    Scale shape: one groupBy(value) collapses the stream to distinct
+    values with per-sample counts, one global ordered prefix-sum over
+    those — the same two-level decomposition as pack_sequences_chunked
+    applies if the distinct-value count explodes; n1/n2 ride along as
+    window totals, no driver round-trip."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("in1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("in2"),
+    )
+    by_v = s.groupBy("value").agg(
+        F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = by_v.select(
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
+    )
+    crit = 1.36 * F.sqrt(
+        (F.max("n1") + F.max("n2")).cast("double") / (F.max("n1") * F.max("n2"))
+    )
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.max(gap) > crit).alias("drifted"),
+    )
