@@ -144,7 +144,7 @@ def join_asof_prevailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-TOLERANCE_DAYS = 120  # max staleness of a matched rate
+TOLERANCE_DAYS = 60  # max staleness of a matched rate (rates come every 90d, so ~1/3 of days go stale)
 
 
 @register(
