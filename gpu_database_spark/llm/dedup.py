@@ -16,7 +16,7 @@ collision-free in practice and mergeable across 100 TB partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.registry import register
@@ -739,4 +739,88 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_spans") > 0)
         .orderBy("doc_id")
+    )
+
+
+KNN_K = 3  # neighbors kept per doc in the similarity graph
+
+
+@register(
+    "text_knn_graph",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    m AS (
+        SELECT s.src, s.dst, COUNT(*) AS n_match
+        FROM sym s
+        JOIN sig a ON a.doc_id = s.src
+        JOIN sig b ON b.doc_id = s.dst AND b.h = a.h AND b.minhash = a.minhash
+        GROUP BY s.src, s.dst
+    ),
+    ranked AS (
+        SELECT src, dst, n_match,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY n_match DESC, dst) AS rk
+        FROM m
+    )
+    SELECT src AS doc_id, dst AS neighbor_id,
+           round(n_match / {N_HASHES}.0, 6) AS est_jaccard,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {KNN_K}
+    ORDER BY doc_id, rk
+    """,
+)
+def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN document-similarity graph from minhash agreement: for each
+    doc, its top-{KNN_K} LSH candidates ranked by estimated Jaccard
+    (matching minhash positions / {N_HASHES}) — the input graph
+    SemDeDup-style clustering, duplicate-family mining and curriculum
+    grouping all consume. Estimation costs one equi-join on the
+    signature table; no shingle-level comparison ever re-runs.
+
+    Scale shape: edges exist only for LSH candidates (never all
+    pairs); the match count joins signatures on (doc, h, value) — one
+    shuffle keyed by doc_id; top-k per doc is the standard window.
+    The graph is degree-bounded by construction (band collisions), so
+    downstream clustering never sees a dense row."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(d)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    a = sig.select(F.col("doc_id").alias("src"), "h", "minhash")
+    b = sig.select(
+        F.col("doc_id").alias("dst"),
+        F.col("h").alias("h_b"),
+        F.col("minhash").alias("minhash_b"),
+    )
+    m = (
+        sym.join(a, "src")
+        .join(b, "dst")
+        .filter((F.col("h") == F.col("h_b")) & (F.col("minhash") == F.col("minhash_b")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n_match").desc(), F.col("dst"))
+    return (
+        m.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.round(F.col("n_match") / N_HASHES, 6).alias("est_jaccard"),
+            "rk",
+        )
+        .orderBy("doc_id", "rk")
     )
