@@ -212,3 +212,66 @@ def test_pack_sequences_two_level_prefix_at_1m_docs(spark):
         map(tuple, flat.select("doc_id", "n_tok", "start_tok").collect())
     )
     assert SEQ_LEN > 0
+
+
+def test_ngram_span_dedup_at_50k_docs(spark):
+    """dedup_ngram_spans' shape at 10x the sf0.1 corpus: 50k synthetic
+    docs (~30 words each -> ~1.1M span rows) through the identical
+    span -> groupBy(span) -> groupBy(doc) plan. Proves the explosion
+    stays shuffle-bounded (no pairwise joins) at scale."""
+    import time
+
+    from gpu_database_spark.llm.dedup import SPAN_WORDS, words_col
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        # ~30 words from a 40-token vocab, deterministic per doc; every
+        # 100th doc repeats doc 0's text so cross-doc spans exist.
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.when(F.col("id") % 100 == 0, F.lit(0)).otherwise(F.col("id"))
+                        * (i + 7)
+                        + i * i,
+                        F.lit(40),
+                    ),
+                )
+                for i in range(30)
+            ],
+        ).alias("text"),
+    )
+    w = words_col(F.col("text"))
+    n_sp = F.greatest(F.size(w) - (SPAN_WORDS - 1), F.lit(1))
+    sp = (
+        docs.select("doc_id", w.alias("words"), n_sp.alias("n_sp"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_sp"))).alias("pos"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("words"), F.col("pos"), SPAN_WORDS)).alias(
+                "span"
+            ),
+        )
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    span_docs = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs_span"))
+    flagged = (
+        sp.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_docs_span") >= 2, 1).otherwise(0)).alias("n_dup")
+        )
+        .filter(F.col("n_dup") > 0)
+        .count()
+    )
+    elapsed = time.perf_counter() - t0
+    # all 500 repeats of doc 0 (plus doc 0 itself) must be flagged
+    assert flagged >= 500
+    assert elapsed < 90, f"50k-doc span dedup took {elapsed:.1f}s"
