@@ -150,3 +150,65 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("in_degree")
     )
+
+
+KCORE_K = 3  # core threshold for the registered query
+
+
+def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """Nodes of the k-core: iteratively peel nodes with (undirected)
+    degree < k until a fixpoint — the standard dense-subgraph /
+    community-seed primitive. nodes: (id); edges: (src, dst),
+    undirected semantics. Returns the surviving (id) rows.
+
+    Each round is one degree groupBy + one semi-join, localCheckpoint-ed
+    to bound lineage; rounds ~ peeling depth (small for power-law
+    graphs). The loop never ships rows to the driver — the fixpoint
+    test is a bounded count."""
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = nodes.select("id").localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        live_edges = (
+            sym.join(alive.select(F.col("id").alias("src")), "src")
+            .join(alive.select(F.col("id").alias("dst")), "dst")
+        )
+        deg = live_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
+        new_alive = alive.join(keep, "id", "left_semi").localCheckpoint(eager=True)
+        dropped = alive.count() - new_alive.count()
+        alive = new_alive
+        if dropped == 0:
+            break
+    return alive
+
+
+@register("graph_kcore")  # rows-only: iterative peeling fixpoint
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core census of the synthetic link graph (k=3): per-node flag
+    rows for the surviving dense subgraph, plus each survivor's degree
+    within the core — the seed set community detection and influence
+    analysis start from. Rows-only (iterative fixpoint, not one SQL
+    query); tests/test_graphrank.py checks the result against a serial
+    Python peeling oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    core = kcore(d.select(F.col("doc_id").alias("id")), edges, KCORE_K)
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    core_deg = (
+        sym.join(core.select(F.col("id").alias("src")), "src")
+        .join(core.select(F.col("id").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return (
+        core.join(core_deg, core.id == core_deg.src)
+        .select(F.col("id").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )

@@ -57,3 +57,29 @@ def test_pagerank_ranks_hubs_first(spark, sf_dir):
     mean_top_deg = sum(r.in_deg for r in rows[:10]) / 10
     mean_tail_deg = sum(r.in_deg for r in rows[-10:]) / 10
     assert mean_top_deg >= mean_tail_deg
+
+
+def test_kcore_matches_serial_peeling(spark, sf_dir):
+    """Distributed k-core == serial Python peeling on the same graph."""
+    from collections import defaultdict
+
+    from gpu_database_spark.llm.graphrank import KCORE_K, synth_edges
+    from gpu_database_spark.sources.catalog import load_table
+    from gpu_database_spark import registry
+
+    d = load_table(spark, sf_dir, "documents")
+    edge_rows = {(r.src, r.dst) for r in synth_edges(d).collect()}
+    adj = defaultdict(set)
+    for s, t in edge_rows:
+        adj[s].add(t)
+        adj[t].add(s)
+    alive = {r.doc_id for r in d.select("doc_id").collect()}
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    got = {r.doc_id: r.core_degree for r in registry.queries()["graph_kcore"](spark, sf_dir).collect()}
+    assert set(got) == alive
+    for n in alive:
+        assert got[n] == len(adj[n] & alive), n
