@@ -726,6 +726,10 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        # Materialized once: the span table feeds both the span-count
+        # agg and the join-back, which share no exchange — without this
+        # the word explode runs twice.
+        .localCheckpoint(eager=True)
     )
     span_docs = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs_span"))
     dup = F.sum(F.when(F.col("n_docs_span") >= 2, 1).otherwise(0))
