@@ -364,6 +364,57 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _median_by_key(df: DataFrame, key: str, val: str, out: str,
+                   bucket_width: float = 1.0) -> DataFrame:
+    """Per-key exact median — the value at rank ceil(n/2) — via the
+    histogram-bucket rank-location plan (the per-group form of
+    stat_exact_quantiles_distributed, operators/maintenance.py):
+
+    1. bucket the value (floor(v/width): domain-bounded, so the
+       histogram is tiny no matter the row count);
+    2. per-key cumulative bucket counts over the histogram table
+       (key-cardinality × bucket-domain rows — windows here are free);
+    3. the target rank k = ceil(n/2) lands in exactly one bucket per
+       key; re-scan ONLY those buckets, row_number within
+       (key, bucket) — each such partition holds ~1/width-domain of a
+       key's rows, so a hot key never concentrates a full sort on one
+       task (the 100×-skew fix for low-cardinality keys).
+
+    Returns (key, out, n). The selected VALUE at rank k is
+    deterministic under ties (tied rows share a value, hence a
+    bucket), so results hash-match a naive per-key sort oracle."""
+    b = df.select(key, F.col(val).alias("_v")).withColumn(
+        "_bkt", F.floor(F.col("_v") / bucket_width).cast("long")
+    )
+    hist = b.groupBy(key, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    wcum = (
+        Window.partitionBy(key).orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(key)
+    k = F.ceil(F.sum("_cnt").over(wall) * 0.5).cast("long")
+    located = (
+        hist.select(
+            key, "_bkt", "_cnt",
+            F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)).alias("_base"),
+            F.sum("_cnt").over(wall).alias("n"),
+            k.alias("_k"),
+        )
+        .filter(
+            (F.col("_base") < F.col("_k"))
+            & (F.col("_k") <= F.col("_base") + F.col("_cnt"))
+        )
+        .select(key, "_bkt", "_base", "_k", "n")
+    )
+    wb = Window.partitionBy(key, "_bkt").orderBy("_v")
+    return (
+        b.join(F.broadcast(located), [key, "_bkt"])
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_base") + F.col("_rn") == F.col("_k"))
+        .select(key, F.col("_v").alias(out), "n")
+    )
+
+
 @register(
     "events_anomaly_mad",
     oracle="""
@@ -411,31 +462,21 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash-gates median, MAD and the anomaly counts.
 
     Scale shape: two rank-selection passes (value, then |value-med|),
-    each one per-group sort shuffle, plus a broadcast of the per-type
-    medians (group count = event-type cardinality, tiny by
-    definition). For very hot single groups the histogram-bucket
-    selection plan of stat_exact_quantiles_distributed substitutes
-    for the sort; the MAD algebra is unchanged."""
+    each via _median_by_key's histogram-bucket rank-location plan —
+    event_type has ~5 values, so a partitionBy(event_type) sort would
+    concentrate the whole stream on a handful of tasks at 100×; the
+    bucketed plan sorts only within (type, value-bucket) slices. The
+    per-type medians broadcast (group count = type cardinality)."""
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    wv = Window.partitionBy("event_type").orderBy("value")
-    wn = Window.partitionBy("event_type")
-    ranked = e.withColumn("rn", F.row_number().over(wv)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
-    )
-    med = ranked.filter(
-        F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long")
-    ).select("event_type", F.col("value").alias("median"), "n")
+    med = _median_by_key(e, "event_type", "value", "median")
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
         "median",
         "n",
         F.abs(F.col("value") - F.col("median")).alias("d"),
     )
-    wd = Window.partitionBy("event_type").orderBy("d")
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"))
-        .select("event_type", F.col("d").alias("mad"))
+    mad = _median_by_key(dev, "event_type", "d", "mad").select(
+        "event_type", "mad"
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -486,18 +527,45 @@ def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming jobs (streaming/jobs.py uses the same 2h): n_late is
     exactly the rows tumbling_counts_stream finalizes away.
 
-    Scale shape: the high-water mark is a per-key running max — the
-    same per-partition watermark bookkeeping a Kafka source does;
-    partitioning by event_type bounds every window to one key's
-    stream, no global sequential pass."""
+    Scale shape: the high-water mark is a per-key running max, but
+    event_type has ~5 values — partitioning the window by type alone
+    would sort the whole stream on a handful of tasks at 100×. The
+    running max decomposes two-level instead (the prefix-SUM pattern
+    of pack_sequences_chunked, applied to MAX): (1) running max within
+    (type, event_id-range bucket) — thousands of independent
+    partitions, the Kafka-partition analogue; (2) a per-type prefix
+    max over the bucket-maxima table (65536× smaller; the same
+    decomposition applies recursively if even that explodes);
+    high_water = greatest(local, prior-buckets). Identical result —
+    buckets split event_id ranges in order."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
+    return watermark_audit_frame(e.select("event_type", "ts_ns", "event_id"))
+
+
+def watermark_audit_frame(e: DataFrame) -> DataFrame:
+    """Late-data census core over (event_type, ts_ns, event_id) — see
+    stream_watermark_audit. Split out so scale smokes can feed a
+    synthetic hot-typed stream."""
+    b = e.withColumn("_bkt", F.expr("event_id div 65536"))
+    wl = (
+        Window.partitionBy("event_type", "_bkt")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    arr = e.select("event_type", "ts_ns", "event_id").withColumn(
-        "high_water", F.max("ts_ns").over(w)
+    local = b.withColumn("_local_hw", F.max("ts_ns").over(wl))
+    bucket_max = b.groupBy("event_type", "_bkt").agg(
+        F.max("ts_ns").alias("_bmax")
+    )
+    wo = (
+        Window.partitionBy("event_type").orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bucket_max.select(
+        "event_type", "_bkt", F.max("_bmax").over(wo).alias("_prior")
+    )
+    # greatest() skips nulls: first bucket per type has no prior max
+    arr = local.join(F.broadcast(prior), ["event_type", "_bkt"]).withColumn(
+        "high_water", F.greatest(F.col("_local_hw"), F.col("_prior"))
     )
     late = F.col("high_water") - F.col("ts_ns")
     return (

@@ -678,10 +678,14 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     + max; no approximate histograms).
 
     Scale shape: one groupBy(value) collapses the stream to distinct
-    values with per-sample counts, one global ordered prefix-sum over
-    those — the same two-level decomposition as pack_sequences_chunked
-    applies if the distinct-value count explodes; n1/n2 ride along as
-    window totals, no driver round-trip."""
+    values with per-sample counts; the ordered prefix-sum over those
+    is TWO-LEVEL (the pack_sequences_chunked decomposition), never a
+    global single-partition window: (1) running sums within each
+    floor(value) bucket — domain-bounded, thousands of independent
+    partitions; (2) cumulative offsets across the tiny bucket-totals
+    table, broadcast back. n1/n2 are one scalar agg over the bucket
+    totals — no driver round-trip, no single-task sort of the
+    distinct-value stream."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
@@ -693,13 +697,38 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_v = s.groupBy("value").agg(
         F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
     )
-    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = by_v.select(
-        F.sum("c1").over(wc).alias("cum1"),
-        F.sum("c2").over(wc).alias("cum2"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum("c2").over(wall).alias("n2"),
+    b = by_v.withColumn("_bkt", F.floor("value").cast("long"))
+    # level 1: running sums within each value bucket (independent tasks)
+    wl = Window.partitionBy("_bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = b.select(
+        "_bkt",
+        F.sum("c1").over(wl).alias("_l1"),
+        F.sum("c2").over(wl).alias("_l2"),
+    )
+    # level 2: exclusive prefix over bucket totals (domain-bounded table)
+    bt = b.groupBy("_bkt").agg(
+        F.sum("c1").alias("_b1"), F.sum("c2").alias("_b2")
+    )
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "_bkt",
+        F.coalesce(F.sum("_b1").over(wo), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_b2").over(wo), F.lit(0)).alias("_o2"),
+    )
+    tot = bt.agg(
+        F.sum("_b1").alias("n1"), F.sum("_b2").alias("n2")
+    )
+    cum = (
+        local.join(F.broadcast(off), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_o1") + F.col("_l1")).alias("cum1"),
+            (F.col("_o2") + F.col("_l2")).alias("cum2"),
+            "n1",
+            "n2",
+        )
     )
     gap = F.abs(
         F.col("cum1").cast("double") / F.col("n1")

@@ -118,6 +118,51 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_mad_rank_selection_is_bucketed(spark, sf_dir):
+    """events_anomaly_mad must never sort whole event_type groups:
+    every row_number rank-selection window must also partition by the
+    value bucket (the histogram rank-location plan), or a hot type
+    concentrates a full sort on one task at 100×."""
+    from gpu_database_spark.operators.analytics import events_anomaly_mad
+
+    plan = inspect.simple_plan(events_anomaly_mad(spark, sf_dir))
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "_bkt" in ln, f"unbucketed rank-selection window: {ln}"
+
+
+def test_ks_prefix_sum_is_two_level(spark, sf_dir):
+    """stat_ks_test's ECDF prefix-sums must partition by the value
+    bucket — a partition-less Window.orderBy(value) would pull every
+    distinct value into one task."""
+    from gpu_database_spark.operators.maintenance import stat_ks_test
+
+    plan = inspect.simple_plan(stat_ks_test(spark, sf_dir))
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(value#" in ln
+    ]
+    assert not bad, f"global window over distinct values: {bad}"
+    assert "_bkt" in plan
+
+
+def test_watermark_running_max_is_bucketed(spark, sf_dir):
+    """stream_watermark_audit's running max must partition by
+    (event_type, event_id-bucket), not event_type alone (~5 values)."""
+    from gpu_database_spark.operators.analytics import stream_watermark_audit
+
+    plan = inspect.simple_plan(stream_watermark_audit(spark, sf_dir))
+    hw_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "event_id" in ln
+    ]
+    assert hw_lines, plan
+    for ln in hw_lines:
+        assert "_bkt" in ln, f"running max partitioned by type alone: {ln}"
+
+
 def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     """Tiny aggregation output must not occupy all configured shuffle
     partitions: AQE's coalescer merges them (fewer, fuller partitions —

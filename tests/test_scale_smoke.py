@@ -275,3 +275,42 @@ def test_ngram_span_dedup_at_50k_docs(spark):
     # all 500 repeats of doc 0 (plus doc 0 itself) must be flagged
     assert flagged >= 500
     assert elapsed < 90, f"50k-doc span dedup took {elapsed:.1f}s"
+
+
+def test_watermark_audit_hot_type_300k(spark):
+    """stream_watermark_audit's two-level running max survives one hot
+    event_type holding 90% of a 300k stream — and stays exact vs a
+    serial pandas cummax oracle."""
+    from gpu_database_spark.operators.analytics import (
+        WATERMARK_NS,
+        watermark_audit_frame,
+    )
+
+    n = 300_000
+    e = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod("id", 10) < 9, "hot")
+        .otherwise(F.concat(F.lit("cold"), F.pmod("id", 3).cast("string")))
+        .alias("event_type"),
+        (
+            F.col("id") * 1_000_000_000
+            - F.when(
+                F.pmod(F.col("id") * 37, 97) < 5,
+                F.pmod(F.col("id") * 131, F.lit(30_000_000_000_000)),
+            ).otherwise(F.lit(0))
+        ).alias("ts_ns"),
+    )
+    t0 = time.perf_counter()
+    got = {r["event_type"]: r for r in watermark_audit_frame(e).collect()}
+    elapsed = time.perf_counter() - t0
+
+    pdf = e.toPandas().sort_values("event_id")
+    pdf["hw"] = pdf.groupby("event_type")["ts_ns"].cummax()
+    pdf["late"] = pdf["hw"] - pdf["ts_ns"]
+    assert set(got) == set(pdf["event_type"].unique())
+    for t, g in pdf.groupby("event_type"):
+        r = got[t]
+        assert r["n_events"] == len(g)
+        assert r["n_late"] == int((g["late"] > WATERMARK_NS).sum()), t
+        assert r["max_lateness_s"] == int(g["late"].max() // 1_000_000_000), t
+    assert elapsed < 60, f"300k hot-type watermark audit took {elapsed:.1f}s"
