@@ -113,6 +113,11 @@ HEADLINE = [
     "events_pattern_vshape",
     "scd2_user_history",
     "stat_ks_test",
+    # round-6 additions
+    "join_asof_tolerance",
+    "layout_compaction_planner",
+    "text_knn_graph",
+    "graph_kcore",
 ]
 
 
@@ -204,7 +209,10 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if errors:
+        # failed queries are missing from the sum — flag it so "value"
+        # is never silently compared against a complete round's total
         out["n_err"] = len(errors)
+        out["partial"] = True  # BENCH_DETAIL.json carries the errors map
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # coarser rounding before dropping detail
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}

@@ -137,7 +137,11 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     whole shingle->md5->minhash pipeline — the dominant cost at scale
     — would execute twice. At 100 TB this is the standard pattern of
     persisting the (tiny, 4-rows-per-doc) signature table before
-    bucket-joining it against itself."""
+    bucket-joining it against itself. Local-mode tradeoff, on purpose:
+    localCheckpoint blocks are non-replicated (an executor loss would
+    fail the job) and eager=True runs the pipeline at build time; on a
+    real cluster swap in persist(MEMORY_AND_DISK)+count or a reliable
+    checkpoint for fault-tolerant materialization."""
     b = lsh_bands(minhash_signatures(docs)).localCheckpoint(eager=True)
     a = b.alias("a")
     c = b.alias("c")

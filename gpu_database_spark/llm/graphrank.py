@@ -96,11 +96,56 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
     return ranks
 
 
-@register("graph_pagerank")  # rows-only: iterative; pytest vs numpy oracle
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) + 1 AS n, CAST(COUNT(*) AS DOUBLE) AS cnt FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM nn) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    iter(it, id, rank) AS (
+        SELECT 0, doc_id, 1.0 / (SELECT cnt FROM nn) FROM docs
+        UNION ALL
+        SELECT (SELECT MAX(it) FROM iter) + 1, d.doc_id,
+               (1 - {DAMPING}) / (SELECT cnt FROM nn)
+               + {DAMPING} * (COALESCE(c.inbound, 0)
+                         + (SELECT COALESCE(SUM(r2.rank), 0) FROM iter r2
+                            LEFT JOIN outdeg o2 ON r2.id = o2.src
+                            WHERE o2.src IS NULL) / (SELECT cnt FROM nn))
+        FROM docs d
+        LEFT JOIN (
+            SELECT e.dst, SUM(r.rank / o.deg) AS inbound
+            FROM iter r JOIN edges e ON r.id = e.src
+                        JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        ) c ON d.doc_id = c.dst
+        WHERE (SELECT MAX(it) FROM iter) < {N_ITERS}
+    )
+    SELECT f.id, round(f.rank, 6) AS rank,
+           CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+    FROM (SELECT id, rank FROM iter WHERE it = {N_ITERS}) f
+    LEFT JOIN (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst) i
+        USING (id)
+    ORDER BY round(f.rank, 6) DESC, f.id LIMIT 50
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the synthetic doc link graph: top-ranked docs with
-    in/out degree context. tests/test_graphrank.py checks the ranks
-    against a dense numpy power iteration on the same graph."""
+    in-degree context. tests/test_graphrank.py checks the ranks against
+    a dense numpy power iteration on the same graph; the oracle states
+    the SAME fixed 10-step power iteration as a DuckDB recursive
+    CTE (the recursive term sees only the previous iteration's working
+    table — exactly rank(t) -> rank(t+1)), so ranks agree to double
+    precision and hash-match after round(,6). Ordering uses the ROUNDED
+    rank with doc-id tiebreak so the top-50 cut is engine-stable."""
     d = load_table(spark, sf_dir, "documents")
     nodes = d.select(F.col("doc_id").alias("id"))
     edges = synth_edges(d)
@@ -112,7 +157,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(in_deg, "id", "left")
         .select(
             "id",
-            F.round("rank", 8).alias("rank"),
+            F.round("rank", 6).alias("rank"),
             F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
         )
         .orderBy(F.col("rank").desc(), "id")
@@ -184,6 +229,18 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
         alive = new_alive
         if dropped == 0:
             break
+    else:
+        # exhausted max_iters without a fixpoint: the survivor set is a
+        # SUPERSET of the k-core (some degree<k nodes may remain) —
+        # callers must not treat it as converged silently
+        import warnings
+
+        warnings.warn(
+            f"kcore: no fixpoint after {max_iters} peel rounds; "
+            "result is a superset of the k-core",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return alive
 
 

@@ -241,11 +241,19 @@ def lsh_bucket_array(vec: Column | str) -> Column:
     emitted as ONE SQL expression string: building it Column-by-Column
     costs ~1000 py4j round-trips (~1.5s of driver time PER QUERY
     BUILD) for what is a constant plan fragment. Accepts a column name
-    / SQL snippet (fast path) or a Column (resolved via its SQL
-    form)."""
+    / SQL snippet (fast path) or a Column that is a SIMPLE attribute
+    reference — computed Columns must be passed as SQL text, because
+    a resolved Column's string form is not guaranteed to re-parse
+    (and the private accessor it needs is absent under Spark
+    Connect)."""
     if not isinstance(vec, str):
-        # Column -> its expression string (a plain name for simple refs)
-        vec = vec._jc.toString()
+        name = vec._jc.toString()  # noqa: SLF001 — classic-mode only
+        if not name.replace("_", "").isalnum():
+            raise ValueError(
+                "lsh_bucket_array: pass computed Columns as a SQL string; "
+                f"Column form is only safe for simple refs, got {name!r}"
+            )
+        vec = name
     tables = []
     for t in range(N_TABLES):
         bits = [

@@ -205,22 +205,69 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_sample")  # rows-only: sampling layout is engine-specific
+@register(
+    "scan_sample",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_orderkey,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                       CAST(l_linenumber AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 AS bkt
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM b
+    WHERE bkt < CASE l_returnflag WHEN 'A' THEN 20000
+                                  WHEN 'N' THEN 10000
+                                  ELSE 5000 END
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT '__overall__', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
+    FROM b WHERE bkt < 10000
+    ORDER BY l_returnflag
+    """,
+)
 def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample + per-stratum sampleBy — reproducible
-    within Spark (fixed seed) but not across engines, so rows-only.
-    At 100 TB sampling feeds AQE statistics, data exploration, and
-    train/validation splits without full scans of the output."""
-    l = load_table(spark, sf_dir, "lineitem")
-    plain = (
-        l.sample(fraction=0.01, seed=42)
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .select(F.lit("__overall__").alias("l_returnflag"), "n_sampled")
+    """Deterministic table sampling: a 1% overall sample plus
+    per-returnflag stratified rates (A 2%, N 1%, R 0.5%), keyed on
+    md5(l_orderkey:l_linenumber) — NOT ``df.sample``/``sampleBy``,
+    whose Bernoulli draw depends on partition iteration order and so
+    changes with file layout and cluster size. The hash-kept set is a
+    pure function of the data: any engine, any partitioning, same
+    rows — which is what lets DuckDB hash-verify the census (counts
+    AND a key checksum over the kept rows). Same md5-bucket discipline
+    as llm/sampling.py. At 100 TB sampling feeds statistics, data
+    exploration, and splits without full scans of the output."""
+    from gpu_database_spark.llm.sampling import hash_bucket
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    base = l.withColumn(
+        "_bkt", hash_bucket(F.concat_ws(":", "l_orderkey", "l_linenumber"))
+    )
+    rate = (
+        F.when(F.col("l_returnflag") == "A", 20_000)
+        .when(F.col("l_returnflag") == "N", 10_000)
+        .otherwise(5_000)
     )
     strat = (
-        l.sampleBy("l_returnflag", {"A": 0.02, "N": 0.01, "R": 0.005}, seed=42)
+        base.filter(F.col("_bkt") < rate)
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("l_orderkey").cast("long").alias("key_checksum"),
+        )
+    )
+    plain = (
+        base.filter(F.col("_bkt") < 10_000)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("l_orderkey").cast("long").alias("key_checksum"),
+        )
+        .select(F.lit("__overall__").alias("l_returnflag"), "n_sampled", "key_checksum")
     )
     return strat.unionByName(plain).orderBy("l_returnflag")
 

@@ -96,7 +96,11 @@ def _driver_checked() -> set[str]:
     declared query eventually earns a driver-green row with no manual
     bookkeeping. A row only counts if it actually passed (no error and
     rows matched) — a name whose last sample errored or mismatched
-    rotates back to the front so the fix gets re-verified.
+    rotates back to the front so the fix gets re-verified. The one
+    non-failure "error": ``no_oracle`` is the TERMINAL state for a
+    rows-only query (the driver can never say more), so it counts as
+    checked — unless the query has since gained an oracle, in which
+    case it rotates forward to earn a real oracled row.
     """
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
@@ -110,7 +114,12 @@ def _driver_checked() -> set[str]:
             if not isinstance(row, dict):
                 seen.add(name)
                 continue
-            if row.get("err"):
+            err = row.get("err")
+            if err == "no_oracle":
+                if name not in _ORACLES:
+                    seen.add(name)
+                continue
+            if err:
                 continue
             if row.get("rows_match") is False or row.get("hash_match") is False:
                 continue
