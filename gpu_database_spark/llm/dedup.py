@@ -832,3 +832,188 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+CONTAIN_THRESHOLD = 0.9  # shingle-containment cut for "A inside B"
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS m
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.m, 0) AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(COALESCE(i.m, 0) AS DOUBLE) / sa.n, 8) AS contain_a_in_b,
+           round(CAST(COALESCE(i.m, 0) AS DOUBLE) / sb.n, 8) AS contain_b_in_a,
+           (CAST(COALESCE(i.m, 0) AS DOUBLE) / sa.n >= {CONTAIN_THRESHOLD}
+            OR CAST(COALESCE(i.m, 0) AS DOUBLE) / sb.n >= {CONTAIN_THRESHOLD})
+               AS is_contained
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT over LSH candidate pairs: C(A in B) =
+    |A∩B| / |A| — the asymmetric cousin of Jaccard that catches a
+    short document embedded verbatim inside a longer one (boilerplate
+    wrappers, quote-and-extend posts), which symmetric Jaccard misses
+    because the union is dominated by the larger doc.
+
+    Scale shape: candidates come from the banded LSH self-join (never
+    all-pairs); the intersection is one shingle equi-join over the
+    candidate set; sizes are a per-doc count. Same plan skeleton as
+    dedup_ngram_jaccard, different candidate source + both-direction
+    scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).distinct().localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = lsh_candidate_pairs(d)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("_bdoc"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_bdoc")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    m = F.coalesce(F.col("m"), F.lit(0))
+    ca = m.cast("double") / F.col("na")
+    cb = m.cast("double") / F.col("nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            m.cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(ca, 8).alias("contain_a_in_b"),
+            F.round(cb, 8).alias("contain_b_in_a"),
+            ((ca >= CONTAIN_THRESHOLD) | (cb >= CONTAIN_THRESHOLD)).alias("is_contained"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SEM_MIN_MATCH = 4  # >= 4 of 8 matching minhashes (est Jaccard >= 0.5)
+
+
+@register(
+    "semdedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+    ),
+    sym0 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    m AS (
+        SELECT s.src, s.dst, COUNT(*) AS n_match
+        FROM sym0 s
+        JOIN sig a ON a.doc_id = s.src
+        JOIN sig b ON b.doc_id = s.dst AND b.h = a.h AND b.minhash = a.minhash
+        GROUP BY s.src, s.dst
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst, n_match,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n_match DESC, dst) AS rk
+            FROM m
+        ) WHERE rk <= {KNN_K} AND n_match >= {SEM_MIN_MATCH}
+    ),
+    edges AS (SELECT src AS a, dst AS b FROM knn
+              UNION SELECT dst, src FROM knn),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    fam AS (SELECT id, MIN(comp) AS family_id FROM walk GROUP BY id)
+    SELECT CAST(f.family_id AS BIGINT) AS family_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN f.id <> f.family_id THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_removed
+    FROM fam f JOIN documents d ON d.doc_id = f.id
+    GROUP BY f.family_id HAVING COUNT(*) >= 2
+    ORDER BY family_id
+    """,
+)
+def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style near-dup FAMILY census, end-to-end in one plan:
+    k-NN similarity graph (text_knn_graph) -> keep edges with
+    estimated Jaccard >= SEM_MIN_MATCH/N_HASHES (0.5) -> connected
+    components over the touched docs -> per-family keep-min-id
+    census (members, docs removed, chars reclaimed). This is the
+    full production dedup decision: not "which pairs look similar"
+    but "which doc survives each duplicate family and how much
+    volume the sweep reclaims".
+
+    Scale shape: every stage is bounded — kNN edges only exist for
+    LSH band collisions (degree-capped at KNN_K); label propagation
+    runs ONLY over edge-touched docs (singletons — the overwhelming
+    majority of a real corpus — never enter the loop); the census is
+    one groupBy over the component table joined back to doc metadata.
+    The oracle states the identical graph via a recursive-CTE
+    reachability walk (per-family size^2 rows, fine at fixture
+    scale; the Spark min-label loop is the 100 TB path)."""
+    edges = text_knn_graph(spark, sf_dir).filter(
+        F.col("est_jaccard") * N_HASHES >= SEM_MIN_MATCH
+    ).select(F.col("doc_id").alias("a"), F.col("neighbor_id").alias("b"))
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    fam = connected_components(nodes, edges).select(
+        "id", F.col("component").alias("family_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        fam.join(d, fam.id == d.doc_id)
+        .groupBy("family_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+            F.sum(
+                F.when(F.col("id") != F.col("family_id"), F.col("n_chars")).otherwise(0)
+            ).alias("chars_removed"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("family_id").cast("long").alias("family_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.col("chars_removed").cast("long").alias("chars_removed"),
+        )
+        .orderBy("family_id")
+    )

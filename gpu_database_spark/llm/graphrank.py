@@ -197,7 +197,8 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KCORE_K = 3  # core threshold for the registered query
+KCORE_K = 4       # core threshold for the registered query
+KCORE_MAXIT = 12  # oracle peel rounds: >= fixture peeling depth (4), with margin
 
 
 def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
@@ -244,14 +245,61 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
     return alive
 
 
-@register("graph_kcore")  # rows-only: iterative peeling fixpoint
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM n) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    sym AS (SELECT DISTINCT src, dst FROM
+            (SELECT src, dst FROM edges UNION ALL
+             SELECT dst AS src, src AS dst FROM edges)),
+    peel(it, src, dst) AS (
+        SELECT 0, src, dst FROM sym
+        UNION ALL
+        SELECT it + 1, src, dst FROM (
+            SELECT e.it, e.src, e.dst,
+                   COUNT(*) OVER (PARTITION BY e.it, e.src) AS dsrc,
+                   COUNT(*) OVER (PARTITION BY e.it, e.dst) AS ddst
+            FROM peel e
+        )
+        WHERE it < {KCORE_MAXIT} AND dsrc >= {KCORE_K} AND ddst >= {KCORE_K}
+    )
+    SELECT src AS doc_id, COUNT(*) AS core_degree
+    FROM peel WHERE it = {KCORE_MAXIT}
+    GROUP BY src ORDER BY doc_id
+    """,
+)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core census of the synthetic link graph (k=3): per-node flag
-    rows for the surviving dense subgraph, plus each survivor's degree
+    """k-core census of the synthetic link graph (k=KCORE_K=4): rows
+    for the surviving dense subgraph, plus each survivor's degree
     within the core — the seed set community detection and influence
-    analysis start from. Rows-only (iterative fixpoint, not one SQL
-    query); tests/test_graphrank.py checks the result against a serial
-    Python peeling oracle."""
+    analysis start from. tests/test_graphrank.py additionally checks
+    the result against a serial Python peeling oracle.
+
+    The DuckDB oracle states the SAME peeling as a recursive CTE in
+    EDGE form: the working table at step t holds the alive edge set;
+    an edge survives to t+1 iff BOTH endpoints have degree >= k among
+    step-t edges (window counts — one reference to the recurring
+    table; removing an endpoint's edges IS removing the node, and the
+    surviving edges are exactly the kept-node-induced subgraph).
+    Peeling reaches its fixpoint in 4 rounds on the fixture graph and
+    the fixpoint is idempotent, so emitting round KCORE_MAXIT=12
+    equals the Spark loop's converged set (the loop would warn if it
+    ever failed to converge; the fixture converges). Written
+    deliberately around two DuckDB-1.0 recursive-CTE hazards verified
+    by experiment: a correlated subquery that joins the recurring
+    table over-counts, and a plain set-op UNION in a helper CTE loses
+    its dedup when consumed by the recursive member (hence the
+    explicit SELECT DISTINCT over UNION ALL in sym)."""
     d = load_table(spark, sf_dir, "documents")
     edges = synth_edges(d)
     core = kcore(d.select(F.col("doc_id").alias("id")), edges, KCORE_K)

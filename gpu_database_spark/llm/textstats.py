@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gpu_database_spark.functions.compat import davg_sql
+from gpu_database_spark.functions.compat import davg_sql, dsum
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -443,4 +443,59 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(30)
+    )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    scored AS (
+        SELECT tok.doc_id,
+               -ln(CAST(vocab.c AS DOUBLE) / (SELECT t FROM tot)) AS nll
+        FROM tok JOIN vocab USING (w)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(nll AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (cross-entropy in nats
+    against the corpus's own unigram LM): -mean(ln p(w)), p(w) =
+    corpus_count(w) / total_tokens. The cheap perplexity proxy LLM
+    pipelines use for quality/outlier scoring — boilerplate-heavy docs
+    score low, lexically odd docs score high — and the standard
+    prefilter before an expensive model-based perplexity pass.
+
+    Scale shape: explode tokens once; ONE groupBy(word) builds the LM
+    (vocab-bounded); a shuffle join keys tokens back to their corpus
+    frequency (the vocab side is Zipf-small and AQE broadcasts it
+    here); ONE groupBy(doc) folds per-token surprisals. Per-token
+    -ln(c/t) is a fixed double op sequence on integer ratios —
+    identical across engines; the per-doc sum goes through
+    DECIMAL(27,6) (compat.py) so accumulation order can't flip the
+    6dp rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    nll = -F.log(F.col("c").cast("double") / F.col("t"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(dsum(nll) / F.count(F.lit(1)), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
     )

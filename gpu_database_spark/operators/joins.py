@@ -416,3 +416,57 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+BLOOM_BITS = 1 << 20  # prefilter domain: ~1M hash buckets
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom-style hash prefilter: urgent
+    orders' keys are collapsed to a DISTINCT set of hash buckets
+    (pmod(xxhash64(key), 2^20)) that broadcasts to every scan task;
+    lineitem rows whose key-hash misses the set are dropped AT THE
+    SCAN, before any shuffle or exact join. Survivors (true matches +
+    ~0.3% hash false-positives at fixture selectivity) then pass the
+    exact broadcast semi-join. This is the manual form of the runtime
+    bloom filter Spark's InjectRuntimeFilter derives for selective
+    fact-dim joins — spelled out as an operator so the plan is
+    inspectable and the pattern portable to sinks Spark can't infer
+    through. The oracle is the plain semi-join semantics the filter
+    must preserve (a bloom prefilter has no false negatives).
+
+    Scale shape: the bucket set is bounded by min(n_keys, 2^20) ints
+    regardless of fact size; both joins broadcast, so the fact table
+    is never shuffled — the aggregation's partial combine is the only
+    exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bits = urgent.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BITS)).alias("bit")
+    ).distinct()
+    cand = l.withColumn(
+        "bit", F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_BITS))
+    ).join(F.broadcast(bits), "bit", "left_semi")
+    return (
+        cand.join(
+            F.broadcast(urgent), cand.l_orderkey == urgent.o_orderkey, "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -744,3 +744,67 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("critical_05"),
         (F.max(gap) > crit).alias("drifted"),
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id,
+               CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               value, epoch_ns(ts) AS ts_ns, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, op, value, ts_ns,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts_ns DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM log
+    )
+    SELECT user_id, value AS current_value, ts_ns AS updated_at_ns,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    ORDER BY user_id
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (last-writer-wins snapshot
+    materialization): the event stream is read as an upsert/delete
+    changelog — op = 'D' for every 10th event id (a deterministic
+    stand-in for the source's delete markers), 'U' otherwise — and
+    collapsed to the CURRENT state per key: the latest op by (ts,
+    event_id) wins; keys whose latest op is a delete vanish. This is
+    the Debezium/lakehouse "apply the change feed to a snapshot"
+    kernel, the read-side dual of sink_merge_snapshot's MERGE and the
+    latest-state complement of scd2_user_history's full history.
+
+    Scale shape: ONE shuffle on the key (user_id) feeds both the
+    row_number dedup and the per-key change count in the same window
+    exchange; no joins, no state beyond rank 1. A real deployment
+    partitions the changelog by key (Kafka topic partitioning) and
+    this becomes shuffle-free."""
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+        "value",
+        "ts_ns",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts_ns").alias("updated_at_ns"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         skyline,
         sorts,
         sql_surface,
+        stattests,
         tpch,
         windows,
     )
