@@ -118,7 +118,19 @@ HEADLINE = [
     "layout_compaction_planner",
     "text_knn_graph",
     "graph_kcore",
+    "semdedup_pipeline",
+    "dedup_containment",
+    "join_bloom_prefilter",
+    "text_unigram_surprisal",
+    "cdc_apply_changelog",
+    "stat_chi2_independence",
+    "stat_welch_ttest",
 ]
+
+# Per-query wall-clock cap: a pathological future query slows a round
+# by at most this much, never hangs it (VERDICT r5 ask). Cancellation
+# uses Spark job groups, so only the offender's jobs die.
+QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "150"))
 
 
 def main() -> None:
@@ -140,12 +152,42 @@ def main() -> None:
     # engine's steady-state time and is stable across driver rounds. The
     # max-min spread rides along so a round-over-round regression can be
     # told apart from run-to-run noise.
-    def best_of(n: int, run) -> tuple[float, float]:
+    def best_of(n: int, run, group: str = "bench") -> tuple[float, float]:
+        import threading
+
+        sc = spark.sparkContext
         ts = []
         for _ in range(n):
-            t0 = time.perf_counter()
-            run()
-            ts.append(time.perf_counter() - t0)
+            # Watchdog: cancel THIS query's job group if it exceeds the
+            # cap; the raised cancellation error is caught by the caller
+            # and recorded as a per-query failure (never a hung round).
+            sc.setJobGroup(group, group, interruptOnCancel=True)
+            done = threading.Event()
+
+            def watchdog() -> None:
+                # Re-cancel every 2s once fired: iterative queries
+                # (pagerank/kcore/CC loops) launch NEW jobs after a
+                # single cancel; repeated cancels starve the loop until
+                # its next action raises.
+                if not done.wait(QUERY_TIMEOUT_SEC):
+                    sc.cancelJobGroup(group)
+                    while not done.wait(2.0):
+                        sc.cancelJobGroup(group)
+
+            th = threading.Thread(target=watchdog, daemon=True)
+            th.start()
+            try:
+                t0 = time.perf_counter()
+                run()
+                elapsed = time.perf_counter() - t0
+            finally:
+                done.set()
+                sc.setJobGroup("bench-idle", "bench-idle")
+            if elapsed > QUERY_TIMEOUT_SEC:
+                raise TimeoutError(
+                    f"{group}: exceeded {QUERY_TIMEOUT_SEC}s wall-clock cap"
+                )
+            ts.append(elapsed)
         return round(min(ts), 4), round(max(ts) - min(ts), 4)
 
     timings: dict[str, float] = {}
@@ -157,7 +199,7 @@ def main() -> None:
         try:
             fn = qs[name]
             timings[name], spread[name] = best_of(
-                3, lambda: fn(spark, SF_DIR).collect()
+                3, lambda: fn(spark, SF_DIR).collect(), group=name
             )
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -175,7 +217,9 @@ def main() -> None:
         aria.run_batch(table, ops, reorder=False).table.count()
 
     try:
-        timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(3, run_aria)
+        timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(
+            3, run_aria, group="aria_ycsb_batch"
+        )
     except Exception as exc:  # noqa: BLE001
         errors["aria_ycsb_batch"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: aria_ycsb_batch FAILED: {errors['aria_ycsb_batch']}", file=sys.stderr)

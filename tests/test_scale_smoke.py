@@ -314,3 +314,54 @@ def test_watermark_audit_hot_type_300k(spark):
         assert r["n_late"] == int((g["late"] > WATERMARK_NS).sum()), t
         assert r["max_lateness_s"] == int(g["late"].max() // 1_000_000_000), t
     assert elapsed < 60, f"300k hot-type watermark audit took {elapsed:.1f}s"
+
+
+def test_semdedup_family_census_at_50k_docs(spark):
+    """The SemDeDup tail (threshold -> connected components ->
+    keep-min-id census) at 50k docs with planted duplicate families:
+    every 100th doc shares one of 10 near-dup texts, so the family
+    graph has 10 components of ~50 members. Proves label propagation
+    converges in a couple of rounds on shallow dup families and the
+    census stays a single groupBy — no pairwise work anywhere."""
+    from pyspark.sql import Window as W
+
+    from gpu_database_spark.llm.dedup import connected_components
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, F.pmod(F.col("id") / 100, F.lit(10)).cast("long"))
+        .otherwise(F.lit(None))
+        .alias("family"),
+        (F.col("id") * 37 % 1000 + 20).alias("n_chars"),
+    )
+    # planted kNN-style edges: consecutive members of the same family
+    members = docs.filter(F.col("family").isNotNull())
+    w = W.partitionBy("family").orderBy("doc_id")
+    edges = (
+        members.withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("a"), F.col("nxt").alias("b"))
+    )
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    fam = connected_components(nodes, edges)
+    census = (
+        fam.join(docs, fam.id == docs.doc_id)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("id") != F.col("component"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_removed"
+            ),
+        )
+        .collect()
+    )
+    assert len(census) == 10
+    assert sum(r.n_members for r in census) == 500
+    # component label is the family's min doc_id: family k's members
+    # are ids (k + 10*j) * 100, so the min is k * 100
+    assert {r.component for r in census} == {i * 100 for i in range(10)}
