@@ -59,6 +59,7 @@ def _load_all() -> None:
         analytics,
         aria_queries,
         asof,
+        behavior,
         extras,
         joins,
         maintenance,
