@@ -125,6 +125,21 @@ HEADLINE = [
     "cdc_apply_changelog",
     "stat_chi2_independence",
     "stat_welch_ttest",
+    # round-6 behavior / data-quality / rank-stat batch
+    "market_basket_lift",
+    "markov_event_transitions",
+    "attribution_last_touch",
+    "timeseries_vwap",
+    "timeseries_acf",
+    "stat_mannwhitney_u",
+    "stat_entropy_mi",
+    "stat_gini_concentration",
+    "stat_benford_digits",
+    "dq_profile_table",
+    "dq_referential_orphans",
+    "sample_weighted_priority",
+    "text_bpe_merge_step",
+    "text_zipf_fit",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -146,3 +146,52 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               CAST(n_chars AS DOUBLE)
+                 / (({_hash_bucket_sql('doc_id')} + 0.5) / 1000000)
+                 AS priority
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(priority, 6) AS priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 25 documents by priority
+    sampling (Duffield/Lund/Thorup): each doc gets priority
+    q = weight / u with u ~ Uniform(0,1] derived from md5(doc_id),
+    and the k largest priorities are the sample — inclusion
+    probability proportional to weight (here n_chars), reproducible
+    on any cluster because u is a pure hash.
+
+    Cross-engine exactness: u = (bucket + 0.5)/1e6 and q = w/u are
+    single IEEE divisions (correctly rounded in both engines — no
+    libm), so priorities are bit-identical and the top-25 with the
+    doc_id tiebreak selects the same set. Scale shape: a narrow map
+    plus TakeOrdered (per-partition top-k, then a k-row merge) — no
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (hash_bucket(F.col("doc_id")) + 0.5) / 1_000_000
+    pri = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    return (
+        pri.select(
+            "doc_id", "source", "n_chars", F.round("priority", 6).alias("priority")
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(25)
+    )

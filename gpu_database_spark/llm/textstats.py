@@ -499,3 +499,149 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        )
+        WHERE length(w) BETWEEN 2 AND 20
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair,
+               SUM(freq) AS cnt
+        FROM words, UNNEST(range(1, length(word))) AS t(i)
+        GROUP BY 1
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM pairs
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration over the corpus at the character
+    level: tokenize to lowercase words, count word frequencies, then
+    count every ADJACENT symbol pair weighted by word frequency — the
+    top pair is the merge a byte-pair-encoding tokenizer trainer
+    would apply next. Reported: the top-20 merge candidates.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    first (one shuffle on word — the standard wordcount), so pair
+    explosion runs over DISTINCT words only (vocabulary-sized, not
+    corpus-sized). Pair generation is a JVM-side higher-order
+    transform over sequence(1, len-1) — no Python UDF — and the pair
+    rollup is a second partial-aggregating groupBy. Counts are
+    integers; the top-k is TakeOrdered with a total tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word").between(2, 20))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    return pairs.orderBy(F.desc("cnt"), "pair").limit(20)
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT w AS token, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        )
+        WHERE w <> '' GROUP BY w
+    ),
+    top AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS r
+        FROM tf ORDER BY freq DESC, token LIMIT 500
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(ln(r) AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ln(freq) AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ln(r) * ln(freq) AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sxy,
+               CAST(SUM(CAST(ln(r) * ln(r) AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sxx
+        FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log(frequency) against log(rank) over the top-500 tokens — a
+    healthy natural-language corpus sits near slope -1, and a big
+    departure flags boilerplate or synthetic text in a corpus audit.
+
+    Scale shape: wordcount shuffle collapses the corpus to the
+    vocabulary, TakeOrdered selects the top-500 (per-partition top-k
+    merge, no global sort), and ONLY that 500-row set sees the
+    rank window (bounded single partition by construction) and the
+    closed-form OLS fold over DECIMAL(27,6) exact sums."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), "token")
+        .limit(500)
+        .select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "token"))
+            .alias("r"),
+        )
+    )
+    lx, ly = F.log(F.col("r").cast("double")), F.log(F.col("freq").cast("double"))
+    m = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx.cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(ly.cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum((lx * ly).cast("decimal(27,6)")).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast("decimal(27,6)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -1,0 +1,134 @@
+"""Data-quality audits: per-column profiling and referential checks.
+
+The pre-flight gates every warehouse load and every training-data
+refresh runs before downstream jobs trust a table: a one-pass column
+profile (null counts, exact distinct cardinalities) and foreign-key
+orphan audits across the star schema. Both are declarative
+aggregation plans — the profile is a single multi-distinct groupBy
+(Catalyst's expand operator gives partial aggregation per distinct
+column), the FK audits are shuffle anti-joins on each key — shapes
+that scale linearly with the fact tables.
+
+Reference tie-in: the reference engine (CUDA KV store,
+src/cuda/hashTable.cuh) has no integrity surface; these supply the
+audit layer SURVEY.md §2B's sources/maintenance categories assume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS col,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           COUNT(*) AS n_rows
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\n    UNION ALL\n".join(parts) + "\n    ORDER BY col"
+
+
+@register("dq_profile_table", oracle=_profile_sql())
+def dq_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table: per column, the null count
+    and EXACT distinct cardinality, plus the row count — the schema
+    fingerprint a loader compares across refreshes to catch silent
+    upstream changes.
+
+    Scale shape: ONE aggregation statement; Spark plans the six exact
+    count-distincts via the expand operator (one pass over the scan,
+    partial aggregation per (column, value) before the final merge).
+    Exact distincts are required here because the oracle hash-compares
+    them; a 100 TB profile would swap in approx_count_distinct per
+    column — same single-pass plan, no expand — which this module
+    deliberately does not register as an oracle query. Outputs are
+    all BIGINT, so there is no float or string-format drift."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct)"
+            ),
+            "n_rows",
+        )
+        .orderBy("col")
+    )
+
+
+_FK_CHECKS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _orphans_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{label}' AS fk,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE c.{ck} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{ck})) AS n_orphans,
+           (SELECT COUNT(*) FROM {child}) AS n_checked"""
+        for label, child, ck, parent, pk in _FK_CHECKS
+    ]
+    return "\n    UNION ALL\n".join(parts) + "\n    ORDER BY fk"
+
+
+@register("dq_referential_orphans", oracle=_orphans_sql())
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared foreign key, the count of child rows whose (non-null) key
+    has no parent, plus the number of rows checked. All four counts
+    being zero is the green light a loader requires before exposing a
+    snapshot.
+
+    Scale shape: each check is a LEFT ANTI join — Spark shuffles both
+    sides on the key (or broadcasts the dimension when it fits, as for
+    part/supplier/customer here) and never materializes matches; the
+    result of each is a single partial-aggregated count. Four
+    independent one-row plans unioned — no driver-side loops over
+    data, only over the fixed constraint list."""
+    out: DataFrame | None = None
+    for label, child, ck, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        checked = c.agg(F.count(F.lit(1)).alias("n_checked"))
+        row = (
+            orphans.crossJoin(F.broadcast(checked))
+            .select(F.lit(label).alias("fk"), "n_orphans", "n_checked")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk")

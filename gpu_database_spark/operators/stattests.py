@@ -171,3 +171,325 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 3).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant_05"),
     )
+
+
+@register(
+    "stat_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    by_v AS (
+        SELECT value, SUM(in1) AS c1, SUM(in2) AS c2
+        FROM s GROUP BY value
+    ),
+    cum AS (
+        SELECT c1, c2, c1 + c2 AS t,
+               COALESCE(SUM(c2) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS less2
+        FROM by_v
+    ),
+    agg AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+               SUM(c1 * (2 * less2 + c2)) AS t2,
+               SUM(t * t * t - t) AS ties
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(t2 AS DOUBLE) / 2, 6) AS u1,
+           round(n1 * n2 - CAST(t2 AS DOUBLE) / 2, 6) AS u2,
+           round((CAST(t2 AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z,
+           abs((CAST(t2 AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+               / sqrt(CAST(n1 * n2 AS DOUBLE) / 12
+                      * ((n1 + n2 + 1)
+                         - CAST(ties AS DOUBLE)
+                           / ((n1 + n2) * (n1 + n2 - 1))))) > 1.96
+             AS significant_05
+    FROM agg
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test between the 'view' and
+    'purchase' value samples, with the normal approximation z-score
+    including the tie correction — the nonparametric sibling of
+    stat_welch_ttest for drift gates that must not assume normality.
+
+    U1 = sum over distinct values v of c1(v) * (#sample-2 < v +
+    c2(v)/2), kept as the integer 2*U1 until the final division so
+    every intermediate is exact. The cumulative "sample-2 below v"
+    count is the SAME two-level decomposition as stat_ks_test
+    (maintenance.py): exclusive running sums within each
+    floor(value) bucket (thousands of independent partitions) plus an
+    exclusive prefix over the tiny bucket-totals table — never a
+    global single-partition window over the distinct-value stream.
+    The oracle states the plain global-window form; both select
+    identical integers, so the closed-form z hash-matches."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    from pyspark.sql import Window
+
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("in1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("in2"),
+    )
+    by_v = s.groupBy("value").agg(
+        F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
+    )
+    b = by_v.withColumn("_bkt", F.floor("value").cast("long"))
+    wl = Window.partitionBy("_bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.select(
+        "_bkt", "c1", "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.coalesce(F.sum("c2").over(wl), F.lit(0)).alias("_l2"),
+    )
+    bt = b.groupBy("_bkt").agg(F.sum("c2").alias("_b2"))
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "_bkt", F.coalesce(F.sum("_b2").over(wo), F.lit(0)).alias("_o2")
+    )
+    cum = local.join(F.broadcast(off), "_bkt").select(
+        "c1", "c2", "t", (F.col("_o2") + F.col("_l2")).alias("less2")
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("less2") + F.col("c2"))).alias("t2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("t2").cast("double") / 2
+    mu = (n1 * n2).cast("double") / 2
+    sigma = F.sqrt(
+        (n1 * n2).cast("double") / 12
+        * (
+            (n1 + n2 + 1)
+            - F.col("ties").cast("double") / ((n1 + n2) * (n1 + n2 - 1))
+        )
+    )
+    z = (u1 - mu) / sigma
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        F.round(n1 * n2 - u1, 6).alias("u2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    )
+
+
+@register(
+    "stat_entropy_mi",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type AS x, CAST(floor(value / 20) AS BIGINT) AS y,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(c) AS n FROM joint),
+    hx AS (
+        SELECT CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / n)
+                             * log2(CAST(cx AS DOUBLE) / n)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS h
+        FROM (SELECT x, SUM(c) AS cx FROM joint GROUP BY x), n
+    ),
+    hy AS (
+        SELECT CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / n)
+                             * log2(CAST(cy AS DOUBLE) / n)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS h
+        FROM (SELECT y, SUM(c) AS cy FROM joint GROUP BY y), n
+    ),
+    hxy AS (
+        SELECT CAST(SUM(CAST(-(CAST(c AS DOUBLE) / n)
+                             * log2(CAST(c AS DOUBLE) / n)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS h
+        FROM joint, n
+    )
+    SELECT round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+           round(hxy.h, 6) AS h_xy,
+           round(hx.h + hy.h - hxy.h, 6) AS mutual_info,
+           CAST((SELECT n FROM n) AS BIGINT) AS n
+    FROM hx, hy, hxy
+    """,
+)
+def stat_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of event_type (X), of the value-ventile bucket
+    (Y), of their joint, and the mutual information I(X;Y) =
+    H(X)+H(Y)-H(XY) — the dependence screen a feature-selection or
+    mix-balancing pass runs over a corpus.
+
+    Scale shape: ONE groupBy collapses the stream to the joint
+    contingency table (|types| x |buckets| ~ 100 rows); marginals and
+    all three entropies are arithmetic over that tiny table with
+    broadcast scalar joins. Each -p*log2(p) term is truncated to
+    DECIMAL(27,6) before summing (the repo's exact-sum discipline) so
+    the sums are order-independent and hash-match DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    joint = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 20).cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = joint.agg(F.sum("c").alias("n"))
+
+    def _h(df: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n")
+        term = (-p * F.log2(p)).cast("decimal(27,6)")
+        return df.crossJoin(F.broadcast(n)).agg(
+            F.sum(term).cast("double").alias("h")
+        )
+
+    hx = _h(joint.groupBy("x").agg(F.sum("c").alias("cx")), "cx")
+    hy = _h(joint.groupBy("y").agg(F.sum("c").alias("cy")), "cy")
+    hxy = _h(joint, "c")
+    return (
+        hx.select(F.col("h").alias("_hx"))
+        .crossJoin(hy.select(F.col("h").alias("_hy")))
+        .crossJoin(hxy.select(F.col("h").alias("_hxy")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round("_hx", 6).alias("h_x"),
+            F.round("_hy", 6).alias("h_y"),
+            F.round("_hxy", 6).alias("h_xy"),
+            F.round(F.col("_hx") + F.col("_hy") - F.col("_hxy"), 6).alias(
+                "mutual_info"
+            ),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "stat_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, ck) AS i FROM rev
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS tot,
+               CAST(SUM(CAST(i * r AS DECIMAL(27,6))) AS DOUBLE) AS s
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(tot, 2) AS total_revenue,
+           round(2 * s / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers:
+    G = 2*sum(i * x_i)/(n * sum(x)) - (n+1)/n over revenues sorted
+    ascending with rank i — the inequality gate a marketplace-health
+    or data-mix audit runs.
+
+    Scale shape: ranks are assigned WITHOUT a global sort via the
+    histogram-bucket rank plan of stat_exact_quantiles_distributed:
+    row_number only within each floor(rev/1000) bucket (independent
+    tasks), offset by the exclusive prefix of the tiny bucket-counts
+    table — so the 100 TB fact stream is first collapsed to one row
+    per customer, then ranked with no single-partition window. The
+    oracle states the plain ROW_NUMBER form; both assign identical
+    ranks because the (rev, custkey) order is total."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        dsum(F.col("o_totalprice")).alias("r")
+    )
+    b = rev.withColumn("_bkt", F.floor(F.col("r") / 1000).cast("long"))
+    wl = Window.partitionBy("_bkt").orderBy("r", "ck")
+    local = b.select("_bkt", "r", F.row_number().over(wl).alias("_rn"))
+    bt = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "_bkt", F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_base")
+    )
+    ranked = local.join(F.broadcast(off), "_bkt").select(
+        "r", (F.col("_base") + F.col("_rn")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("r")).alias("tot"),
+        dsum(F.col("i") * F.col("r")).alias("s"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            2 * F.col("s") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stat_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit,
+               COUNT(*) AS n_obs
+        FROM lineitem WHERE l_extendedprice >= 1
+        GROUP BY 1
+    ),
+    n AS (SELECT SUM(n_obs) AS n FROM d)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+           round(log10(1 + CAST(1 AS DOUBLE)
+                           / CAST(digit AS BIGINT)), 6) AS benford_share,
+           round(abs(CAST(n_obs AS DOUBLE) / n
+                     - log10(1 + CAST(1 AS DOUBLE)
+                                 / CAST(digit AS BIGINT))), 6) AS gap
+    FROM d, n ORDER BY digit
+    """,
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem extended prices:
+    observed leading-digit shares vs the Benford expectation
+    log10(1 + 1/d) — the classic synthetic-data / fraud smell test a
+    data-quality gate runs over monetary columns.
+
+    Scale shape: the leading digit is string arithmetic on the
+    integer part (no log-of-value bucketing, so no libm on the data
+    path), one 9-row groupBy with map-side combine, and a broadcast
+    scalar total. The expectation is closed-form per digit; shares
+    are single integer divisions — engine-exact before round()."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.groupBy(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    n = d.agg(F.sum("n_obs").alias("n"))
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    ben = F.log10(1 + F.lit(1).cast("double") / F.col("digit").cast("long"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(obs, 6).alias("obs_share"),
+            F.round(ben, 6).alias("benford_share"),
+            F.round(F.abs(obs - ben), 6).alias("gap"),
+        )
+        .orderBy("digit")
+    )

@@ -60,6 +60,7 @@ def _load_all() -> None:
         aria_queries,
         asof,
         behavior,
+        dataquality,
         extras,
         joins,
         maintenance,
