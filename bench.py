@@ -140,6 +140,15 @@ HEADLINE = [
     "sample_weighted_priority",
     "text_bpe_merge_step",
     "text_zipf_fit",
+    "join_asof_forward",
+    "events_time_to_convert",
+    "cohort_ltv",
+    "text_bigram_surprisal",
+    "events_top_paths",
+    "events_rfm_segmentation",
+    "pareto_abc_classification",
+    "timeseries_trend_slope",
+    "graph_jaccard_neighbors",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

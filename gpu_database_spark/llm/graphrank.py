@@ -317,3 +317,86 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "core_degree")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM n) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {{n_links}})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    sym AS (
+        SELECT src AS u, dst AS w FROM edges
+        UNION
+        SELECT dst AS u, src AS w FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    common AS (
+        SELECT a.u AS u, b.u AS v, COUNT(*) AS c
+        FROM sym a JOIN sym b ON a.w = b.w AND a.u < b.u
+        GROUP BY 1, 2
+    )
+    SELECT common.u AS u, common.v AS v, c AS n_common,
+           round(CAST(c AS DOUBLE) / (du.d + dv.d - c), 6) AS jaccard
+    FROM common
+    JOIN deg du ON du.u = common.u
+    JOIN deg dv ON dv.u = common.v
+    ORDER BY jaccard DESC, common.u, common.v
+    LIMIT 15
+    """.replace("{n_links}", str(N_LINKS)),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-similarity top-15: node pairs ranked by Jaccard
+    similarity of their (undirected) neighbor sets — |N(u) ∩ N(v)| /
+    |N(u) ∪ N(v)| — the link-based near-duplicate/mirror detector
+    that complements content MinHash (text_knn_graph) on a crawl
+    graph.
+
+    Scale shape: common-neighbor counting joins the symmetric
+    adjacency list with itself ON THE SHARED NEIGHBOR, so each
+    neighbor w contributes deg(w)^2 candidate pairs — bounded here by
+    the md5 graph's near-uniform degrees; on a power-law crawl graph
+    the standard production guard (cap or sample hub adjacency before
+    the join) applies and is documented rather than needed. Degrees
+    broadcast back; Jaccard is one integer division."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg + both join sides once
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = sym.alias("a")
+    b = sym.alias("b")
+    common = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.select(F.col("u").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("c").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(15)
+    )

@@ -645,3 +645,90 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+    scored AS (
+        SELECT o.doc_id,
+               -log2(CAST(b.c12 AS DOUBLE) / u.c1) AS s
+        FROM occ o
+        JOIN big b ON o.w1 = b.w1 AND o.w2 = b.w2
+        JOIN uni u ON o.w1 = u.w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(s AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    ORDER BY mean_surprisal DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    bigram language model: -log2 P(w2|w1) with P estimated from
+    corpus bigram/left-context counts — the sequence-level
+    perplexity-style quality filter one step up from
+    text_unigram_surprisal (word-order-aware, so shuffled or
+    templated text scores high). Reports the 10 most surprising docs.
+
+    Scale shape: bigram occurrences explode once (narrow map); the
+    model tables are two partial-aggregating groupBys over them; the
+    scoring join shuffles occurrences by bigram key — the standard
+    wordcount-join topology whose fan-in is the vocabulary, never a
+    cross join. Per-occurrence surprisal terms truncate to
+    DECIMAL(27,6) before the per-doc mean, so both engines hash-match
+    (the count ratio inside log2 is a single IEEE division)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(trim(lower(text)), ' ')) - 1),"
+                " i -> struct(split(trim(lower(text)), ' ')[i - 1] AS w1,"
+                "             split(trim(lower(text)), ' ')[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    # Materialize the bigram model once: it feeds both the left-context
+    # rollup and the scoring join, and without this the occurrence
+    # explode would execute three times (model build here is the
+    # "train" step a real pipeline persists anyway).
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            (-F.log2(F.col("c12").cast("double") / F.col("c1"))).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy(F.desc("mean_surprisal"), "doc_id")
+        .limit(10)
+    )

@@ -212,3 +212,93 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("fx_rate"),
         rate.isNull().alias("is_stale"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH rates AS (
+        SELECT i AS rate_id,
+               TIMESTAMP '1995-01-01 00:00:00' + to_days(CAST(i * 90 AS INTEGER)) AS valid_from,
+               round(1.0 + 0.01 * (i % 7), 2) AS fx_rate
+        FROM range(0, 30) t(i)
+    )
+    SELECT o_orderkey, o_totalprice, next_rate,
+           CASE WHEN next_rate IS NOT NULL
+                THEN round(o_totalprice * next_rate, 4) END AS converted_next
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               (SELECT min_by(fx_rate, valid_from)
+                FROM rates WHERE valid_from > o_orderdate) AS next_rate
+        FROM orders WHERE o_orderkey <= 500
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'):
+    each order picks the NEXT rate strictly after its date — the
+    "what will this reprice to" lookup, the mirror of
+    join_asof_prevailing's carry-forward.
+
+    Same linear union plan, reflected: right rows sort AFTER left
+    rows at equal timestamps (strict >), and first(ignorenulls) over
+    a currentRow..unboundedFollowing frame carries the next value
+    backward. One shuffle on the series key, no range join, no
+    per-row subquery."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("_k", F.lit(1))
+    )
+    rates = spark.range(0, 30).select(
+        F.lit(1).alias("_k"),
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(days=F.col("id").cast("int") * 90)
+        ).alias("valid_from"),
+        F.round(1.0 + 0.01 * (F.col("id") % 7), 2).alias("fx_rate"),
+    )
+    l_aug = o.select(
+        "_k",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("_t"),
+        F.lit(1).alias("_src"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("double").alias("fx_rate"),
+    )
+    r_aug = rates.select(
+        "_k",
+        F.col("valid_from").alias("_t"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "fx_rate",
+    )
+    # right rows (_src=0) sort BEFORE left rows at equal _t, so a rate
+    # AT t falls outside an order-at-t's following frame (strict >).
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_src").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l_aug.unionByName(r_aug).select(
+        "_src",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("fx_rate", ignorenulls=True).over(w).alias("next_rate"),
+    )
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "next_rate",
+            F.when(
+                F.col("next_rate").isNotNull(),
+                F.round(F.col("o_totalprice") * F.col("next_rate"), 4),
+            ).alias("converted_next"),
+        )
+        .orderBy("o_orderkey")
+    )

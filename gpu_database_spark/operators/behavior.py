@@ -68,10 +68,18 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts — bit-identical cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # Materialize the basket-items table ONCE: five consumers read it
+    # (both pair-join sides, two singleton-count joins, the scalar
+    # total) and Catalyst cannot reuse the distinct exchange across
+    # them — without this the lineitem scan+join+distinct would
+    # execute five times. Same pattern/tradeoff as lsh_candidate_pairs
+    # (llm/dedup.py): on a real cluster swap in
+    # persist(MEMORY_AND_DISK)+count for fault-tolerant blocks.
     items = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = items.agg(F.countDistinct("ok").alias("n_baskets"))
     sing = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
@@ -318,35 +326,488 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (F.sum(F.col("value").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias("v")
     )
-    outs = []
-    for k in (1, 2, 3):
-        w = Window.partitionBy("event_type").orderBy("hour")
-        lagged = hourly.select(
-            "event_type", "v", F.lag("v", k).over(w).alias("vl")
-        ).filter(F.col("vl").isNotNull())
-        m = lagged.groupBy("event_type").agg(
-            F.lit(k).cast("long").alias("lag"),
-            F.count(F.lit(1)).alias("n"),
-            dsum(F.col("v")).alias("sx"),
-            dsum(F.col("vl")).alias("sy"),
-            dsum(F.col("v") * F.col("vl")).alias("sxy"),
-            dsum(F.col("v") * F.col("v")).alias("sxx"),
-            dsum(F.col("vl") * F.col("vl")).alias("syy"),
+    # ONE window produces all three lags, then stack unpivots to
+    # (lag, v, vl) rows so a single groupBy folds every lag's moments
+    # — the raw stream is scanned exactly once and the post-collapse
+    # series never re-derives per lag.
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    long = lagged.select(
+        "event_type",
+        "v",
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), v1, CAST(2 AS BIGINT), v2,"
+            " CAST(3 AS BIGINT), v3) AS (lag, vl)"
+        ),
+    ).filter(F.col("vl").isNotNull())
+    m = long.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("v")).alias("sx"),
+        dsum(F.col("vl")).alias("sy"),
+        dsum(F.col("v") * F.col("vl")).alias("sxy"),
+        dsum(F.col("v") * F.col("v")).alias("sxx"),
+        dsum(F.col("vl") * F.col("vl")).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+            6,
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, value, epoch_ns(ts) AS t_ns,
+               LAST_VALUE(CASE WHEN event_type = 'view'
+                               THEN epoch_ns(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_view_ns
+        FROM events
+    ),
+    conv AS (
+        SELECT (t_ns - last_view_ns) // 3600000000000 AS hours_to_convert,
+               value
+        FROM tagged
+        WHERE event_type = 'purchase' AND last_view_ns IS NOT NULL
+    )
+    SELECT hours_to_convert, COUNT(*) AS n_purchases,
+           round({dsum_sql('value')} / COUNT(*), 6) AS avg_value
+    FROM conv GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert histogram: for each purchase preceded by a view
+    in the same user's timeline, the whole-hour delay since that view,
+    with the purchase count and mean basket value per delay bucket —
+    the conversion-latency curve behind attribution_last_touch.
+
+    Scale shape: the SAME single running-last window (partitioned by
+    high-cardinality user_id) as attribution_last_touch, carrying the
+    last view timestamp instead of the channel; the delay is integer
+    nanosecond arithmetic (exact in both engines) and the census is
+    one small groupBy. Mean value uses the DECIMAL(27,6) exact sum."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "event_type",
+        "value",
+        F.col("ts_ns").alias("t_ns"),
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts_ns")),
+            ignorenulls=True,
         )
-        outs.append(
-            m.select(
-                "event_type",
-                "lag",
-                "n",
-                F.round(
-                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                    / F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    / F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
-                    6,
-                ).alias("acf"),
-            )
+        .over(w)
+        .alias("last_view_ns"),
+    )
+    conv = tagged.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_ns").isNotNull()
+    ).select(
+        F.expr("(t_ns - last_view_ns) div 3600000000000").alias(
+            "hours_to_convert"
+        ),
+        "value",
+    )
+    return (
+        conv.groupBy("hours_to_convert")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(dsum(F.col("value")) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out.orderBy("event_type", "lag")
+        .orderBy("hours_to_convert")
+    )
+
+
+@register(
+    "cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(epoch_ns(ts)) AS first_ns
+        FROM events GROUP BY user_id
+    ),
+    aged AS (
+        SELECT f.user_id,
+               f.first_ns // 604800000000000 AS cohort_week,
+               (epoch_ns(e.ts) - f.first_ns) // 604800000000000 AS age_w,
+               CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END
+                 AS rev
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    weekly AS (
+        SELECT cohort_week, age_w,
+               COUNT(DISTINCT user_id) AS n_active,
+               CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) AS rev_w
+        FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_week, age_w, n_active,
+           round(rev_w, 2) AS revenue,
+           round(SUM(rev_w) OVER (PARTITION BY cohort_week
+                                  ORDER BY age_w
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 2)
+             AS cum_revenue
+    FROM weekly ORDER BY cohort_week, age_w
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users are cohorted by the week of
+    their first event; each (cohort_week, age-in-weeks) cell reports
+    active users, purchase revenue, and the cohort's running
+    cumulative revenue — the LTV table behind cohort_retention.
+
+    Scale shape: first-event timestamps are one groupBy over user_id,
+    joined back on the same high-cardinality key (one co-partitioned
+    shuffle); the stream then collapses to |cohorts| x |ages| cells
+    and ONLY that tiny table sees the cumulative window. Epoch-week
+    arithmetic is integer nanoseconds — exact in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wk = 604_800_000_000_000
+    firsts = e.groupBy("user_id").agg(F.min("ts_ns").alias("first_ns"))
+    aged = e.join(firsts, "user_id").select(
+        "user_id",
+        F.expr(f"first_ns div {wk}").alias("cohort_week"),
+        F.expr(f"(ts_ns - first_ns) div {wk}").alias("age_w"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0)
+        .alias("rev"),
+    )
+    weekly = aged.groupBy("cohort_week", "age_w").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        dsum(F.col("rev")).alias("rev_w"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "age_w",
+        "n_active",
+        F.round("rev_w", 2).alias("revenue"),
+        F.round(F.sum("rev_w").over(wcum), 2).alias("cum_revenue"),
+    ).orderBy("cohort_week", "age_w")
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths across user timelines —
+    the sequence-mining census behind funnel design (which paths
+    actually happen, vs the one you instrumented).
+
+    Scale shape: one LEAD window partitioned by high-cardinality
+    user_id yields every length-3 subpath in a single pass; the path
+    census is a partial-aggregating groupBy over at most |types|^3
+    keys, and the top-10 is TakeOrdered with a total tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_ns(ts)) AS recency_ns,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0 END
+                             AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT COUNT(*) AS n FROM per_user),
+    ranked AS (
+        SELECT user_id, monetary,
+               ROW_NUMBER() OVER (ORDER BY recency_ns, user_id) AS ir,
+               ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS if_,
+               ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS im
+        FROM per_user
+    ),
+    seg AS (
+        SELECT CAST(ceil(CAST(5 AS DOUBLE) * ir / n) AS BIGINT) AS r_q,
+               CAST(ceil(CAST(5 AS DOUBLE) * if_ / n) AS BIGINT) AS f_q,
+               CAST(ceil(CAST(5 AS DOUBLE) * im / n) AS BIGINT) AS m_q,
+               monetary
+        FROM ranked, n
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+           round(CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE), 2)
+             AS segment_monetary
+    FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user scored 1-5 on Recency (last event
+    time), Frequency (event count) and Monetary (purchase value);
+    output is the segment census with total monetary value. Quintile
+    q = ceil(5*rank/n) from the exact global rank (stated explicitly
+    instead of NTILE so both engines split remainders identically).
+
+    Scale shape: the stream collapses to one row per user first; all
+    three ranks come from the factored histogram-bucket plan
+    (functions/ranks.py) — row_number only within (metric-bucket)
+    slices plus broadcast offsets, never a global single-partition
+    sort. The oracle states the plain ROW_NUMBER form; ranks are
+    identical because each order is total."""
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts_ns").alias("recency_ns"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)
+        ).alias("monetary"),
+    )
+    n = per_user.agg(F.count(F.lit(1)).alias("n"))
+    day_ns = 86_400_000_000_000
+    r = bucketed_row_number(
+        per_user, "recency_ns", ["user_id"],
+        F.floor(F.col("recency_ns") / day_ns), rank_col="ir",
+    )
+    rf = bucketed_row_number(
+        r, "frequency", ["user_id"], F.floor(F.col("frequency") / 10),
+        rank_col="if_",
+    )
+    rfm = bucketed_row_number(
+        rf, "monetary", ["user_id"], F.floor(F.col("monetary") / 100),
+        rank_col="im",
+    )
+    seg = rfm.crossJoin(F.broadcast(n)).select(
+        F.ceil(5.0 * F.col("ir") / F.col("n")).cast("long").alias("r_q"),
+        F.ceil(5.0 * F.col("if_") / F.col("n")).cast("long").alias("f_q"),
+        F.ceil(5.0 * F.col("im") / F.col("n")).cast("long").alias("m_q"),
+        "monetary",
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(dsum(F.col("monetary")), 2).alias("segment_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@register(
+    "pareto_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS r
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS t
+            FROM rev),
+    cum AS (
+        SELECT r,
+               SUM(CAST(r AS DECIMAL(27,6)))
+                 OVER (ORDER BY r DESC, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS c
+        FROM rev
+    ),
+    cls AS (
+        SELECT r,
+               CASE WHEN CAST(c AS DOUBLE) / t <= 0.8 THEN 'A'
+                    WHEN CAST(c AS DOUBLE) / t <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM cum, tot
+    )
+    SELECT abc, COUNT(*) AS n_parts,
+           round(CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE), 2)
+             AS class_revenue,
+           round(CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS revenue_share
+    FROM cls GROUP BY abc ORDER BY abc
+    """,
+)
+def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts are
+    ranked by revenue descending; the first 80% of cumulative revenue
+    is class A, the next 15% class B, the tail class C — the
+    inventory-prioritization census (the "80/20" audit).
+
+    Scale shape: the fact stream collapses to one row per part; the
+    descending cumulative revenue is the TWO-LEVEL prefix sum
+    (running DECIMAL(27,6) sums within each floor(rev/100) bucket +
+    exclusive offsets over the tiny bucket-totals table, both ordered
+    descending) — no global single-partition window. Cumulative sums
+    are exact decimals in both engines, so the 0.8/0.95 boundary
+    classification cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum(F.col("l_extendedprice")).alias("r")
+    )
+    tot = rev.agg(dsum(F.col("r")).alias("t"))
+    b = rev.withColumn("_bkt", F.floor(F.col("r") / 100).cast("long"))
+    wl = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("r").desc(), F.col("pk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn(
+        "_lc", F.sum(F.col("r").cast("decimal(27,6)")).over(wl)
+    )
+    bt = b.groupBy("_bkt").agg(
+        F.sum(F.col("r").cast("decimal(27,6)")).alias("_bc")
+    )
+    wo = Window.orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bt.select(
+        "_bkt",
+        F.coalesce(F.sum("_bc").over(wo), F.lit(0).cast("decimal(27,6)")).alias(
+            "_off"
+        ),
+    )
+    cum = (
+        local.join(F.broadcast(off), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            ((F.col("_off") + F.col("_lc")).cast("double") / F.col("t")).alias(
+                "share"
+            ),
+            "t",
+        )
+    )
+    cls = cum.select(
+        "r",
+        "t",
+        F.when(F.col("share") <= 0.8, "A")
+        .when(F.col("share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(dsum(F.col("r")), 2).alias("class_revenue"),
+            F.round(dsum(F.col("r")) / F.max("t"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+@register(
+    "timeseries_trend_slope",
+    oracle="""
+    WITH monthly AS (
+        SELECT p.p_brand AS brand,
+               CAST(date_part('year', l.l_shipdate) * 12
+                    + date_part('month', l.l_shipdate) AS BIGINT) AS m,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT brand, COUNT(*) AS n,
+               SUM(m) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(m * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+               SUM(m * m) AS sxx
+        FROM monthly GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_months,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 2)
+             AS intercept
+    FROM mom ORDER BY brand
+    """,
+)
+def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue trend: OLS slope of monthly revenue against
+    the month index — the grouped drift detector behind "which product
+    lines are growing/shrinking", one regression per group in a single
+    pass.
+
+    Scale shape: the fact stream collapses to (brand, month) cells
+    first (one partial-aggregating shuffle, part side broadcast); the
+    per-brand moment fold then runs over ~25 x 84 rows. Month index is
+    integer arithmetic; revenue and the xy moment go through
+    DECIMAL(27,6) exact sums; the closed-form slope is a fixed op
+    sequence mirrored in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(dsum(F.col("l_extendedprice")).alias("y"))
+    )
+    mom = monthly.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("m") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2).alias(
+            "intercept"
+        ),
+    ).orderBy("brand")

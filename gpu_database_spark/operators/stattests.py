@@ -336,10 +336,17 @@ def stat_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(27,6) before summing (the repo's exact-sum discipline) so
     the sums are order-independent and hash-match DuckDB."""
     e = load_table(spark, sf_dir, "events")
-    joint = e.groupBy(
-        F.col("event_type").alias("x"),
-        F.floor(F.col("value") / 20).cast("long").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # The joint table feeds four consumers (both marginals, the joint
+    # entropy, the total); materialize the ~100-row result once so the
+    # 100 TB stream is scanned exactly once, not four times.
+    joint = (
+        e.groupBy(
+            F.col("event_type").alias("x"),
+            F.floor(F.col("value") / 20).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n = joint.agg(F.sum("c").alias("n"))
 
     def _h(df: DataFrame, cnt: str) -> DataFrame:

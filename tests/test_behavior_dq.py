@@ -237,3 +237,181 @@ def test_market_basket_dims_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 3, plan
+
+
+def test_asof_forward_strictly_after(spark, sf_dir):
+    """Every picked rate must start strictly after the order date, and
+    it must be the EARLIEST such rate (pandas merge_asof 'forward'
+    semantics, checked directly against the rate schedule)."""
+    import datetime
+
+    from gpu_database_spark.operators.asof import join_asof_forward
+    from gpu_database_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(1995, 1, 1)
+    sched = [
+        (base + datetime.timedelta(days=90 * i), round(1.0 + 0.01 * (i % 7), 2))
+        for i in range(30)
+    ]
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .collect()
+    }
+    for r in join_asof_forward(spark, sf_dir).collect():
+        od = orders[r.o_orderkey]
+        odt = datetime.datetime(od.year, od.month, od.day)
+        nxt = [rate for vf, rate in sched if vf > odt]
+        want = nxt[0] if nxt else None
+        assert r.next_rate == want, (r.o_orderkey, od, r.next_rate, want)
+
+
+def test_time_to_convert_nonnegative_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.operators.behavior import events_time_to_convert
+    from gpu_database_spark.sources.catalog import load_table
+
+    rows = events_time_to_convert(spark, sf_dir).collect()
+    assert rows
+    total_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert all(r.hours_to_convert >= 0 for r in rows)
+    assert sum(r.n_purchases for r in rows) <= total_purchases
+
+
+def test_cohort_ltv_cumulative_is_monotone(spark, sf_dir):
+    from gpu_database_spark.operators.behavior import cohort_ltv
+
+    rows = cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    last: dict[int, float] = {}
+    for r in rows:  # ordered by (cohort_week, age_w)
+        prev = last.get(r.cohort_week, 0.0)
+        assert r.cum_revenue >= prev - 1e-6
+        assert abs(r.cum_revenue - prev - r.revenue) < 0.02
+        last[r.cohort_week] = r.cum_revenue
+
+
+def test_bigram_surprisal_nonnegative(spark, sf_dir):
+    from gpu_database_spark.llm.textstats import text_bigram_surprisal
+
+    rows = text_bigram_surprisal(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_surprisal >= 0
+        assert r.n_bigrams > 0
+
+
+def test_top_paths_counts_consistent(spark, sf_dir):
+    from gpu_database_spark.operators.behavior import events_top_paths
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert len(r.path.split(">")) == 3
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_rfm_quintiles_cover_users(spark, sf_dir):
+    from gpu_database_spark.operators.behavior import events_rfm_segmentation
+    from gpu_database_spark.sources.catalog import load_table
+
+    rows = events_rfm_segmentation(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_q <= 5 and 1 <= r.f_q <= 5 and 1 <= r.m_q <= 5
+
+
+def test_pareto_classes_partition_revenue(spark, sf_dir):
+    from gpu_database_spark.operators.behavior import pareto_abc_classification
+
+    rows = {r.abc: r for r in pareto_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    # A carries the bulk of revenue with fewer parts than C (Pareto)
+    if "A" in rows and "C" in rows:
+        assert rows["A"].revenue_share > rows["C"].revenue_share
+
+
+def test_trend_slope_recovers_ols(spark, sf_dir):
+    """Spot-check one brand's slope against numpy polyfit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.operators.behavior import timeseries_trend_slope
+    from gpu_database_spark.sources.catalog import load_table
+
+    rows = timeseries_trend_slope(spark, sf_dir).collect()
+    assert rows
+    brand = rows[0].brand
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    monthly = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m")
+        )
+        .agg(F.sum("l_extendedprice").alias("y"))
+        .collect()
+    )
+    x = np.array([r.m for r in monthly], dtype=float)
+    y = np.array([r.y for r in monthly])
+    slope = np.polyfit(x, y, 1)[0]
+    got = rows[0].slope
+    assert abs(got - slope) < max(1e-3, abs(slope) * 1e-3)
+
+
+def test_jaccard_neighbors_bounded(spark, sf_dir):
+    from gpu_database_spark.llm.graphrank import graph_jaccard_neighbors
+
+    rows = graph_jaccard_neighbors(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.jaccard <= 1
+        assert r.u < r.v
+        assert r.n_common >= 1
+
+
+def test_bucketed_row_number_matches_global_sort(spark):
+    """The factored two-level rank (functions/ranks.py) must assign
+    exactly the ranks a global ROW_NUMBER would, including on skewed
+    and tied data, in both directions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    # skewed values (many ties at 0 and 7), deterministic
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.when(F.col("id") % 7 == 0, 0)
+         .when(F.col("id") % 11 == 0, 7)
+         .otherwise((F.col("id") * 37) % 500)).cast("double").alias("v"),
+    )
+    for ascending in (True, False):
+        got = bucketed_row_number(
+            df, "v", ["id"], F.floor(F.col("v") / 50), rank_col="i",
+            ascending=ascending,
+        )
+        order = (
+            [F.col("v").asc(), F.col("id").asc()]
+            if ascending
+            else [F.col("v").desc(), F.col("id").desc()]
+        )
+        want = df.withColumn("i", F.row_number().over(Window.orderBy(*order)))
+        diff = (
+            got.select("id", "i")
+            .exceptAll(want.select("id", "i"))
+            .count()
+        )
+        assert diff == 0, f"ascending={ascending}: {diff} rank mismatches"
