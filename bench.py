@@ -149,6 +149,10 @@ HEADLINE = [
     "pareto_abc_classification",
     "timeseries_trend_slope",
     "graph_jaccard_neighbors",
+    "timeseries_ewma",
+    "join_left_mark",
+    "fn_collation",
+    "join_interval_binned",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

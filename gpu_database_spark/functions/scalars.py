@@ -501,3 +501,46 @@ def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                    ELSE p_type END AS t
+        FROM part
+    )
+    SELECT COUNT(DISTINCT t) AS n_binary,
+           COUNT(DISTINCT lower(t)) AS n_ci,
+           CAST(SUM(CASE WHEN t = upper(t) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uppercased
+    FROM mixed
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: distinct part types counted under
+    the default binary collation vs UTF8_LCASE (case-insensitive) —
+    the engine-level alternative to sprinkling lower() through every
+    comparison. The fixture has one case per type, so the query first
+    upper-cases half the rows to make the two counts genuinely
+    diverge.
+
+    The case-insensitive count uses a genuinely collated column
+    (collate(t, 'UTF8_LCASE')) so grouping/equality semantics come
+    from the type, not an expression rewrite; the oracle states the
+    equivalent lower() form (DuckDB's NOCASE collation would also
+    work). One aggregation pass, JVM-side throughout."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t")
+    )
+    return mixed.agg(
+        F.count_distinct(F.col("t")).alias("n_binary"),
+        F.count_distinct(F.expr("collate(t, 'UTF8_LCASE')")).alias("n_ci"),
+        F.sum(F.when(F.col("t") == F.upper("t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_uppercased"),
+    )

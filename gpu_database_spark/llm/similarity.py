@@ -550,3 +550,69 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+PCA_POWER_ITERS = 300  # fixed-count power iteration on the d x d Gram
+
+
+@register("embed_pca_power")  # rows-only: iterative eigen-solve has no SQL oracle
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus by the
+    two-phase pattern every distributed PCA uses: (1) the d x d
+    scatter matrix of mean-centered vectors is computed as
+    PER-PARTITION numpy partials (Arrow-batched mapInPandas emits one
+    flattened X_c^T X_c + count + column-sum triple per batch) and
+    summed — one pass, shuffle bytes O(d^2) per partition, never
+    O(n); (2) the eigen-solve runs on the driver over the BOUNDED
+    d x d matrix (d=64 -> 4 KB), fixed 300 power iterations from a
+    deterministic start, sign-fixed so the largest-|loading|
+    component is positive. Centering uses the algebraic identity
+    scatter = X^T X - n * mean mean^T, so no second data pass.
+
+    Returns (component, loading, eigenvalue, explained_ratio) — 64
+    rows. Correctness is pytest-gated against numpy.linalg.eigh on
+    the collected fixture (tests/test_behavior_dq.py); the driver
+    records the rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    d_tbl = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def gram_partials(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "colsum": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = d_tbl.select("embedding").mapInPandas(
+        gram_partials,
+        schema="n double, colsum array<double>, xtx array<double>",
+    )
+    rows = parts.collect()  # O(#batches) rows of size d^2 — bounded
+    n = sum(r.n for r in rows)
+    colsum = np.sum([np.array(r.colsum) for r in rows], axis=0)
+    xtx = np.sum([np.array(r.xtx).reshape(dim, dim) for r in rows], axis=0)
+    mean = colsum / n
+    scatter = xtx - n * np.outer(mean, mean)
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(PCA_POWER_ITERS):
+        w = scatter @ v
+        v = w / np.linalg.norm(w)
+    eigval = float(v @ scatter @ v) / (n - 1)  # sample variance along v
+    total_var = float(np.trace(scatter)) / (n - 1)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    out = [
+        (int(i), float(v[i]), eigval, eigval / total_var) for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "component int, loading double, eigenvalue double, explained_ratio double"
+    )

@@ -691,16 +691,24 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(27,6) before the per-doc mean, so both engines hash-match
     (the count ratio inside log2 is a single IEEE division)."""
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(trim(lower(text)), ' ')) - 1),"
-                " i -> struct(split(trim(lower(text)), ' ')[i - 1] AS w1,"
-                "             split(trim(lower(text)), ' ')[i] AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    # words array is projected FIRST: referencing split() inside the
+    # transform lambda would re-tokenize the document once per element
+    # (quadratic in doc length — measured 4x the whole-query time).
+    occ = (
+        d.select(
+            "doc_id", F.split(F.trim(F.lower("text")), " ").alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
     # Materialize the bigram model once: it feeds both the left-context
     # rollup and the scoring join, and without this the occurrence
     # explode would execute three times (model build here is the

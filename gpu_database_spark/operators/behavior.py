@@ -811,3 +811,72 @@ def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("brand")
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                 AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_ns(ts) // 3600000000000)
+                 AS rn
+        FROM events GROUP BY 1, 2
+    ),
+    ew AS (
+        SELECT event_type, rn, v, v AS s FROM hourly WHERE rn = 1
+        UNION ALL
+        SELECT h.event_type, h.rn, h.v,
+               CAST(0.2 AS DOUBLE) * h.v + CAST(0.8 AS DOUBLE) * e.s
+        FROM hourly h
+        JOIN ew e ON h.event_type = e.event_type AND h.rn = e.rn + 1
+    )
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_hours,
+           round(max_by(s, rn), 6) AS ewma_level,
+           round(max_by(v, rn), 6) AS last_value
+    FROM ew GROUP BY 1 ORDER BY 1
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) of the
+    hourly mean value per event type, reporting the final smoothed
+    level next to the last raw observation — the classic streaming
+    level estimator, which no window frame can express because every
+    output depends on ALL prior inputs.
+
+    Scale shape: the stream collapses to the (type, hour) series
+    first; the sequential recurrence s_t = 0.2*v_t + 0.8*s_{t-1} then
+    folds over each type's hour-sorted array via the JVM higher-order
+    aggregate — the array is bounded by the time range (~9k
+    hours/year), not by the stream. The oracle states the identical
+    recurrence as a recursive CTE; both engines execute the same
+    multiply-add sequence in the same order, so the level is
+    bit-identical before round()."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hour", "v"))).alias("arr")
+    )
+    return series.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_hours"),
+        F.round(
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr) - 1),"
+                " CAST(element_at(arr, 1).v AS DOUBLE),"
+                " (s, x) -> CAST(0.2 AS DOUBLE) * x.v"
+                "           + CAST(0.8 AS DOUBLE) * s)"
+            ),
+            6,
+        ).alias("ewma_level"),
+        F.round(F.expr("element_at(arr, size(arr)).v"), 6).alias("last_value"),
+    ).orderBy("event_type")

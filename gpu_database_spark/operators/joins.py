@@ -470,3 +470,110 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_left_mark",
+    oracle="""
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer c
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left mark join: every left row survives, annotated with a
+    boolean "a match exists" flag — the shape planners lower
+    EXISTS-in-SELECT to (a semi join keeps matches, an anti join
+    keeps non-matches, a mark join keeps BOTH with the flag).
+
+    Spark has no mark-join keyword; the equivalent single-pass plan
+    is a left join against the DISTINCT matching keys with a
+    null-check flag — one shuffle (or broadcast when the key set
+    fits), no row duplication because the build side is distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        c.join(urgent, "c_custkey", "left")
+        .select(
+            "c_custkey", F.col("_m").isNotNull().alias("has_urgent")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_interval_binned",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS win_id, epoch_ns(ts) AS w_start,
+               epoch_ns(ts) + 3600000000000 AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    hits AS (
+        SELECT w.win_id, COUNT(*) AS n_in_window
+        FROM win w JOIN events e
+          ON epoch_ns(e.ts) >= w.w_start AND epoch_ns(e.ts) < w.w_end
+        GROUP BY w.win_id
+    )
+    SELECT n_in_window, COUNT(*) AS n_windows
+    FROM hits GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG-BIG interval join via the binning rewrite: every error
+    event opens a 1-hour window; count how many events (of any type)
+    fall inside each window, reported as a census of window sizes.
+    Both join sides are the full event stream — the case
+    join_interval_overlap's broadcast plan cannot handle.
+
+    The rewrite: with bin width = window length, a window overlaps at
+    most TWO bins; explode each window to its <=2 bins and EQUI-join
+    events on the bin, then filter exact containment. The quadratic
+    range predicate becomes one hash shuffle on the bin key with
+    per-bin fan-out bounded by windows-per-bin — the standard
+    interval-binning plan (what the oracle states as a plain range
+    join). Window ids are event_ids, so the final census groupBy is
+    exact."""
+    e = load_table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    ev = e.select(
+        F.col("ts_ns").alias("t"),
+        F.expr(f"ts_ns div {hour_ns}").alias("bin"),
+    )
+    win = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts_ns").alias("w_start"),
+        (F.col("ts_ns") + hour_ns).alias("w_end"),
+    )
+    # a window [s, s+1h) spans bins floor(s/1h) and floor(s/1h)+1
+    win_bins = win.select(
+        "win_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.array(
+                F.expr(f"w_start div {hour_ns}"),
+                F.expr(f"w_start div {hour_ns} + 1"),
+            )
+        ).alias("bin"),
+    )
+    hits = (
+        win_bins.join(ev, "bin")
+        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
+        .groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+    return (
+        hits.groupBy("n_in_window")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .orderBy("n_in_window")
+    )

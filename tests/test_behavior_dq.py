@@ -415,3 +415,79 @@ def test_bucketed_row_number_matches_global_sort(spark):
             .count()
         )
         assert diff == 0, f"ascending={ascending}: {diff} rank mismatches"
+
+
+def test_ewma_between_min_and_max(spark, sf_dir):
+    """The smoothed level is a convex combination of observations, so
+    it must lie within each series' [min, max]."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.operators.behavior import timeseries_ewma
+    from gpu_database_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in hourly.groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    for r in timeseries_ewma(spark, sf_dir).collect():
+        lo, hi = bounds[r.event_type]
+        assert lo - 1e-6 <= r.ewma_level <= hi + 1e-6
+        assert r.n_hours > 0
+
+
+def test_left_mark_covers_all_customers(spark, sf_dir):
+    from gpu_database_spark.operators.joins import join_left_mark
+    from gpu_database_spark.sources.catalog import load_table
+
+    rows = join_left_mark(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_cust
+    flags = {r.has_urgent for r in rows}
+    assert flags == {True, False}, "mark join should produce both flags"
+
+
+def test_collation_halves_distinct_count(spark, sf_dir):
+    from gpu_database_spark.functions.scalars import fn_collation
+
+    row = fn_collation(spark, sf_dir).collect()[0]
+    # upper-casing half the rows doubles the binary-distinct count
+    # (every type now appears in both cases somewhere in the fixture)
+    assert row.n_ci < row.n_binary <= 2 * row.n_ci
+    assert row.n_uppercased > 0
+
+
+def test_pca_power_matches_numpy_eigh(spark, sf_dir):
+    """Distributed partial-Gram + power iteration must recover the
+    same top eigenpair numpy.linalg.eigh finds on the collected data
+    (up to sign, which the operator fixes deterministically)."""
+    import numpy as np
+
+    from gpu_database_spark.llm.similarity import embed_pca_power
+    from gpu_database_spark.sources.catalog import load_table
+
+    x = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / (len(x) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    rows = embed_pca_power(spark, sf_dir).collect()
+    got = np.array([r.loading for r in sorted(rows, key=lambda r: r.component)])
+    assert abs(rows[0].eigenvalue - vals[-1]) < 1e-6 * max(1e-3, vals[-1])
+    # power iteration converges to the top eigenvector; near-degenerate
+    # spectra limit attainable alignment, so require cos > 0.99
+    assert abs(float(got @ top)) > 0.999, float(got @ top)
+    assert abs(float(got @ got) - 1.0) < 1e-9

