@@ -153,6 +153,16 @@ HEADLINE = [
     "join_left_mark",
     "fn_collation",
     "join_interval_binned",
+    "join_null_safe",
+    "fn_url_parse",
+    "agg_filtered_modern",
+    "fn_encodings",
+    "agg_percentile_exact",
+    "fn_try_arith",
+    "fn_regexp_extract_all",
+    "timeseries_holt",
+    "stat_cov_corr_matrix",
+    "events_seasonality_profile",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -544,3 +544,146 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_uppercased"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?lang=([a-z]+)', 1) AS lang_param
+    FROM urls ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — protocol/host/path/query-parameter — via
+    Spark's dedicated parse_url (a JVM built-in ETL staple); DuckDB
+    has no URL parser, so the oracle states the equivalent regexes.
+    URLs are synthesized deterministically from document columns so
+    both engines parse identical strings."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id",
+        F.regexp_extract("url", "^([a-z]+)://", 1).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_encodings",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name)) AS name_b64,
+           lower(hex(encode(c_mktsegment))) AS seg_hex,
+           ascii(c_name) AS first_code,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS rotor
+    FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
+    """,
+)
+def fn_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/text encoding family: base64, hex, ascii code points,
+    chr — the staples of key mangling and wire-format debugging.
+    Spark emits hex uppercase and DuckDB lowercase, so both sides pin
+    lowercase; DuckDB's base64/hex take BLOBs, hence encode()."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.lower(F.hex(F.col("c_mktsegment").cast("binary"))).alias("seg_hex"),
+        F.ascii("c_name").alias("first_code"),
+        F.chr(65 + F.col("c_custkey") % 26).alias("rotor"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CASE WHEN l_quantity - 25 = 0 THEN NULL
+                ELSE CAST(trunc(CAST(l_orderkey AS DOUBLE)
+                                / (l_quantity - 25)) AS BIGINT)
+           END AS key_div,
+           CASE WHEN l_extendedprice < 100000
+                THEN CAST(trunc(l_extendedprice) AS BIGINT)
+                ELSE NULL END AS price_small_int
+    FROM lineitem WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide (NULL on division by zero,
+    both float and integer) and a guarded narrowing cast — the
+    functions that let ANSI mode stay on without blanket try/except
+    around every expression. The oracle states the equivalent CASE
+    guards; the price_small_int guard doubles as a
+    try_cast-on-range demo (values >= 100000 would overflow a
+    hypothetical downstream INT32 contract, so they null out)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.try_divide(
+            F.col("l_orderkey").cast("long"),
+            (F.col("l_quantity") - 25).cast("long"),
+        ).cast("long").alias("key_div"),
+        F.when(
+            F.col("l_extendedprice") < 100000,
+            F.col("l_extendedprice").cast("long"),
+        ).alias("price_small_int"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z]+ing') AS ing_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           regexp_extract_all(lower(text), 'th[a-z]+')[1] AS first_th
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (vs the first-only
+    regexp_extract) plus derived counts and head element — the
+    pattern-mining primitive both engines implement natively.
+    DuckDB arrays are 1-indexed and Spark's element_at matches that
+    convention, so the head extraction states the same index."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[A-Za-z]+ing"), 0).alias("ing_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_numbers"),
+        F.try_element_at(
+            F.regexp_extract_all(F.lower("text"), F.lit("th[a-z]+"), 0),
+            F.lit(1),
+        ).alias("first_th"),
+    ).orderBy("doc_id")

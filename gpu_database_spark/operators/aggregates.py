@@ -457,3 +457,80 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_filtered_modern",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 900) AS all_above_floor,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_filtered_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern conditional-aggregate surface: count_if (FILTER
+    clause), bool_and/bool_or (every/any), and a deterministic
+    any_value stand-in (MIN — any_value itself is
+    partition-order-dependent, so the oracle-gated form pins it).
+    One partial-aggregating pass; every aggregate is JVM-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.every(F.col("o_totalprice") > 900).alias("all_above_floor"),
+            F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50,
+           quantile_cont(l_extendedprice, 0.75) AS price_p75,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           median(l_quantity) AS qty_median
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (continuous interpolation):
+    Spark's percentile/median against DuckDB's
+    quantile_cont/median — both implement the standard
+    (n-1)*p linear-interpolation definition, verified bit-identical
+    (no round() needed). The exact form buffers each group's values,
+    so it complements the approximate (`agg_approx_percentile`) and
+    no-global-sort (`stat_exact_quantiles_distributed`) variants for
+    the case of many small groups, where per-group buffering is the
+    RIGHT plan (group sizes bounded, perfectly parallel)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("price_p75"),
+            F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+            F.expr("median(l_quantity)").alias("_m"),
+        )
+        .select(
+            "l_returnflag",
+            "price_p25",
+            "price_p50",
+            "price_p75",
+            "qty_p90",
+            F.col("_m").alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -880,3 +880,155 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma_level"),
         F.round(F.expr("element_at(arr, size(arr)).v"), 6).alias("last_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "timeseries_holt",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                 AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_ns(ts) // 3600000000000)
+                 AS rn
+        FROM events GROUP BY 1, 2
+    ),
+    hw AS (
+        SELECT event_type, rn, v,
+               v AS l, CAST(0 AS DOUBLE) AS t
+        FROM hourly WHERE rn = 1
+        UNION ALL
+        SELECT h.event_type, h.rn, h.v,
+               CAST(0.3 AS DOUBLE) * h.v
+                 + CAST(0.7 AS DOUBLE) * (e.l + e.t) AS l,
+               CAST(0.1 AS DOUBLE)
+                 * (CAST(0.3 AS DOUBLE) * h.v
+                    + CAST(0.7 AS DOUBLE) * (e.l + e.t) - e.l)
+                 + CAST(0.9 AS DOUBLE) * e.t AS t
+        FROM hourly h
+        JOIN hw e ON h.event_type = e.event_type AND h.rn = e.rn + 1
+    )
+    SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_hours,
+           round(max_by(l, rn), 6) AS level,
+           round(max_by(t, rn), 6) AS trend,
+           round(max_by(l, rn) + 24 * max_by(t, rn), 6) AS forecast_24h
+    FROM hw GROUP BY 1 ORDER BY 1
+    """,
+)
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level alpha=0.3, trend
+    beta=0.1) of the hourly mean value per event type, with the
+    24-hours-ahead linear forecast l + 24t — the trend-aware upgrade
+    of timeseries_ewma, again inexpressible by window frames because
+    the coupled recurrences thread state through every step.
+
+    Scale shape: identical to timeseries_ewma — collapse to the
+    bounded (type, hour) series, then ONE JVM higher-order aggregate
+    folds a (level, trend) struct accumulator through the hour-sorted
+    array. The oracle walks the same recurrence as a recursive CTE;
+    the level expression l' is spelled out inside t' on both sides so
+    the multiply-add sequences match exactly and the fold is
+    bit-identical before round()."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hour", "v"))).alias("arr")
+    )
+    fold = (
+        "aggregate(slice(arr, 2, size(arr) - 1),"
+        " struct(CAST(element_at(arr, 1).v AS DOUBLE) AS l,"
+        "        CAST(0 AS DOUBLE) AS t),"
+        " (acc, x) -> struct("
+        "   CAST(0.3 AS DOUBLE) * x.v + CAST(0.7 AS DOUBLE) * (acc.l + acc.t)"
+        "     AS l,"
+        "   CAST(0.1 AS DOUBLE) * (CAST(0.3 AS DOUBLE) * x.v"
+        "     + CAST(0.7 AS DOUBLE) * (acc.l + acc.t) - acc.l)"
+        "     + CAST(0.9 AS DOUBLE) * acc.t AS t))"
+    )
+    return series.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_hours"),
+        F.round(F.expr(fold + ".l"), 6).alias("level"),
+        F.round(F.expr(fold + ".t"), 6).alias("trend"),
+        F.round(
+            F.expr(fold + ".l") + 24 * F.expr(fold + ".t"), 6
+        ).alias("forecast_24h"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type,
+               (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(SUM(CAST(s AS DECIMAL(27,6))) AS DOUBLE) / SUM(n)
+                 AS type_mean
+        FROM cell GROUP BY 1
+    )
+    SELECT c.event_type, hour_of_day, CAST(n AS BIGINT) AS n_events,
+           round(s / n, 6) AS hour_mean,
+           round(s / n - type_mean, 6) AS seasonal_dev
+    FROM cell c JOIN base b ON c.event_type = b.event_type
+    ORDER BY c.event_type, hour_of_day
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: mean value per (type, hour
+    0-23) with its deviation from the type's overall mean — the
+    additive seasonal component a forecaster subtracts before trend
+    fitting (the decomposition sibling of timeseries_holt).
+
+    Scale shape: one groupBy collapses the stream to 24 x |types|
+    cells; the per-type baseline re-aggregates THOSE CELLS (exact,
+    since mean = exact-sum / count is reconstructible from cell
+    sums), so the raw stream is scanned exactly once and the join is
+    broadcast-sized. Integer hour arithmetic; exact decimal sums."""
+    e = load_table(spark, sf_dir, "events")
+    # the ~120-row cell table feeds both the baseline re-aggregation
+    # and the final join; materialize it once so the stream is scanned
+    # exactly once (as the docstring promises)
+    cell = (
+        e.groupBy(
+            "event_type",
+            F.expr("(ts_ns div 3600000000000) % 24").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = cell.groupBy("event_type").agg(
+        (
+            F.sum(F.col("s").cast("decimal(27,6)")).cast("double")
+            / F.sum("n")
+        ).alias("type_mean")
+    )
+    return (
+        cell.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("s") / F.col("n"), 6).alias("hour_mean"),
+            F.round(F.col("s") / F.col("n") - F.col("type_mean"), 6).alias(
+                "seasonal_dev"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )

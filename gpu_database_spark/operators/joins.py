@@ -577,3 +577,65 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_windows"))
         .orderBy("n_in_window")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_orderkey <= 2000
+    ),
+    r AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_custkey END AS k,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT (l.k IS NULL) AS null_key, COUNT(*) AS n_matches,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the
+    semantics CDC pipelines need when a nullable business key is the
+    join key. A third of the order keys and a fifth of the customer
+    keys are nulled to make both behaviors observable; the census
+    splits matches by whether they joined through NULL.
+
+    Scale shape: Spark plans eqNullSafe as an ordinary hash
+    join (null hashes to a regular bucket) — same single shuffle as
+    an equi-join. CAUTION, documented as the operational guard: the
+    NULL bucket is a self-amplifying hot key (every null left row
+    matches every null right row); production pipelines either filter
+    nulls into a separate union leg or accept the bounded fixture
+    fan-out, which is what this query's census measures."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    right = c.select(
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+        "c_mktsegment",
+    )
+    joined = left.join(right, left.k.eqNullSafe(right.k))
+    return (
+        joined.groupBy(left.k.isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("null_key")
+    )

@@ -500,3 +500,87 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}' AS x, '{b}' AS y, n,
+           round((s_{a}_{b} - s_{a} * s_{b} / n) / (n - 1), 6) AS cov,
+           round((n * s_{a}_{b} - s_{a} * s_{b})
+                 / sqrt(n * s_{a}_{a} - s_{a} * s_{a})
+                 / sqrt(n * s_{b}_{b} - s_{b} * s_{b}), 6) AS corr
+    FROM m"""
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for i, a in enumerate(_CORR_COLS):
+        sums.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(27,6))) AS DOUBLE) AS s_{a}"
+        )
+        for b in _CORR_COLS[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} * {b} AS DECIMAL(27,6))) AS DOUBLE)"
+                f" AS s_{a}_{b}"
+            )
+    pairs = [
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + "\n    UNION ALL".join(pairs)
+        + "\n    ORDER BY x, y"
+    )
+
+
+@register("stat_cov_corr_matrix", oracle=_corr_oracle())
+def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariance and Pearson correlation of the four
+    lineitem measures — the feature-screening matrix, computed the
+    one-pass way: a SINGLE aggregation produces all 15 sufficient
+    statistics (count, 4 sums, 10 cross-moments) with map-side
+    combine, and every (cov, corr) cell is closed-form arithmetic
+    over them. Never calls F.corr/covar_samp (their internal double
+    accumulation is partition-order-dependent); the DECIMAL(27,6)
+    moment sums make both engines hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(dsum(F.col(a)).alias(f"s_{a}"))
+        for b in _CORR_COLS[i:]:
+            aggs.append(dsum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+    # ONE projection emits all six cells from the single moment row
+    # (a per-pair union would re-run the full aggregation per branch —
+    # six stream scans; plan-audited)
+    cells = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            n = F.col("n")
+            sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+            sab = F.col(f"s_{a}_{b}")
+            saa, sbb = F.col(f"s_{a}_{a}"), F.col(f"s_{b}_{b}")
+            cells.append(
+                F.struct(
+                    F.lit(a).alias("x"),
+                    F.lit(b).alias("y"),
+                    F.col("n").alias("n"),
+                    F.round((sab - sa * sb / n) / (n - 1), 6).alias("cov"),
+                    F.round(
+                        (n * sab - sa * sb)
+                        / F.sqrt(n * saa - sa * sa)
+                        / F.sqrt(n * sbb - sb * sb),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.x", "c.y", "c.n", "c.cov", "c.corr")
+        .orderBy("x", "y")
+    )

@@ -491,3 +491,58 @@ def test_pca_power_matches_numpy_eigh(spark, sf_dir):
     # spectra limit attainable alignment, so require cos > 0.99
     assert abs(float(got @ top)) > 0.999, float(got @ top)
     assert abs(float(got @ got) - 1.0) < 1e-9
+
+
+def test_null_safe_join_counts_null_bucket(spark, sf_dir):
+    from gpu_database_spark.operators.joins import join_null_safe
+
+    rows = {r.null_key: r for r in join_null_safe(spark, sf_dir).collect()}
+    assert set(rows) == {True, False}, "need both null and non-null matches"
+    assert rows[True].n_matches > 0
+    # null bucket fan-out: every null order matches every null customer
+    assert rows[True].n_matches % rows[True].n_orders == 0
+
+
+def test_url_parse_fields_roundtrip(spark, sf_dir):
+    from gpu_database_spark.functions.scalars import fn_url_parse
+
+    rows = fn_url_parse(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r.proto == "https"
+        assert r.host.endswith(".example.com")
+        assert r.path == f"/docs/{r.doc_id}"
+        assert r.lang_param
+
+
+def test_holt_forecast_consistent(spark, sf_dir):
+    from gpu_database_spark.operators.behavior import timeseries_holt
+
+    rows = timeseries_holt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # level/trend are independently rounded to 6 dp; 24*trend
+        # amplifies that rounding to ~1.3e-5
+        assert abs(r.forecast_24h - (r.level + 24 * r.trend)) < 2e-5
+        assert r.n_hours > 1
+
+
+def test_cov_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from gpu_database_spark.operators.stattests import stat_cov_corr_matrix
+    from gpu_database_spark.sources.catalog import load_table
+
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    data = load_table(spark, sf_dir, "lineitem").select(*cols).collect()
+    x = np.array([[getattr(r, c) for c in cols] for r in data])
+    cov = np.cov(x, rowvar=False)
+    corr = np.corrcoef(x, rowvar=False)
+    idx = {c: i for i, c in enumerate(cols)}
+    rows = stat_cov_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        i, j = idx[r.x], idx[r.y]
+        assert abs(r.cov - cov[i, j]) < max(1e-4, abs(cov[i, j]) * 1e-5)
+        assert abs(r.corr - corr[i, j]) < 1e-5
+        assert -1 <= r.corr <= 1
