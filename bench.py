@@ -163,6 +163,7 @@ HEADLINE = [
     "timeseries_holt",
     "stat_cov_corr_matrix",
     "events_seasonality_profile",
+    "corpus_funnel_yield",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

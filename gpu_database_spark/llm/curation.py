@@ -299,3 +299,118 @@ def quality_tier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "corpus_funnel_yield",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               lang IN ('en', 'de', 'fr') AS lang_ok,
+               len(string_split_regex(trim(text), '\\s+')) >= 10 AS len_ok,
+               md5(text) AS content_hash,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % {BUCKETS} < {SAMPLE_PPM} AS keep_sample
+        FROM documents
+    ),
+    flagged AS (
+        SELECT *,
+               lang_ok AND len_ok AND doc_id = MIN(CASE WHEN lang_ok AND len_ok
+                                                        THEN doc_id END)
+                 OVER (PARTITION BY content_hash) AS canonical
+        FROM scored
+    ),
+    agg AS (
+        SELECT COUNT(*) AS s0,
+               SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS s1,
+               SUM(CASE WHEN lang_ok AND len_ok THEN 1 ELSE 0 END) AS s2,
+               SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS s3,
+               SUM(CASE WHEN canonical AND keep_sample THEN 1 ELSE 0 END)
+                 AS s4
+        FROM flagged
+    )
+    SELECT stage, n_docs, round(CAST(n_docs AS DOUBLE) / prev, 6) AS yield
+    FROM (
+        SELECT * FROM (VALUES (0, 'ingest'), (1, 'lang_gate'),
+                              (2, 'quality_gate'), (3, 'exact_dedup'),
+                              (4, 'hash_sample')) v(ord, stage)
+    ) names
+    JOIN (
+        SELECT 0 AS ord, s0 AS n_docs, s0 AS prev FROM agg UNION ALL
+        SELECT 1, s1, s0 FROM agg UNION ALL
+        SELECT 2, s2, s1 FROM agg UNION ALL
+        SELECT 3, s3, s2 FROM agg UNION ALL
+        SELECT 4, s4, s3 FROM agg
+    ) cnts USING (ord)
+    ORDER BY ord
+    """,
+)
+def corpus_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss accounting for the curation funnel: document counts after
+    each stage (ingest -> language gate -> min-length gate -> exact
+    dedup -> hash sample) with the per-stage yield fraction — the
+    report a data team reads BEFORE corpus_curation_pipeline's final
+    census, because it says where documents die.
+
+    Scale shape: all four gate flags are computed in ONE narrow
+    projection; the dedup-canonical flag is a min-over-content-hash
+    window (high-cardinality key); the five stage counts come from a
+    single conditional aggregation, and the 5-row report is built by
+    an explode over that one row — the stream is scanned once and
+    shuffles once (the hash window). Yields are single integer
+    divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").isin("en", "de", "fr").alias("lang_ok"),
+        (token_count(F.col("text")) >= 10).alias("len_ok"),
+        F.md5("text").alias("content_hash"),
+        (hash_bucket(F.col("doc_id")) < SAMPLE_PPM).alias("keep_sample"),
+    )
+    wh = Window.partitionBy("content_hash")
+    flagged = scored.withColumn(
+        "canonical",
+        F.col("lang_ok")
+        & F.col("len_ok")
+        & (
+            F.col("doc_id")
+            == F.min(
+                F.when(
+                    F.col("lang_ok") & F.col("len_ok"), F.col("doc_id")
+                )
+            ).over(wh)
+        ),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("lang_ok") & F.col("len_ok"), 1).otherwise(0)).alias(
+            "s2"
+        ),
+        F.sum(F.when(F.col("canonical"), 1).otherwise(0)).alias("s3"),
+        F.sum(
+            F.when(F.col("canonical") & F.col("keep_sample"), 1).otherwise(0)
+        ).alias("s4"),
+    )
+    stages = [
+        ("ingest", "s0", "s0"),
+        ("lang_gate", "s1", "s0"),
+        ("quality_gate", "s2", "s1"),
+        ("exact_dedup", "s3", "s2"),
+        ("hash_sample", "s4", "s3"),
+    ]
+    cells = [
+        F.struct(
+            F.lit(name).alias("stage"),
+            F.col(cur).alias("n_docs"),
+            F.round(F.col(cur).cast("double") / F.col(prev), 6).alias("yield"),
+            F.lit(i).alias("ord"),
+        )
+        for i, (name, cur, prev) in enumerate(stages)
+    ]
+    return (
+        agg.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.stage", "c.n_docs", "c.yield", "c.ord")
+        .orderBy("ord")
+        .drop("ord")
+    )

@@ -547,7 +547,11 @@ def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, and every (cov, corr) cell is closed-form arithmetic
     over them. Never calls F.corr/covar_samp (their internal double
     accumulation is partition-order-dependent); the DECIMAL(27,6)
-    moment sums make both engines hash-match."""
+    moment sums make both engines hash-match. The 15 wide-decimal
+    accumulators cost ~3x a double-sum pass (Int128 arithmetic per
+    row); a production run at 100 TB would flip the same plan to
+    double moments and accept last-ulp drift — the oracle-exact form
+    is the verification contract, not a semantic requirement."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, a in enumerate(_CORR_COLS):

@@ -546,3 +546,16 @@ def test_cov_corr_matches_numpy(spark, sf_dir):
         assert abs(r.cov - cov[i, j]) < max(1e-4, abs(cov[i, j]) * 1e-5)
         assert abs(r.corr - corr[i, j]) < 1e-5
         assert -1 <= r.corr <= 1
+
+
+def test_funnel_yield_monotone(spark, sf_dir):
+    from gpu_database_spark.llm.curation import corpus_funnel_yield
+
+    rows = corpus_funnel_yield(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [
+        "ingest", "lang_gate", "quality_gate", "exact_dedup", "hash_sample",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True), "stages can only lose docs"
+    for r in rows:
+        assert 0 < r["yield"] <= 1.0
