@@ -38,3 +38,14 @@ def dsum_sql(expr: str) -> str:
 
 def davg_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+
+
+# MAGNITUDE BOUND for the decimal discipline: Spark's double->DECIMAL
+# cast routes through the double's SHORTEST decimal representation
+# (~17 significant digits, java BigDecimal.valueOf), while DuckDB
+# converts the exact binary expansion. Below ~1e10 the 6 fractional
+# digits sit inside 17 significant digits and both engines agree; a
+# term above ~1e11 can differ in the last decimal and break a
+# hash-match (observed in a month-index * revenue cross-moment at
+# sf0.1). Keep per-term magnitudes under ~1e10 — center/shift
+# indices, or split oversized sums — before applying dsum().

@@ -986,9 +986,16 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the identical graph via a recursive-CTE
     reachability walk (per-family size^2 rows, fine at fixture
     scale; the Spark min-label loop is the 100 TB path)."""
-    edges = text_knn_graph(spark, sf_dir).filter(
-        F.col("est_jaccard") * N_HASHES >= SEM_MIN_MATCH
-    ).select(F.col("doc_id").alias("a"), F.col("neighbor_id").alias("b"))
+    # Materialize the thresholded edge list once: both the node set
+    # and connected_components' symmetric closure consume it, and
+    # without this the whole minhash/LSH kNN pipeline upstream would
+    # execute twice (measured ~2x the pipeline's wall time).
+    edges = (
+        text_knn_graph(spark, sf_dir)
+        .filter(F.col("est_jaccard") * N_HASHES >= SEM_MIN_MATCH)
+        .select(F.col("doc_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("a").alias("id"))
         .unionAll(edges.select(F.col("b").alias("id")))

@@ -747,8 +747,8 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
         SELECT p.p_brand AS brand,
-               CAST(date_part('year', l.l_shipdate) * 12
-                    + date_part('month', l.l_shipdate) AS BIGINT) AS m,
+               CAST((date_part('year', l.l_shipdate) - 1995) * 12
+                    + date_part('month', l.l_shipdate) - 1 AS BIGINT) AS m,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
                  AS y
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -777,17 +777,23 @@ def timeseries_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact stream collapses to (brand, month) cells
     first (one partial-aggregating shuffle, part side broadcast); the
-    per-brand moment fold then runs over ~25 x 84 rows. Month index is
-    integer arithmetic; revenue and the xy moment go through
-    DECIMAL(27,6) exact sums; the closed-form slope is a fixed op
-    sequence mirrored in the oracle."""
+    per-brand moment fold then runs over ~25 x 84 rows. The month
+    index is CENTERED (months since 1995-01) so the xy cross-moment
+    stays under ~1e10: Spark's double->decimal cast goes through the
+    shortest decimal string (17 significant digits), so a 6-dp
+    decimal term above ~1e11 can disagree with DuckDB's
+    exact-binary conversion in the last digit — found by the sf0.1
+    parity sweep (the raw year*12 index tripped it). Revenue and xy
+    go through DECIMAL(27,6) exact sums; the closed-form slope is a
+    fixed op sequence mirrored in the oracle; the intercept is the
+    fit at the 1995-01 baseline."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     monthly = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
-            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1)
             .cast("long")
             .alias("m"),
         )

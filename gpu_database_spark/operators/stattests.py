@@ -390,12 +390,13 @@ def stat_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT COUNT(*) AS n,
                CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS tot,
-               CAST(SUM(CAST(i * r AS DECIMAL(27,6))) AS DOUBLE) AS s
+               CAST(SUM(CAST(r / 1000 AS DECIMAL(27,6))) AS DOUBLE) AS tot_k,
+               CAST(SUM(CAST(i * (r / 1000) AS DECIMAL(27,6))) AS DOUBLE) AS s
         FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
            round(tot, 2) AS total_revenue,
-           round(2 * s / (n * tot) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+           round(2 * s / (n * tot_k) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
     FROM agg
     """,
 )
@@ -412,7 +413,12 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — so the 100 TB fact stream is first collapsed to one row
     per customer, then ranked with no single-partition window. The
     oracle states the plain ROW_NUMBER form; both assign identical
-    ranks because the (rev, custkey) order is total."""
+    ranks because the (rev, custkey) order is total. The i*x moment
+    uses revenue IN THOUSANDS (Gini is scale-invariant, so the value
+    is unchanged): rank x revenue products otherwise pass ~1e11,
+    where Spark's shortest-string double->decimal cast can disagree
+    with DuckDB's exact-binary conversion in the 6th decimal (see
+    functions/compat.py's magnitude bound)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -433,13 +439,14 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("r")).alias("tot"),
-        dsum(F.col("i") * F.col("r")).alias("s"),
+        dsum(F.col("r") / 1000).alias("tot_k"),
+        dsum(F.col("i") * (F.col("r") / 1000)).alias("s"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.round("tot", 2).alias("total_revenue"),
         F.round(
-            2 * F.col("s") / (F.col("n") * F.col("tot"))
+            2 * F.col("s") / (F.col("n") * F.col("tot_k"))
             - (F.col("n") + 1).cast("double") / F.col("n"),
             6,
         ).alias("gini"),
@@ -502,7 +509,7 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_COLS = ("l_quantity", "l_price_k", "l_discount", "l_tax")
 
 
 def _corr_pair_sql(a: str, b: str) -> str:
@@ -532,7 +539,9 @@ def _corr_oracle() -> str:
         for b in _CORR_COLS[i + 1 :]
     ]
     return (
-        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        "WITH meas AS (SELECT l_quantity, l_extendedprice / 1000 AS l_price_k,"
+        " l_discount, l_tax FROM lineitem),\n"
+        "    m AS (SELECT " + ", ".join(sums) + " FROM meas)"
         + "\n    UNION ALL".join(pairs)
         + "\n    ORDER BY x, y"
     )
@@ -551,8 +560,17 @@ def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators cost ~3x a double-sum pass (Int128 arithmetic per
     row); a production run at 100 TB would flip the same plan to
     double moments and accept last-ulp drift — the oracle-exact form
-    is the verification contract, not a semantic requirement."""
-    li = load_table(spark, sf_dir, "lineitem")
+    is the verification contract, not a semantic requirement.
+    Price enters IN THOUSANDS (corr is scale-invariant; cov cells
+    involving price are in k-units): raw squared prices sit at ~1e10,
+    the edge of the shortest-string double->decimal hazard documented
+    in functions/compat.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_extendedprice") / 1000).alias("l_price_k"),
+        "l_discount",
+        "l_tax",
+    )
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, a in enumerate(_CORR_COLS):
         aggs.append(dsum(F.col(a)).alias(f"s_{a}"))

@@ -533,9 +533,14 @@ def test_cov_corr_matches_numpy(spark, sf_dir):
     from gpu_database_spark.operators.stattests import stat_cov_corr_matrix
     from gpu_database_spark.sources.catalog import load_table
 
-    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    data = load_table(spark, sf_dir, "lineitem").select(*cols).collect()
-    x = np.array([[getattr(r, c) for c in cols] for r in data])
+    cols = ("l_quantity", "l_price_k", "l_discount", "l_tax")
+    data = load_table(spark, sf_dir, "lineitem").collect()
+    x = np.array(
+        [
+            [r.l_quantity, r.l_extendedprice / 1000, r.l_discount, r.l_tax]
+            for r in data
+        ]
+    )
     cov = np.cov(x, rowvar=False)
     corr = np.corrcoef(x, rowvar=False)
     idx = {c: i for i, c in enumerate(cols)}
