@@ -164,6 +164,9 @@ HEADLINE = [
     "stat_cov_corr_matrix",
     "events_seasonality_profile",
     "corpus_funnel_yield",
+    "sim_maxsim_multivector",
+    "agg_weighted_median",
+    "dq_join_fanout_histogram",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -616,3 +616,77 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "component int, loading double, eigenvalue double, explained_ratio double"
     )
+
+
+MAXSIM_N_QUERY = 6  # query token-vectors (ColBERT-style late interaction)
+
+
+@register(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {MAXSIM_N_QUERY}),
+    c AS (SELECT vec_id AS cid, label AS doc_id,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= {MAXSIM_N_QUERY}),
+    per_pair AS (
+        SELECT qid, doc_id,
+               MAX(round(list_cosine_similarity(qv, cv), 6)) AS best
+        FROM q JOIN c ON TRUE
+        GROUP BY qid, doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(best AS DECIMAL(27,6))) AS DOUBLE) AS maxsim,
+               COUNT(*) AS n_query_vecs
+        FROM per_pair GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, round(maxsim, 6) AS maxsim,
+           CAST(n_query_vecs AS BIGINT) AS n_query_vecs
+    FROM scored ORDER BY maxsim DESC, doc_id
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents
+    are multi-vector bags (here the label groups), the query is a
+    small bag of token vectors, and score(doc) = sum over query
+    vectors of the BEST cosine against any doc vector — the modern
+    multi-vector ranking single-vector cosine cannot express.
+
+    Scale shape: the tiny query bag broadcasts against the corpus
+    scan (embarrassingly parallel cosines, JVM zip_with fold); the
+    per-(query-vector, doc) max and the per-doc sum are ordinary
+    partial aggregations — no all-pairs doc work, and at 100 TB the
+    corpus side would first shrink through an ANN candidate stage
+    (sim_ann_lsh) exactly as single-vector retrieval does. Inner
+    cosines round to 6dp BEFORE max (engine-identical per the
+    sim_topk_cosine convention); the final sum runs through
+    DECIMAL(27,6)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < MAXSIM_N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= MAXSIM_N_QUERY).select(
+        F.col("label").alias("doc_id"), F.col("embedding").alias("cv")
+    )
+    per_pair = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .groupBy("qid", "doc_id")
+        .agg(F.max(F.round(cosine(F.col("qv"), F.col("cv")), 6)).alias("best"))
+    )
+    return (
+        per_pair.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("best").cast("decimal(27,6)")).cast("double"), 6
+            ).alias("maxsim"),
+            F.count(F.lit(1)).alias("n_query_vecs"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "maxsim",
+            F.col("n_query_vecs").cast("long").alias("n_query_vecs"),
+        )
+        .orderBy(F.desc("maxsim"), "doc_id")
+    )

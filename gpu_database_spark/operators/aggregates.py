@@ -534,3 +534,81 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH by_price AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS BIGINT)) AS wt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, price, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS total_w
+        FROM by_price
+    )
+    SELECT flag, MIN(price) AS weighted_median,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= total_w
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative weight reaches half the total — the
+    weighted order statistic behind fair-price and data-mix audits,
+    which percentile() cannot express (it weights rows equally).
+
+    Scale shape: the stream collapses to (flag, price) weight cells;
+    the cumulative weight then uses the repo's two-level bucket
+    decomposition WITHIN each flag — running sums per (flag,
+    floor(price/1000)) slice plus an exclusive prefix over the tiny
+    per-flag bucket-totals table — never a per-flag single-task sort
+    of all distinct prices. Selection (2*cum >= total) is integer
+    arithmetic; the oracle states the plain windowed form."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    by_price = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    b = by_price.withColumn("_bkt", F.floor(F.col("price") / 1000).cast("long"))
+    wl = Window.partitionBy("flag", "_bkt").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = b.withColumn("_lc", F.sum("wt").over(wl))
+    bt = b.groupBy("flag", "_bkt").agg(F.sum("wt").alias("_bw"))
+    wo = Window.partitionBy("flag").orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bt.select(
+        "flag",
+        "_bkt",
+        F.coalesce(F.sum("_bw").over(wo), F.lit(0)).alias("_off"),
+    )
+    totals = bt.groupBy("flag").agg(F.sum("_bw").alias("total_w"))
+    cum = (
+        local.join(F.broadcast(off), ["flag", "_bkt"])
+        .join(F.broadcast(totals), "flag")
+        .select(
+            "flag",
+            "price",
+            (F.col("_off") + F.col("_lc")).alias("cw"),
+            "total_w",
+        )
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.max("total_w").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )

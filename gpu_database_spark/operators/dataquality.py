@@ -132,3 +132,43 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("fk")
+
+
+@register(
+    "dq_join_fanout_histogram",
+    oracle="""
+    WITH fan AS (
+        SELECT o.o_orderkey,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_matches
+        FROM orders o
+    )
+    SELECT n_matches, COUNT(*) AS n_orders
+    FROM fan GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_join_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: for each orders row, how many lineitem
+    rows it would fan out to, as a histogram — the pre-flight a data
+    engineer runs BEFORE an expensive join to catch unexpected
+    explosion (a hot key here is a hot task there). Zero-match keys
+    are included (the silent row-loss case of an inner join).
+
+    Scale shape: one groupBy on the child's join key gives match
+    counts; a LEFT join from the parent (broadcast of the collapsed
+    count table when it fits, shuffle otherwise) attaches them with
+    COALESCE 0; the histogram is a second tiny groupBy. The oracle
+    states the correlated-subquery form."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    fan = o.join(counts, "o_orderkey", "left").select(
+        F.coalesce(F.col("_c"), F.lit(0)).alias("n_matches")
+    )
+    return (
+        fan.groupBy("n_matches")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_matches")
+    )

@@ -564,3 +564,40 @@ def test_funnel_yield_monotone(spark, sf_dir):
     assert counts == sorted(counts, reverse=True), "stages can only lose docs"
     for r in rows:
         assert 0 < r["yield"] <= 1.0
+
+
+def test_maxsim_bounded_by_query_bag(spark, sf_dir):
+    from gpu_database_spark.llm.similarity import sim_maxsim_multivector
+
+    rows = sim_maxsim_multivector(spark, sf_dir).collect()
+    assert rows
+    scores = [r.maxsim for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # each of the n query vectors contributes a cosine in [-1, 1]
+        assert abs(r.maxsim) <= r.n_query_vecs + 1e-6
+
+
+def test_weighted_median_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from gpu_database_spark.operators.aggregates import agg_weighted_median
+    from gpu_database_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    rows = {r.flag: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    flags = {r.l_returnflag for r in li}
+    assert set(rows) == flags
+    for flag in flags:
+        sub = sorted(
+            (r.l_extendedprice, r.l_quantity) for r in li if r.l_returnflag == flag
+        )
+        prices = np.array([p for p, _ in sub])
+        wts = np.array([w for _, w in sub], dtype=np.int64)
+        cw = np.cumsum(wts)
+        want = prices[np.searchsorted(cw, cw[-1] / 2)]
+        got = rows[flag]
+        assert got.weighted_median == want, (flag, got.weighted_median, want)
+        assert got.total_weight == int(wts.sum())
