@@ -578,7 +578,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
-    b = by_price.withColumn("_bkt", F.floor(F.col("price") / 1000).cast("long"))
+    # the collapsed (flag, price, weight) table feeds the local
+    # prefix, the bucket totals, the offsets and the per-flag totals;
+    # materialize it once (domain-bounded: distinct prices per flag)
+    b = by_price.withColumn(
+        "_bkt", F.floor(F.col("price") / 1000).cast("long")
+    ).localCheckpoint(eager=True)
     wl = Window.partitionBy("flag", "_bkt").orderBy("price").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
