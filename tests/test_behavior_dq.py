@@ -601,3 +601,46 @@ def test_weighted_median_matches_numpy(spark, sf_dir):
         got = rows[flag]
         assert got.weighted_median == want, (flag, got.weighted_median, want)
         assert got.total_weight == int(wts.sum())
+
+
+def test_interval_binned_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The binning rewrite's whole point: the interval predicate must
+    run as an equi hash join on the bin, never a nested-loop."""
+    from gpu_database_spark.operators.joins import join_interval_binned
+
+    plan = inspect.simple_plan(join_interval_binned(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_weighted_median_prefix_is_bucketed(spark, sf_dir):
+    """Cumulative weights must partition by (flag, price-bucket) —
+    a per-flag Window.orderBy(price) would sort every distinct price
+    in one task per flag (3 tasks total at any scale)."""
+    from gpu_database_spark.operators.aggregates import agg_weighted_median
+
+    plan = inspect.simple_plan(agg_weighted_median(spark, sf_dir))
+    running = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "price" in ln
+    ]
+    assert running, plan
+    for ln in running:
+        assert "_bkt" in ln, f"per-flag global price window: {ln}"
+
+
+def test_rfm_ranks_are_bucketed(spark, sf_dir):
+    """All three RFM metric ranks must come from the histogram-bucket
+    plan — no global single-partition row_number."""
+    from gpu_database_spark.operators.behavior import events_rfm_segmentation
+
+    plan = inspect.simple_plan(events_rfm_segmentation(spark, sf_dir))
+    rn_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "_rk_bkt" in ln, f"global-rank window: {ln}"
