@@ -167,6 +167,7 @@ HEADLINE = [
     "sim_maxsim_multivector",
     "agg_weighted_median",
     "dq_join_fanout_histogram",
+    "audience_overlap_jaccard",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

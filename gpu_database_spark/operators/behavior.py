@@ -1038,3 +1038,72 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@register(
+    "audience_overlap_jaccard",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type AS t, user_id AS u FROM events
+    ),
+    sizes AS (SELECT t, COUNT(*) AS n FROM aud GROUP BY t),
+    common AS (
+        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        FROM aud a JOIN aud b ON a.u = b.u AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.t = type_a
+    JOIN sizes sb ON sb.t = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of event types, the
+    count of users active in BOTH and the Jaccard of their audiences —
+    the segment-overlap report behind campaign planning and the
+    exact ground truth the HLL/bitmap sketch families approximate.
+
+    Scale shape: the stream collapses to the DISTINCT (type, user)
+    audience table (one shuffle on the pair); the pair generator
+    self-joins ON THE USER, so fan-out per user is bounded by
+    |types|^2 = 25, never |users|^2; sizes broadcast back and the
+    Jaccard is integer division."""
+    e = load_table(spark, sf_dir, "events")
+    # one distinct audience table feeds sizes and both join sides
+    aud = (
+        e.select(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = aud.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    common = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
