@@ -37,21 +37,49 @@ def bucketed_row_number(
     ``bucket`` must be a monotone function of the value (same
     direction as ``ascending``); rows tie-break inside their bucket.
     """
+    return grouped_bucketed_row_number(
+        df, [], value_col, tiebreak_cols, bucket, rank_col, ascending
+    )
+
+
+def grouped_bucketed_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    bucket: Column,
+    rank_col: str = "i",
+    ascending: bool = True,
+) -> DataFrame:
+    """Per-group variant: rank of ``value_col`` WITHIN each
+    ``group_cols`` combination, still without ever sorting a whole
+    group on one task. The heavy window partitions by
+    (group, bucket) — parallelism = groups × buckets, so a
+    low-cardinality group key (the classic percentile-per-flag trap)
+    still spreads across the cluster. The offset window runs over the
+    tiny (group, bucket) totals table only (rows = |groups| ×
+    bucket-domain size), partitioned by group.
+    """
     order = [F.col(value_col)] + [F.col(c) for c in tiebreak_cols]
     if not ascending:
         order = [c.desc() for c in order]
     b = df.withColumn("_rk_bkt", bucket.cast("long"))
-    wl = Window.partitionBy("_rk_bkt").orderBy(*order)
+    wl = Window.partitionBy(*group_cols, "_rk_bkt").orderBy(*order)
     local = b.withColumn("_rk_rn", F.row_number().over(wl))
-    bt = b.groupBy("_rk_bkt").agg(F.count(F.lit(1)).alias("_rk_c"))
+    bt = b.groupBy(*group_cols, "_rk_bkt").agg(F.count(F.lit(1)).alias("_rk_c"))
     bkt_order = F.col("_rk_bkt").asc() if ascending else F.col("_rk_bkt").desc()
-    wo = Window.orderBy(bkt_order).rowsBetween(Window.unboundedPreceding, -1)
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bkt_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     off = bt.select(
+        *group_cols,
         "_rk_bkt",
         F.coalesce(F.sum("_rk_c").over(wo), F.lit(0)).alias("_rk_base"),
     )
     return (
-        local.join(F.broadcast(off), "_rk_bkt")
+        local.join(F.broadcast(off), [*group_cols, "_rk_bkt"])
         .withColumn(rank_col, F.col("_rk_base") + F.col("_rk_rn"))
         .drop("_rk_bkt", "_rk_rn", "_rk_base")
     )

@@ -663,7 +663,8 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[A-Za-z]+ing') AS ing_words,
+           COALESCE(array_to_string(regexp_extract_all(text, '[A-Za-z]+ing'),
+                                    ','), '') AS ing_words,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
            regexp_extract_all(lower(text), 'th[a-z]+')[1] AS first_th
     FROM documents WHERE doc_id < 300 ORDER BY doc_id
@@ -674,11 +675,17 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_extract) plus derived counts and head element — the
     pattern-mining primitive both engines implement natively.
     DuckDB arrays are 1-indexed and Spark's element_at matches that
-    convention, so the head extraction states the same index."""
+    convention, so the head extraction states the same index.
+    The match array is stringified with concat_ws in the FINAL
+    projection (driver-canonicalizer contract: pandas cannot hash a
+    top-level ndarray cell, so no query may return a top-level
+    array/map column — same discipline as fn_array)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[A-Za-z]+ing"), 0).alias("ing_words"),
+        F.concat_ws(
+            ",", F.regexp_extract_all("text", F.lit("[A-Za-z]+ing"), 0)
+        ).alias("ing_words"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
         .cast("long")
         .alias("n_numbers"),

@@ -321,12 +321,13 @@ def quality_tier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ),
     agg AS (
-        SELECT COUNT(*) AS s0,
-               SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS s1,
-               SUM(CASE WHEN lang_ok AND len_ok THEN 1 ELSE 0 END) AS s2,
-               SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS s3,
-               SUM(CASE WHEN canonical AND keep_sample THEN 1 ELSE 0 END)
-                 AS s4
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN lang_ok AND len_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN canonical THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN canonical AND keep_sample THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s4
         FROM flagged
     )
     SELECT stage, n_docs, round(CAST(n_docs AS DOUBLE) / prev, 6) AS yield

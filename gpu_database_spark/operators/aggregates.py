@@ -505,32 +505,120 @@ def agg_filtered_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped percentiles (continuous interpolation):
-    Spark's percentile/median against DuckDB's
-    quantile_cont/median — both implement the standard
-    (n-1)*p linear-interpolation definition, verified bit-identical
-    (no round() needed). The exact form buffers each group's values,
-    so it complements the approximate (`agg_approx_percentile`) and
-    no-global-sort (`stat_exact_quantiles_distributed`) variants for
-    the case of many small groups, where per-group buffering is the
-    RIGHT plan (group sizes bounded, perfectly parallel)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
-            F.expr("percentile(l_extendedprice, 0.75)").alias("price_p75"),
-            F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
-            F.expr("median(l_quantity)").alias("_m"),
+    """EXACT grouped percentiles (continuous interpolation) WITHOUT
+    per-group value buffering. Spark's builtin ``percentile()``
+    collects every group value into the aggregation buffer — fine for
+    many small groups, fatal here: the group key ``l_returnflag`` has
+    THREE values, so at 100 TB each of 3 reducers would buffer ~2e9
+    doubles. Instead this reuses the repo's histogram-bucket rank plan
+    (``functions/ranks.py``, grouped variant): rank each value within
+    (flag, value-bucket) — parallelism = flags × buckets — add the
+    broadcast per-(flag,bucket) prefix offsets, then fetch only the
+    two rows straddling each target position h=(n-1)p and interpolate
+    ``(ceil(h)-h)*lo + (h-floor(h))*hi`` — the literal op order of
+    Spark's Percentile (bit-compatible with DuckDB's quantile_cont
+    on this data), so results stay bit-identical to the buffering
+    builtin. Bucket widths are
+    data-independent (TPC-H price/qty domains), so the plan shape is
+    scale-invariant; total shuffled state per task is one bucket of
+    one flag."""
+    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+    def quantiles_of(value_col: str, bucket, specs: list[tuple[str, float]]):
+        ranked = grouped_bucketed_row_number(
+            li.select("l_returnflag", value_col, "l_orderkey", "l_linenumber"),
+            ["l_returnflag"],
+            value_col,
+            ["l_orderkey", "l_linenumber"],
+            bucket,
         )
-        .select(
-            "l_returnflag",
-            "price_p25",
-            "price_p50",
-            "price_p75",
-            "qty_p90",
-            F.col("_m").alias("qty_median"),
+        spec = spark.createDataFrame(specs, "label string, p double")
+        # Spark Percentile.getPercentile: position = (n-1)*p,
+        # result = (ceil-pos)*lower + (pos-floor)*higher, lower value
+        # returned verbatim when the position is integral.
+        h = (F.col("n") - 1).cast("double") * F.col("p")
+        tgt = (
+            cnt.crossJoin(spec)
+            .select(
+                F.col("l_returnflag").alias("flag"),
+                "label",
+                (F.ceil(h).cast("double") - h).alias("w_lo"),
+                (h - F.floor(h).cast("double")).alias("w_hi"),
+                (F.floor(h) + 1).cast("long").alias("k_lo"),
+                (F.ceil(h) + 1).cast("long").alias("k_hi"),
+            )
+            .select(
+                "flag",
+                "label",
+                "w_lo",
+                "w_hi",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("lo").alias("which"), F.col("k_lo").alias("k")
+                        ),
+                        F.struct(
+                            F.lit("hi").alias("which"), F.col("k_hi").alias("k")
+                        ),
+                    )
+                ).alias("t"),
+            )
+            .select("flag", "label", "w_lo", "w_hi", "t.which", "t.k")
+        )
+        hit = ranked.join(
+            F.broadcast(tgt),
+            (ranked["l_returnflag"] == tgt["flag"]) & (ranked["i"] == tgt["k"]),
+        )
+        v = F.col(value_col)
+        return (
+            hit.groupBy("flag", "label", "w_lo", "w_hi")
+            .agg(
+                F.max(F.when(F.col("which") == "lo", v)).alias("lo"),
+                F.max(F.when(F.col("which") == "hi", v)).alias("hi"),
+            )
+            .select(
+                "flag",
+                "label",
+                F.when(F.col("hi").isNull() | (F.col("w_hi") == 0), F.col("lo"))
+                .otherwise(
+                    F.col("w_lo") * F.col("lo") + F.col("w_hi") * F.col("hi")
+                )
+                .alias("v"),
+            )
+        )
+
+    vals = quantiles_of(
+        "price",
+        F.floor(F.col("price") / 2000.0),
+        [("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)],
+    ).unionByName(
+        quantiles_of(
+            "qty",
+            F.floor(F.col("qty")),
+            [("qty_p90", 0.9), ("qty_median", 0.5)],
+        )
+    )
+
+    def pick(label: str):
+        return F.max(F.when(F.col("label") == label, F.col("v"))).alias(label)
+
+    return (
+        vals.groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            pick("price_p25"),
+            pick("price_p50"),
+            pick("price_p75"),
+            pick("qty_p90"),
+            pick("qty_median"),
         )
         .orderBy("l_returnflag")
     )

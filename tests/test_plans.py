@@ -163,6 +163,21 @@ def test_watermark_running_max_is_bucketed(spark, sf_dir):
         assert "_bkt" in ln, f"running max partitioned by type alone: {ln}"
 
 
+def test_exact_percentile_never_buffers_groups(spark, sf_dir):
+    """agg_percentile_exact must NOT use the buffering percentile()
+    aggregate (3-value group key => 3 reducers each buffering the
+    whole table at scale); every rank window must partition by the
+    value bucket on top of the flag (histogram rank-location plan)."""
+    from gpu_database_spark.operators.aggregates import agg_percentile_exact
+
+    plan = inspect.simple_plan(agg_percentile_exact(spark, sf_dir))
+    assert "percentile(" not in plan, "buffering percentile agg present"
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "_rk_bkt" in ln, f"unbucketed per-flag rank window: {ln}"
+
+
 def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     """Tiny aggregation output must not occupy all configured shuffle
     partitions: AQE's coalescer merges them (fewer, fuller partitions —
