@@ -233,6 +233,8 @@ def main() -> None:
             ts.append(elapsed)
         return round(min(ts), 4), round(max(ts) - min(ts), 4)
 
+    from gpu_database_spark.functions.materialize import release_all
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -247,6 +249,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        finally:
+            # Drop this query's materialization blocks (safe: results are
+            # fully collected). 135 queries x best-of-3 otherwise pins
+            # checkpoint RDDs for the session lifetime — the storage-side
+            # half of the round-6 common-set drift (ADVICE r6).
+            release_all(spark)
 
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen

@@ -1,0 +1,57 @@
+"""Materialization points: plan-reuse barriers with a lifetime story.
+
+Many operators compute an intermediate once and feed it to several
+downstream consumers (a bands table read by both sides of a self-join,
+a bigram model read by two rollups). The repo's standard device is an
+eager ``localCheckpoint``: it cuts lineage AND guarantees single
+execution. Two documented trade-offs come with it:
+
+* **fault-tolerance**: localCheckpoint blocks are non-replicated and
+  non-recomputable — an executor loss kills the query. Fine on
+  local[32]; at 100 TB prefer ``persist(MEMORY_AND_DISK)`` (keeps
+  lineage, recomputes on loss). Set ``SPARK_GRAFT_MATERIALIZE=persist``
+  to flip every non-loop materialization point in the repo at once.
+  (Iterative operators — Aria's epoch loop, PageRank, k-core — always
+  checkpoint regardless: truncating the growing loop lineage is the
+  point there, and persist would reintroduce it.)
+* **lifetime**: checkpoint blocks pin executor storage until the RDD
+  is driver-GC'd, which py4j delays indefinitely in long sessions
+  (ADVICE r6: bench best-of-3 over 135 queries accumulates them).
+  Harnesses that run many queries in one session call
+  :func:`release_all` between queries, after results are fully
+  collected — NEVER while a dependent plan is still unexecuted,
+  because a released checkpoint cannot be recomputed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` once and return a reusable, lineage-bounded
+    handle. Mode is process-wide via ``SPARK_GRAFT_MATERIALIZE``:
+    ``checkpoint`` (default: eager localCheckpoint, single-execution
+    guarantee, non-recoverable) or ``persist`` (MEMORY_AND_DISK,
+    lineage kept, the fault-tolerant 100 TB setting)."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "checkpoint")
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # force now so consumers share one execution
+        return out
+    return df.localCheckpoint(eager=True)
+
+
+def release_all(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD in the context (checkpoint
+    blocks included — the cache-manager-only ``catalog.clearCache()``
+    misses them). Only safe once all dependent results are collected.
+    Returns the number of RDDs released."""
+    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist(False)
+    return len(jrdds)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -142,7 +143,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     fail the job) and eager=True runs the pipeline at build time; on a
     real cluster swap in persist(MEMORY_AND_DISK)+count or a reliable
     checkpoint for fault-tolerant materialization."""
-    b = lsh_bands(minhash_signatures(docs)).localCheckpoint(eager=True)
+    b = lsh_bands(minhash_signatures(docs)).transform(materialize)
     a = b.alias("a")
     c = b.alias("c")
     return (
@@ -255,7 +256,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Materialized once: the shingle set feeds three consumers (sizes +
     # both sides of the intersection join) that share no exchange.
-    sh = shingles(d).distinct().localCheckpoint(eager=True)
+    sh = shingles(d).distinct().transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     d2 = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
     pairs = d.select("doc_id", "lang").join(
@@ -303,7 +304,7 @@ def connected_components(
     """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(materialize)
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     for _ in range(max_iters):
         neighbor_min = (
@@ -319,7 +320,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -424,7 +425,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the signature table once — both the benchmark pool and
     # the train side read it, and their join shapes share no exchange
     # (the bench side broadcasts), so the md5 pipeline would run twice.
-    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    sig = minhash_signatures(d).transform(materialize)
     # Dedup the benchmark signature pool and count DISTINCT hash
     # positions per train doc: a doc can match at most 8 of 8, so the
     # threshold means what it says even when several benchmark docs
@@ -629,7 +630,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialized once: AQE broadcasts one pair-join side, so without
     # this the per-vector norm/bucket projection computes twice.
-    blocked = normed.repartition("label", "bucket").localCheckpoint(eager=True)
+    blocked = normed.repartition("label", "bucket").transform(materialize)
     a = blocked.select(
         F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
@@ -733,7 +734,7 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialized once: the span table feeds both the span-count
         # agg and the join-back, which share no exchange — without this
         # the word explode runs twice.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     span_docs = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs_span"))
     dup = F.sum(F.when(F.col("n_docs_span") >= 2, 1).otherwise(0))
@@ -802,7 +803,7 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     The graph is degree-bounded by construction (band collisions), so
     downstream clustering never sees a dense row."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d).localCheckpoint(eager=True)
+    sig = minhash_signatures(d).transform(materialize)
     pairs = lsh_candidate_pairs(d)
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -883,7 +884,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard, different candidate source + both-direction
     scoring."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d).distinct().localCheckpoint(eager=True)
+    sh = shingles(d).distinct().transform(materialize)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lsh_candidate_pairs(d)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -994,7 +995,7 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_knn_graph(spark, sf_dir)
         .filter(F.col("est_jaccard") * N_HASHES >= SEM_MIN_MATCH)
         .select(F.col("doc_id").alias("a"), F.col("neighbor_id").alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         edges.select(F.col("a").alias("id"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -162,7 +163,7 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector projection/norm stage would otherwise compute twice —
     # at scale, persist the (small) normed+bucketed vector table, then
     # self-join it.
-    blocked = normed.repartition("label", "bucket").localCheckpoint(eager=True)
+    blocked = normed.repartition("label", "bucket").transform(materialize)
     a = blocked.select(
         F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import davg_sql, dsum
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -698,6 +699,11 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id", F.split(F.trim(F.lower("text")), " ").alias("ws")
         )
+        # A <2-token doc has no bigrams: without this guard
+        # sequence(1, size-1) = sequence(1, 0) = [1, 0] (DESCENDING in
+        # Spark, not empty) and ws[i] faults under ANSI mode, where the
+        # oracle's range(1, len) is simply empty — filter to match.
+        .filter(F.size("ws") >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -716,7 +722,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         occ.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (

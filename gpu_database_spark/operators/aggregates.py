@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import davg, davg_sql, dsum, dsum_sql
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -671,7 +672,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once (domain-bounded: distinct prices per flag)
     b = by_price.withColumn(
         "_bkt", F.floor(F.col("price") / 1000).cast("long")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     wl = Window.partitionBy("flag", "_bkt").orderBy("price").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -241,8 +241,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what will this reprice to" lookup, the mirror of
     join_asof_prevailing's carry-forward.
 
-    Same linear union plan, reflected: right rows sort AFTER left
-    rows at equal timestamps (strict >), and first(ignorenulls) over
+    Same linear union plan, reflected: right rows sort BEFORE left
+    rows at equal timestamps, so an equal-time rate falls outside the
+    order's following frame (strict >), and first(ignorenulls) over
     a currentRow..unboundedFollowing frame carries the next value
     backward. One shuffle on the series key, no range join, no
     per-row subquery."""

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import dsum, dsum_sql
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -79,7 +80,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = items.agg(F.countDistinct("ok").alias("n_baskets"))
     sing = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
@@ -1017,7 +1018,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("value")).alias("s"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     base = cell.groupBy("event_type").agg(
         (
@@ -1078,7 +1079,7 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = (
         e.select(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sizes = aud.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     a = aud.alias("a")

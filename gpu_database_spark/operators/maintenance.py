@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from gpu_database_spark.functions.compat import dsum
 from gpu_database_spark.llm.graphrank import synth_edges
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -267,7 +268,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import dsum
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -345,7 +346,7 @@ def stat_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / 20).cast("long").alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = joint.agg(F.sum("c").alias("n"))
 

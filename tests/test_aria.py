@@ -193,3 +193,31 @@ def test_epoch_loop_terminates_and_commits_all(spark, workload):
     n_txns_with_ops = len({t for t, _, _, _ in ops_rows})
     assert len(result.commit_order) == n_txns_with_ops
     assert result.epochs < 50
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_reference_config_matches_serial_oracle(spark, reorder):
+    """Aria at the reference's ACTUAL workload configuration
+    (``include/core/Transction.h:24-33`` / BASELINE.md: 199,999-row
+    preload, 150 txns x U(0,30) ops, keys U(1,20000), write rate 0.4):
+    final table must equal the serial-order replay and the epoch count
+    must match the oracle's retry schedule — the full-scale version of
+    the toy-size property tests above (VERDICT r6 #7)."""
+    n_rows, seed = 199_999, 42
+    table = gen.kv_table_distributed(spark, n_rows, seed=seed)
+    ops_rows = gen.transactions_local(
+        batch_size=150, max_ops=30, keys_max=20_000, write_rate=0.4, seed=7
+    )
+    ops = spark.createDataFrame(
+        ops_rows, "txn_id long, op_idx int, key long, is_update boolean"
+    )
+    result = aria.run_batch(
+        table, ops, reorder=reorder, collect_commit_order=True
+    )
+    got = {r.key: r.value for r in result.table.collect()}
+    init = {k: md5(f"{seed}:{k}") for k in range(1, n_rows + 1)}
+    want, epoch_commits = serial_oracle(init, ops_rows, reorder)
+    assert len(got) == n_rows
+    assert got == want
+    assert result.epochs == len(epoch_commits)
+    assert sorted(result.commit_order) == sorted({t for t, _, _, _ in ops_rows})

@@ -434,13 +434,29 @@ def test_interval_binned_join_at_1m_events(spark):
         .groupBy("win_id")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    total_pairs = hits.agg(F.sum("k")).collect()[0][0]
-    # independent recount: events per bin x windows whose start-bin or
-    # next-bin equals that bin, filtered exactly — same number of pairs
-    recount = (
-        win_bins.join(ev, "bin")
-        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
-        .count()
+    # Independent verification (ADVICE r6: the old recount re-ran the
+    # identical binned pipeline — tautology): for a 200-window subset,
+    # compute per-window hit counts via a DIRECT broadcast range join
+    # (no bins at all, pure t >= start AND t < end predicate) and
+    # require the binned rewrite to agree window by window.
+    sub = win.filter(F.col("win_id") % 5000 == 0)
+    direct = (
+        e.join(
+            F.broadcast(sub),
+            (F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")),
+        )
+        .groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("k_direct"))
     )
-    assert total_pairs == recount
+    cmp = (
+        hits.join(F.broadcast(sub.select("win_id")), "win_id")
+        .join(direct, "win_id", "full_outer")
+        .filter(
+            F.col("k").isNull()
+            | F.col("k_direct").isNull()
+            | (F.col("k") != F.col("k_direct"))
+        )
+    )
+    assert cmp.count() == 0, cmp.limit(5).collect()
+    assert direct.count() == 200
     assert win.count() == hits.count(), "every window contains its own opener"

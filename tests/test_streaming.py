@@ -303,3 +303,127 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     batch = jobs.enriched_cohort_counts_stream(events_batch, dim)
     assert _rows(out) == _rows(batch)
     assert out.count() > 0
+
+
+def test_streaming_soak_1m_events_watermark_and_aria(spark, tmp_path):
+    """Scale soak (VERDICT r6 #6): >=1M events streamed through (a) a
+    watermarked tumbling aggregation with an EXACT drop-count oracle,
+    and (b) the foreachBatch Aria install bridge — the true-streaming
+    counterpart of the 1M-row batch smokes in test_scale_smoke.
+
+    The source files arrive one per availableNow run against a shared
+    checkpoint, so micro-batch boundaries — and therefore watermark
+    advancement — are exactly reproducible: files 1-3 carry a block of
+    10-day-late rows that the post-file-0 watermark must drop, file 3
+    carries one far-future sentinel that closes every on-time window.
+    The streamed result must equal the batch groupBy over ON-TIME rows
+    only, window by window — the running-watermark audit
+    stream_watermark_audit states over the fixture, evaluated here at
+    micro-batch granularity with a closed-form expectation."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    n_per_file, n_files, n_late = 250_000, 4, 1_250
+    base = 1_700_002_800  # epoch seconds, hour-aligned (472223 * 3600)
+    hour, day = 3_600, 86_400
+    src = os.path.join(str(tmp_path), "soak_src")
+    sink = os.path.join(str(tmp_path), "soak_sink")
+    ckpt = os.path.join(str(tmp_path), "soak_ckpt")
+    os.makedirs(src)
+
+    def write_file(k: int) -> None:
+        i = np.arange(n_per_file, dtype=np.int64)
+        ts = (base + k * hour + i % hour) * 1_000_000
+        vid = k * n_per_file + i
+        if k > 0:  # late block: 10 days before base, must be dropped
+            ts[:n_late] = (base - 10 * day) * 1_000_000
+        if k == n_files - 1:  # sentinel closes all on-time windows
+            ts[-1] = (base + 30 * day) * 1_000_000
+        pd.DataFrame({"event_id": vid, "ts_us": ts}).to_parquet(
+            os.path.join(src, f"part-{k}.parquet")
+        )
+
+    def run_watermark_once() -> None:
+        stream = (
+            spark.readStream.schema("event_id LONG, ts_us LONG")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("long").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # (b) setup: the foreachBatch Aria install bridge at the reference
+    # key domain (keys U(1,20000)); ops are a 1/40 sample of events.
+    table = spark.range(1, 20_001).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("init:"), F.col("id")).alias("value"),
+    )
+
+    def batch_to_ops(batch_df):
+        s = batch_df.filter(F.col("event_id") % 40 == 0)
+        return s.select(
+            (F.col("event_id") % 150).alias("txn_id"),
+            (F.col("event_id") % 30).cast("int").alias("op_idx"),
+            (F.col("event_id") % 20_000 + 1).alias("key"),
+            (F.col("event_id") % 5 < 2).alias("is_update"),
+        )
+
+    fn, state = jobs.aria_foreach_batch_install(spark, table, batch_to_ops)
+    aria_ckpt = os.path.join(str(tmp_path), "aria_ckpt")
+
+    def run_aria_once() -> None:
+        q = (
+            spark.readStream.schema("event_id LONG, ts_us LONG")
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", aria_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    for k in range(n_files):  # one micro-batch per arriving file
+        write_file(k)
+        run_watermark_once()
+        run_aria_once()
+
+    got = {r.ws: r.n for r in spark.read.parquet(sink).collect()}
+    assert not [ws for ws in got if ws < base], "late windows leaked"
+    # exact oracle: every on-time row lands in its hour window; the
+    # sentinel's own window stays open (watermark = sentinel - 30min)
+    expect = {
+        base + k * hour: n_per_file
+        - (n_late if k > 0 else 0)
+        - (1 if k == n_files - 1 else 0)
+        for k in range(n_files)
+    }
+    assert got == expect, {
+        k: (got.get(k), expect.get(k))
+        for k in set(got) | set(expect)
+        if got.get(k) != expect.get(k)
+    }
+    dropped = n_late * (n_files - 1)
+    assert n_files * n_per_file - sum(got.values()) == dropped + 1  # +1 open sentinel
+
+    assert state["epochs"] >= n_files, state["epochs"]
+    assert state["committed"], "no transaction ever committed"
+    final = state["table"]
+    assert final.count() == 20_000, "upsert-only workload must keep the key domain"
+    assert final.filter(F.col("value").startswith("init:")).count() < 20_000, (
+        "no write ever installed"
+    )

@@ -65,6 +65,10 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"FAIL {name}: {str(ex)[:300]}", flush=True)
+        finally:
+            from gpu_database_spark.functions.materialize import release_all
+
+            release_all(spark)  # don't pin checkpoint blocks across 236 queries
     print("DONE fails:", fails)
     spark.stop()
     return 1 if fails else 0
