@@ -15,7 +15,7 @@ shuffle the distinct pairs; approx_count_distinct is the 100 TB path
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import davg, davg_sql, dsum, dsum_sql
@@ -511,101 +511,152 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects every group value into the aggregation buffer — fine for
     many small groups, fatal here: the group key ``l_returnflag`` has
     THREE values, so at 100 TB each of 3 reducers would buffer ~2e9
-    doubles. Instead this reuses the repo's histogram-bucket rank plan
-    (``functions/ranks.py``, grouped variant): rank each value within
-    (flag, value-bucket) — parallelism = flags × buckets — add the
-    broadcast per-(flag,bucket) prefix offsets, then fetch only the
-    two rows straddling each target position h=(n-1)p and interpolate
+    doubles. Instead: the distributed-selection plan
+    (``stat_exact_quantiles_distributed``'s, grouped + interpolated).
+    Pass 1 histograms (flag, metric, value-bucket) — map-side
+    combined, only aggregated COUNTS ever shuffle — and prefix-sums
+    the domain-bounded bucket table; each target position h=(n-1)p
+    locates its straddling ranks' buckets there. Pass 2 re-scans ONLY
+    the hit buckets (~1/50th of rows behind a broadcast semi-join),
+    ranks within each, and interpolates
     ``(ceil(h)-h)*lo + (h-floor(h))*hi`` — the literal op order of
-    Spark's Percentile (bit-compatible with DuckDB's quantile_cont
-    on this data), so results stay bit-identical to the buffering
-    builtin. Bucket widths are
+    Spark's Percentile (bit-compatible with DuckDB's quantile_cont on
+    this data), so results stay bit-identical to the buffering
+    builtin. No full-data shuffle anywhere; bucket widths are
     data-independent (TPC-H price/qty domains), so the plan shape is
-    scale-invariant; total shuffled state per task is one bucket of
-    one flag."""
-    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
-
+    scale-invariant."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").cast("double").alias("price"),
         F.col("l_quantity").cast("double").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-
-    def quantiles_of(value_col: str, bucket, specs: list[tuple[str, float]]):
-        ranked = grouped_bucketed_row_number(
-            li.select("l_returnflag", value_col, "l_orderkey", "l_linenumber"),
-            ["l_returnflag"],
-            value_col,
-            ["l_orderkey", "l_linenumber"],
-            bucket,
-        )
-        spec = spark.createDataFrame(specs, "label string, p double")
-        # Spark Percentile.getPercentile: position = (n-1)*p,
-        # result = (ceil-pos)*lower + (pos-floor)*higher, lower value
-        # returned verbatim when the position is integral.
-        h = (F.col("n") - 1).cast("double") * F.col("p")
-        tgt = (
-            cnt.crossJoin(spec)
-            .select(
-                F.col("l_returnflag").alias("flag"),
-                "label",
-                (F.ceil(h).cast("double") - h).alias("w_lo"),
-                (h - F.floor(h).cast("double")).alias("w_hi"),
-                (F.floor(h) + 1).cast("long").alias("k_lo"),
-                (F.ceil(h) + 1).cast("long").alias("k_hi"),
+    # Both metrics ride one narrow layout: (flag, metric, value).
+    pairs = li.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(F.lit("price").alias("metric"), F.col("price").alias("value")),
+                F.struct(F.lit("qty").alias("metric"), F.col("qty").alias("value")),
             )
-            .select(
-                "flag",
-                "label",
-                "w_lo",
-                "w_hi",
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.lit("lo").alias("which"), F.col("k_lo").alias("k")
-                        ),
-                        F.struct(
-                            F.lit("hi").alias("which"), F.col("k_hi").alias("k")
-                        ),
-                    )
-                ).alias("t"),
-            )
-            .select("flag", "label", "w_lo", "w_hi", "t.which", "t.k")
+        ).alias("mv"),
+    ).select("l_returnflag", "mv.metric", "mv.value")
+    # metric-specific monotone bucket: ~55 price buckets / 50 qty
+    bucketed = pairs.withColumn(
+        "bucket",
+        F.when(F.col("metric") == "price", F.floor(F.col("value") / 2000.0))
+        .otherwise(F.floor(F.col("value")))
+        .cast("long"),
+    )
+    # Pass 1: per-(flag, metric, bucket) histogram — map-side combined,
+    # only aggregated counts ever shuffle. Prefix-sum the TINY bucket
+    # table (domain-bounded row count) for cumulative bases.
+    # Materialized: hist feeds cum (twice, via located/wanted) and cnt
+    # — without this single execution point the histogram scan re-runs
+    # once per consumer. The table is domain-bounded tiny (~300 rows).
+    hist = materialize(
+        bucketed.groupBy("l_returnflag", "metric", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        hit = ranked.join(
-            F.broadcast(tgt),
-            (ranked["l_returnflag"] == tgt["flag"]) & (ranked["i"] == tgt["k"]),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag", "metric")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "metric",
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("base"),
+    )
+    cnt = (
+        hist.filter(F.col("metric") == "price")
+        .groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    spec = spark.createDataFrame(
+        [
+            ("price", "price_p25", 0.25),
+            ("price", "price_p50", 0.5),
+            ("price", "price_p75", 0.75),
+            ("qty", "qty_p90", 0.9),
+            ("qty", "qty_median", 0.5),
+        ],
+        "metric string, label string, p double",
+    )
+    # Spark Percentile.getPercentile: position = (n-1)*p,
+    # result = (ceil-pos)*lower + (pos-floor)*higher, lower value
+    # returned verbatim when the position is integral.
+    h = (F.col("n") - 1).cast("double") * F.col("p")
+    targets = (
+        cnt.crossJoin(spec)
+        .select(
+            "l_returnflag",
+            "metric",
+            "label",
+            (F.ceil(h).cast("double") - h).alias("w_lo"),
+            (h - F.floor(h).cast("double")).alias("w_hi"),
+            (F.floor(h) + 1).cast("long").alias("k_lo"),
+            (F.ceil(h) + 1).cast("long").alias("k_hi"),
         )
-        v = F.col(value_col)
-        return (
-            hit.groupBy("flag", "label", "w_lo", "w_hi")
-            .agg(
-                F.max(F.when(F.col("which") == "lo", v)).alias("lo"),
-                F.max(F.when(F.col("which") == "hi", v)).alias("hi"),
-            )
-            .select(
-                "flag",
-                "label",
-                F.when(F.col("hi").isNull() | (F.col("w_hi") == 0), F.col("lo"))
-                .otherwise(
-                    F.col("w_lo") * F.col("lo") + F.col("w_hi") * F.col("hi")
+        .select(
+            "l_returnflag",
+            "metric",
+            "label",
+            "w_lo",
+            "w_hi",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("lo").alias("which"), F.col("k_lo").alias("k")),
+                    F.struct(F.lit("hi").alias("which"), F.col("k_hi").alias("k")),
                 )
-                .alias("v"),
-            )
+            ).alias("t"),
         )
-
-    vals = quantiles_of(
-        "price",
-        F.floor(F.col("price") / 2000.0),
-        [("price_p25", 0.25), ("price_p50", 0.5), ("price_p75", 0.75)],
-    ).unionByName(
-        quantiles_of(
-            "qty",
-            F.floor(F.col("qty")),
-            [("qty_p90", 0.9), ("qty_median", 0.5)],
+        .select("l_returnflag", "metric", "label", "w_lo", "w_hi", "t.which", "t.k")
+    )
+    # Each target rank k lives in the bucket with base < k <= base+cnt.
+    located = (
+        F.broadcast(targets)
+        .join(
+            cum.withColumnsRenamed({"l_returnflag": "flag", "metric": "m"}),
+            (F.col("l_returnflag") == F.col("flag"))
+            & (F.col("metric") == F.col("m"))
+            & (F.col("base") < F.col("k"))
+            & (F.col("k") <= F.col("base") + F.col("cnt")),
+        )
+        .select("l_returnflag", "metric", "label", "w_lo", "w_hi", "which", "k", "bucket", "base")
+    )
+    # Pass 2: re-scan ONLY the hit buckets (a ~1/50th slice); rank
+    # within each — bounded per-task sort — and pick global rank k.
+    wanted = located.select("l_returnflag", "metric", "bucket").distinct()
+    wb = Window.partitionBy("l_returnflag", "metric", "bucket").orderBy("value")
+    in_bucket = bucketed.join(
+        F.broadcast(wanted), ["l_returnflag", "metric", "bucket"]
+    ).withColumn("rn", F.row_number().over(wb))
+    hit = in_bucket.join(
+        F.broadcast(
+            located.withColumnsRenamed(
+                {"l_returnflag": "flag", "metric": "m", "bucket": "bk"}
+            )
+        ),
+        (F.col("l_returnflag") == F.col("flag"))
+        & (F.col("metric") == F.col("m"))
+        & (F.col("bucket") == F.col("bk"))
+        & (F.col("base") + F.col("rn") == F.col("k")),
+    )
+    vals = (
+        hit.groupBy("flag", "label", "w_lo", "w_hi")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("value"))).alias("hi"),
+        )
+        .select(
+            "flag",
+            "label",
+            F.when(F.col("hi").isNull() | (F.col("w_hi") == 0), F.col("lo"))
+            .otherwise(F.col("w_lo") * F.col("lo") + F.col("w_hi") * F.col("hi"))
+            .alias("v"),
         )
     )
 

@@ -175,7 +175,7 @@ def test_exact_percentile_never_buffers_groups(spark, sf_dir):
     rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert rn_lines, plan
     for ln in rn_lines:
-        assert "_rk_bkt" in ln, f"unbucketed per-flag rank window: {ln}"
+        assert "bucket" in ln, f"unbucketed per-flag rank window: {ln}"
 
 
 def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):

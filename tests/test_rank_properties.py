@@ -101,3 +101,26 @@ def test_asof_forward_shape_vs_pandas(spark):
     for _, row in want_df.iterrows():
         w_val = None if pd.isna(row["val"]) else float(row["val"])
         assert got[row["lid"]] == w_val, (row["lid"], got[row["lid"]], w_val)
+
+
+def test_grouped_bucketed_row_number_matches_per_group_sort(spark):
+    """Per-group ranks from the (group, bucket)-partitioned plan must
+    equal a straight per-group sort's row_number."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 2654435761) % 1000).cast("double").alias("v"),
+        F.col("id"),
+    )
+    got = grouped_bucketed_row_number(
+        df, ["g"], "v", ["id"], F.floor(F.col("v") / 50), rank_col="i"
+    )
+    want = df.withColumn(
+        "j", F.row_number().over(Window.partitionBy("g").orderBy("v", "id"))
+    )
+    mism = got.join(want, ["g", "v", "id"]).filter(F.col("i") != F.col("j"))
+    assert mism.count() == 0
