@@ -168,6 +168,12 @@ HEADLINE = [
     "agg_weighted_median",
     "dq_join_fanout_histogram",
     "audience_overlap_jaccard",
+    # round-7 additions
+    "stat_bootstrap_ci",
+    "stat_ols_multivariate",
+    "dq_distribution_drift_psi",
+    "dedup_url_canonicalize",
+    "sim_ann_pq",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -415,3 +415,116 @@ def corpus_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://WWW.' || source || '.COM/item/'
+               || CAST(doc_id % 400 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&utm_campaign=x&id='
+                            || CAST(doc_id % 400 AS VARCHAR)
+                       WHEN doc_id % 3 = 1
+                       THEN '?id=' || CAST(doc_id % 400 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+               AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               regexp_replace(lower(regexp_extract(url, 'https?://([^/]+)', 1)),
+                              '^www\\.', '')
+               || regexp_replace(
+                      regexp_replace(
+                          regexp_replace(
+                              regexp_replace(url, '#.*$', ''),
+                              '^https?://[^/]+', ''),
+                          'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                      '/(\\?|$)', '\\1')
+               AS canon_url
+        FROM urls
+    )
+    SELECT canon_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_variants,
+           MIN(doc_id) AS canonical_doc
+    FROM canon
+    GROUP BY canon_url
+    HAVING COUNT(DISTINCT url) > 1
+    ORDER BY n_docs DESC, canon_url
+    LIMIT 20
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-side twin of content
+    dedup: the same page arrives under casing, tracking-parameter,
+    trailing-slash and fragment variants, and a training pipeline must
+    collapse them BEFORE fetch/decode spend. Fixture URLs are
+    synthesized deterministically from (source, doc_id) with all four
+    variant classes; canonicalization lowercases + strips 'www.' from
+    the host, drops the fragment, removes utm_* params and the
+    trailing slash — each one regexp over the stream, identical
+    patterns in both engines — then exact-groups by canonical form and
+    elects min(doc_id) as the family representative.
+
+    Scale shape: pure narrow projections + ONE groupBy on the
+    canonical string (high-cardinality key) + top-20; at 100 TB this
+    is a single shuffle, and the canonical key doubles as the
+    partition key for any downstream per-site work."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".COM/item/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&id="),
+                (F.col("doc_id") % 400).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 400).cast("string")),
+        )
+        .otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "#section-2").otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"https?://([^/]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("url", r"#.*$", ""),
+                r"^https?://[^/]+",
+                "",
+            ),
+            r"utm_[a-z]+=[^&#]*&?",
+            "",
+        ),
+        r"/(\?|$)",
+        r"$1",
+    )
+    canon = u.select("doc_id", "url", F.concat(host, path).alias("canon_url"))
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy(F.desc("n_docs"), "canon_url")
+        .limit(20)
+    )

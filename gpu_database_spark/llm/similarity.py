@@ -691,3 +691,122 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("maxsim"), "doc_id")
     )
+
+
+PQ_SUBS = 8       # subspaces (64-dim embedding -> 8 x 8-dim slices)
+PQ_SUBDIM = 8
+PQ_CODES = 32     # codewords per subspace
+PQ_SEED_BASE = 100  # vec_id of the first codebook-seeding vector
+PQ_TOP_K = 10
+
+
+@register("sim_ann_pq")  # rows-only: code assignments are index-layout
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the third member of the index family
+    (LSH buckets, IVF lists, PQ codes): each vector is compressed to 8
+    one-nibble codes (64 floats -> 4 bytes, a 64x memory cut), and
+    query search is Asymmetric Distance Computation: precompute the
+    query's 8x16 distance table to every codeword, then a vector's
+    approximate distance is EIGHT table lookups summed — no float
+    vector is ever touched at query time.
+
+    Codebook: the {PQ_CODES} corpus vectors from vec_id
+    {PQ_SEED_BASE} seed one codeword per subspace each, then ONE
+    distributed Lloyd step (assign -> per-dimension mean) sharpens
+    them — the same trainer pattern sim_ivf_train_step shows for the
+    coarse quantizer; production would loop that step to
+    convergence.
+
+    Scale shape: encoding joins the corpus against a BROADCAST
+    8x16-row codebook and argmins per (vector, subspace) — a narrow
+    map + one groupBy keyed by (vec_id, sub), embarrassingly parallel;
+    queries broadcast their 128-entry distance tables and the ADC sum
+    is one groupBy over code hits. No all-pairs stage anywhere.
+    tests/test_llm.py gates recall vs the exact baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = spark.range(PQ_SUBS).select(F.col("id").cast("int").alias("sub"))
+    # codebook: (sub, code, cw) — 128 rows, broadcast everywhere
+    cb = (
+        e.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODES)
+        )
+        .select((F.col("vec_id") - PQ_SEED_BASE).cast("int").alias("code"), "embedding")
+        .crossJoin(subs)
+        .select(
+            "sub",
+            "code",
+            F.slice("embedding", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cw"),
+        )
+    )
+
+    def subdist(vec_col: str):
+        """Squared L2 between a vector's sub-slice and the codeword."""
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec_col, F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.col("cw"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cb_df):
+        """Encode: argmin codeword per (vec, sub) against a broadcast book."""
+        return (
+            e.crossJoin(F.broadcast(cb_df))
+            .select(
+                "vec_id",
+                "sub",
+                "code",
+                F.round(subdist("embedding"), 9).alias("d2"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "code")).alias("m"))
+            .select("vec_id", "sub", F.col("m.code").alias("code"))
+        )
+
+    # One Lloyd step sharpens the train-free seeds: assign, then move
+    # each codeword to the mean of its assigned sub-slices (per-dim
+    # groupBy average — the distributed k-means update, run per
+    # subspace). The refined book is tiny (<=8x32 rows): materialize it
+    # once for the encode AND the query distance tables.
+    sliced = e.crossJoin(subs).select(
+        "vec_id",
+        "sub",
+        F.slice("embedding", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    per_dim = (
+        assign(cb)
+        .join(sliced, ["vec_id", "sub"])
+        .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+        .groupBy("sub", "code", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+    )
+    cb1 = materialize(
+        per_dim.groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("a"))
+        .select("sub", "code", F.transform("a", lambda s: s["mv"]).alias("cw"))
+    )
+    codes = assign(cb1)
+    # ADC: per-query distance table to every refined codeword
+    dt = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .crossJoin(F.broadcast(cb1))
+        .select("qid", "sub", "code", F.round(subdist("embedding"), 9).alias("d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .orderBy("qid", "rk")
+    )

@@ -16,7 +16,7 @@ audit layer SURVEY.md §2B's sources/maintenance categories assume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.registry import register
@@ -172,3 +172,89 @@ def dq_join_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("n_matches")
     )
+
+
+@register(
+    "dq_distribution_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+               CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AS cur
+        FROM orders
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells),
+    terms AS (
+        SELECT bin, n_ref, n_cur,
+               (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+               (n_cur + 0.5) / (t_cur + 5.0) AS p_cur
+        FROM cells CROSS JOIN tot
+    )
+    SELECT bin, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref,
+           round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+           round(CAST(SUM(CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                               AS DECIMAL(27,6))) OVER ()
+                      AS DOUBLE), 6) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order cohorts (pre/post
+    1996): the standard drift gate a pipeline runs before trusting a
+    refreshed table — PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    re-examine. o_totalprice is binned into 10 fixed-width buckets
+    (data-independent edges, so the report is comparable across
+    snapshots), proportions are Laplace-smoothed (+0.5 per bin) so an
+    empty bin cannot produce an infinite term, and the total rides
+    along via a DECIMAL-summed window over the 10-row term table.
+
+    Scale shape: ONE conditional aggregation over the fact table
+    (map-side combined; both cohorts counted in the same pass — no
+    self-join, no second scan), then arithmetic on a 10-row table.
+    Column-level drift for d columns is d independent copies of this
+    plan over one shared scan."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            (F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date")).alias(
+            "cur"
+        ),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count_if(~F.col("cur")).alias("n_ref"),
+        F.count_if(F.col("cur")).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term.cast("decimal(27,6)")).over(w).cast("double"), 6
+        ).alias("psi_total"),
+    ).orderBy("bin")

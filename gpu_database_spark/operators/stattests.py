@@ -607,3 +607,288 @@ def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.x", "c.y", "c.n", "c.cov", "c.corr")
         .orderBy("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (round 7)
+
+_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..6; u above the
+# last threshold -> 7. Written as shared literals so Spark and DuckDB
+# evaluate the identical CASE chain.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _boot_u_sql(b: int) -> str:
+    return (
+        "(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+        f"'{b}'), 1, 15) AS BIGINT) % 1000000) / 1000000.0"
+    )
+
+
+def _boot_w_sql(b: int) -> str:
+    u = _boot_u_sql(b)
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+def _bootstrap_oracle() -> str:
+    means = " UNION ALL ".join(
+        f"SELECT {b} AS b, CAST(SUM(CAST(w{b} AS DECIMAL(2,0)) * x) AS DOUBLE)"
+        f" / SUM(w{b}) AS mean "
+        "FROM w"
+        for b in range(_B)
+    )
+    ws = ", ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_B))
+    return f"""
+    WITH w AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x, {ws} FROM orders
+    ),
+    means AS ({means}),
+    m6 AS (SELECT CAST(mean AS DECIMAL(18,3)) AS md FROM means),
+    summary AS (
+        SELECT round(quantile_cont(CAST(md AS DOUBLE), 0.025), 6) AS ci_lo,
+               round(quantile_cont(CAST(md AS DOUBLE), 0.5), 6) AS ci_med,
+               round(quantile_cont(CAST(md AS DOUBLE), 0.975), 6) AS ci_hi,
+               round(sqrt((CAST(SUM(md * md) AS DOUBLE)
+                           - CAST(SUM(md) AS DOUBLE)
+                             * CAST(SUM(md) AS DOUBLE) / {_B}.0)
+                          / {float(_B - 1)}), 6) AS se_boot
+        FROM m6
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / COUNT(*), 6) FROM orders)
+             AS mean_full,
+           ci_lo, ci_med, ci_hi, se_boot
+    FROM summary
+    """
+
+
+@register("stat_bootstrap_ci", oracle=_bootstrap_oracle())
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean(o_totalprice) —
+    THE distributed bootstrap: classical resampling needs the whole
+    sample on one machine per replicate, but drawing each row's
+    replicate multiplicity from Poisson(1) (the n->inf limit of
+    Binomial(n, 1/n)) makes all B=32 replicates ONE aggregation pass
+    with O(2B) doubles of state per task, map-side combined — no
+    resample materialization, no shuffle of rows. Weights come from an
+    md5-derived uniform per (row, replicate) pushed through the shared
+    inverse-CDF literals, so both engines draw the identical
+    pseudo-sample. Replicate means go through DECIMAL(27,6) exact sums
+    (order-independent), are truncated to DECIMAL(18,6), and the CI
+    percentiles/SE are closed forms over those 32 exact values —
+    bit-reproducible end to end.
+
+    Scale shape: one wide aggregate over the fact table (64 sums), a
+    1-row -> 32-row explode, and a 32-row summary aggregate. At 100 TB
+    the only data-sized work is the single scan."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def w(b: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.lit(str(b)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ) / 1_000_000.0
+        c = F.when(u < float(_POIS_CDF[0]), 0)
+        for k, t in enumerate(_POIS_CDF[1:], start=1):
+            c = c.when(u < float(t), k)
+        return c.otherwise(7)
+
+    aggs = []
+    for b in range(_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * x).alias(f"sx{b}"))
+        aggs.append(F.sum(wb).alias(f"sw{b}"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    aggs.append(F.sum(x).alias("sx_full"))
+    wide = o.agg(*aggs)
+
+    means = wide.select(
+        "n_rows",
+        "sx_full",
+        F.explode(
+            F.array(
+                *[
+                    (F.col(f"sx{b}").cast("double") / F.col(f"sw{b}")).alias(
+                        str(b)
+                    )
+                    for b in range(_B)
+                ]
+            )
+        ).alias("mean"),
+    ).withColumn("md", F.col("mean").cast("decimal(18,3)"))
+    return means.groupBy("n_rows", "sx_full").agg(
+        F.round(F.expr("percentile(CAST(md AS DOUBLE), 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(CAST(md AS DOUBLE), 0.5)"), 6).alias("ci_med"),
+        F.round(F.expr("percentile(CAST(md AS DOUBLE), 0.975)"), 6).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("md") * F.col("md")).cast("double")
+                    - F.sum("md").cast("double")
+                    * F.sum("md").cast("double")
+                    / float(_B)
+                )
+                / float(_B - 1)
+            ),
+            6,
+        ).alias("se_boot"),
+    ).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.col("sx_full").cast("double") / F.col("n_rows"), 6
+        ).alias("mean_full"),
+        "ci_lo",
+        "ci_med",
+        "ci_hi",
+        "se_boot",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate OLS via normal equations (round 7)
+
+
+@register(
+    "stat_ols_multivariate",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT l_returnflag, n, s1, s2, sy,
+               s11 - s1 * s1 / n AS c11,
+               s12 - s1 * s2 / n AS c12,
+               s22 - s2 * s2 / n AS c22,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y,
+               syy - sy * sy / n AS cyy
+        FROM s
+    ),
+    b AS (
+        SELECT l_returnflag, n, s1, s2, sy, c1y, c2y, cyy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM c
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(b1, 6) AS beta_qty,
+           round(b2, 6) AS beta_discount,
+           round((sy - b1 * s1 - b2 * s2) / n, 6) AS intercept,
+           round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+    FROM b ORDER BY l_returnflag
+    """,
+)
+def stat_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (price ~ quantity + discount per return flag)
+    fit in ONE aggregation pass: the 3x3 normal equations need only
+    ten sufficient statistics (counts + exact cross-product sums), all
+    map-side combinable with O(1) state — the distributed closed-form
+    fit, vs. the naive gradient/two-pass approaches that rescan.
+    The 2-feature system is solved in closed form (centered Cramer's
+    rule), every product written in the SAME operation order as the
+    oracle SQL over the SAME exact-decimal sums, so the double
+    arithmetic is bit-identical and round(6) is cosmetic.
+    Generalizes to d features as a d^2-entry Gram vector (see
+    embed_pca_power for the d x d variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    x1, x2, y = d("l_quantity"), d("l_discount"), d("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    c = s.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = c.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        "c1y",
+        "c2y",
+        "cyy",
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det).alias("b2"),
+    )
+    return b.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("b1", 6).alias("beta_qty"),
+        F.round("b2", 6).alias("beta_discount"),
+        F.round(
+            (F.col("sy") - F.col("b1") * F.col("s1") - F.col("b2") * F.col("s2"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y")) / F.col("cyy"),
+            6,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -149,3 +149,37 @@ def test_frame_sample_bounded(spark, sf_dir):
     fs = multimodal.mm_frame_sample(spark, sf_dir)
     agg = fs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert agg and all(1 <= r.n <= 9 for r in agg)
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ/ADC top-10 must overlap the exact L2 top-10; uniform random
+    64-dim data is PQ's worst case (no cluster structure for the
+    codebook to exploit), so the gate is calibrated like IVF's."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gpu_database_spark.llm.similarity import (
+        N_QUERIES,
+        PQ_TOP_K,
+        sim_ann_pq,
+    )
+
+    rows = sim_ann_pq(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.cid)
+    assert set(got) == set(range(N_QUERIES))
+    assert all(len(v) == PQ_TOP_K for v in got.values())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.vstack(t.embedding.values).astype(np.float64)
+    ids = t.vec_id.values
+    hits, total = 0, 0
+    for q in range(N_QUERIES):
+        qv = E[ids == q][0]
+        d = ((E - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:PQ_TOP_K]])
+        hits += len(exact & got[q])
+        total += PQ_TOP_K
+    assert hits >= total * 0.25, f"PQ recall too low: {hits}/{total}"
