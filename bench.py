@@ -174,6 +174,8 @@ HEADLINE = [
     "dq_distribution_drift_psi",
     "dedup_url_canonicalize",
     "sim_ann_pq",
+    "mm_image_phash",
+    "sql_pipe_syntax",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -229,9 +230,14 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cur"
         ),
     )
-    cells = binned.groupBy("bin").agg(
-        F.count_if(~F.col("cur")).alias("n_ref"),
-        F.count_if(F.col("cur")).alias("n_cur"),
+    # Materialized: cells feeds both the totals aggregate and the term
+    # join; without one execution point the fact-table scan runs twice.
+    # The table is 10 rows by construction.
+    cells = materialize(
+        binned.groupBy("bin").agg(
+            F.count_if(~F.col("cur")).alias("n_ref"),
+            F.count_if(F.col("cur")).alias("n_cur"),
+        )
     )
     tot = cells.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")

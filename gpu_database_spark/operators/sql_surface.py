@@ -213,3 +213,38 @@ def hll_merged_estimate(spark: SparkSession, sf_dir: str) -> float:
     return per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).collect()[0]["est"]
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>` operators): the same
+    filtered-aggregate-having query stated as a linear pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY |> WHERE |> ORDER BY —
+    which Catalyst parses to the IDENTICAL logical plan as the nested
+    classic form the oracle states (pushdown, partial aggregation and
+    AQE all apply unchanged; pipe order is surface syntax only)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                       AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> ORDER BY o_orderpriority
+        """
+    )

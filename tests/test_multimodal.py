@@ -174,3 +174,100 @@ def test_extract_features_real_bytes_through_spark(spark):
         *mm._fake_decode(text, "video")[:3],
         pytest.approx(mm._fake_decode(text, "video")[3]),
     )
+
+
+def make_png_pixels(pixels: list[list[int]]) -> bytes:
+    """Minimal grayscale PNG from an explicit pixel grid."""
+    height, width = len(pixels), len(pixels[0])
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_phash_finds_near_dup_pngs(spark):
+    """A few-pixel variant of an image must land within the Hamming
+    ball of the original through the FULL banded pipeline (hash ->
+    band blocking -> exact Hamming), while a structurally different
+    image must not."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.llm import multimodal as mm
+
+    rng = random.Random(7)
+    base = [[rng.randrange(256) for _ in range(36)] for _ in range(36)]
+    variant = [row[:] for row in base]
+    for _ in range(4):  # a tiny watermark-sized patch
+        y, x = rng.randrange(36), rng.randrange(36)
+        variant[y][x] = (variant[y][x] + 80) % 256
+    distinct = [[rng.randrange(256) for _ in range(36)] for _ in range(36)]
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(make_png_pixels(base)), "image", 0),
+            (2, bytearray(make_png_pixels(variant)), "image", 0),
+            (3, bytearray(make_png_pixels(distinct)), "image", 0),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    hashed = mm.phash_table(media).collect()
+    assert {r.codec for r in hashed} == {"png"}
+    h = {r.media_id: r.phash for r in hashed}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) <= mm.PHASH_MAX_HAMMING
+    assert ham(h[1], h[3]) > mm.PHASH_MAX_HAMMING
+
+    # full pipeline: banded candidates then exact Hamming
+    hashed_df = spark.createDataFrame(
+        [(r.media_id, r.phash, r.codec) for r in hashed], mm.PHASH_SCHEMA
+    )
+    bands = hashed_df.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band", "b.val")
+    l = bands.select(F.col("media_id").alias("id1"), F.col("phash").alias("h1"), "band", "val")
+    r = bands.select(F.col("media_id").alias("id2"), F.col("phash").alias("h2"), "band", "val")
+    pairs = (
+        l.join(r, ["band", "val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= mm.PHASH_MAX_HAMMING)
+        .collect()
+    )
+    assert {(p.id1, p.id2) for p in pairs} == {(1, 2)}
+
+
+def test_phash_query_runs_on_fixture(spark, sf_dir):
+    """The registered query runs end-to-end on the text-payload fixture
+    (no near-dups there by construction -> correctly empty)."""
+    from gpu_database_spark.llm.multimodal import mm_image_phash
+
+    df = mm_image_phash(spark, sf_dir)
+    assert df.columns == ["id1", "id2", "hamming"]
+    assert df.count() == 0

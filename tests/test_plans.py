@@ -191,3 +191,37 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     got = agg.rdd.getNumPartitions()
     conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert got < conf, f"{got} partitions, conf {conf} — no coalescing"
+
+
+def test_bootstrap_is_single_pass(spark, sf_dir):
+    """stat_bootstrap_ci's 32 replicates must come from ONE scan of the
+    fact table (64 conditional sums in one partial+final aggregate) —
+    an exploded-resample plan would scan or shuffle 32x."""
+    from gpu_database_spark.operators.stattests import stat_bootstrap_ci
+
+    plan = inspect.simple_plan(stat_bootstrap_ci(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ols_multivariate_is_single_pass(spark, sf_dir):
+    """All ten sufficient statistics of the normal equations in one
+    partial+final aggregate over one scan."""
+    from gpu_database_spark.operators.stattests import stat_ols_multivariate
+
+    plan = inspect.simple_plan(stat_ols_multivariate(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_psi_counts_both_cohorts_in_one_pass(spark, sf_dir):
+    """dq_distribution_drift_psi must not self-join or rescan: both
+    cohorts are conditional counts in one aggregation."""
+    from gpu_database_spark.operators.dataquality import (
+        dq_distribution_drift_psi,
+    )
+
+    # The 10-row cells table is materialized at build time (one scan
+    # executed then); the final plan must not rescan the fact table.
+    plan = inspect.simple_plan(dq_distribution_drift_psi(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
