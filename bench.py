@@ -176,6 +176,8 @@ HEADLINE = [
     "sim_ann_pq",
     "mm_image_phash",
     "sql_pipe_syntax",
+    "audience_overlap_hll",
+    "graph_label_propagation",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -400,3 +400,61 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(15)
     )
+
+
+LPA_ITERS = 6  # synchronous label-propagation rounds (fixed, deterministic)
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation over an undirected graph:
+    every node starts as its own label; each round, a node adopts the
+    most frequent label among its neighbors AND itself (the self-vote
+    damps the 2-cycle oscillation plain synchronous LPA suffers), ties
+    broken toward the SMALLEST label — fully deterministic, no RNG.
+    Returns (id, lbl) after ``n_iters`` rounds.
+
+    Scale shape per round: one join of the (src, dst) edge list with
+    the label table (shuffle on node id) + one groupBy vote count +
+    one argmax — the standard Pregel message topology; the label table
+    is checkpointed each round to truncate the growing loop lineage
+    (same discipline as pagerank above)."""
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = nodes.select(F.col("id"), F.col("id").alias("lbl"))
+    for _ in range(n_iters):
+        nbr = und.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        votes = nbr.unionAll(labels.select("id", "lbl"))
+        best = (
+            votes.groupBy("id", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("id", (-F.col("m.nl")).alias("lbl"))
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels
+
+
+@register("graph_label_propagation")  # rows-only: iterative fixpoint, no SQL oracle
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community census of the synthetic link graph by deterministic
+    synchronous LPA ({LPA_ITERS} rounds): top-20 communities by size —
+    the crawl-side clustering that groups mutually-linking sites
+    before per-community sampling caps (a training-data pipeline caps
+    any one community's share). tests/test_graphrank.py checks the
+    full label assignment against a serial Python replica."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = label_propagation(d, synth_edges(
+        d.select(F.col("id").alias("doc_id"))
+    ))
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )

@@ -1108,3 +1108,39 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register("audience_overlap_hll")  # rows-only: sketch estimates are engine-local
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for audience_overlap_jaccard: per-type HLL
+    sketches of the user sets, pairwise overlap by inclusion-exclusion
+    — |A∩B| ≈ est(A) + est(B) - est(A∪B), where est(A∪B) is a SKETCH
+    MERGE (hll_union), never a data-side union. After the one
+    distinct-pair aggregation that builds the |types| sketches, every
+    pairwise number is arithmetic on kilobyte sketch blobs: the
+    |types|² matrix costs no further passes over the stream, which is
+    what makes the sketch family the production choice when the exact
+    self-join's shuffle is too big. Estimates are engine-specific, so
+    this registers rows-only; tests/test_behavior_dq.py gates the
+    estimates against the exact matrix."""
+    e = load_table(spark, sf_dir, "events")
+    sk = materialize(
+        e.groupBy(F.col("event_type").alias("t")).agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk")
+        )
+    )
+    a = sk.select(F.col("t").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("t").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(est_a, 1).alias("est_a"),
+        F.round(est_b, 1).alias("est_b"),
+        F.round(est_u, 1).alias("est_union"),
+        F.round(est_a + est_b - est_u, 1).alias("est_both"),
+        F.round((est_a + est_b - est_u) / est_u, 6).alias("est_jaccard"),
+    ).orderBy("type_a", "type_b")

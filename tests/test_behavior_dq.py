@@ -644,3 +644,28 @@ def test_rfm_ranks_are_bucketed(spark, sf_dir):
     assert rn_lines, plan
     for ln in rn_lines:
         assert "_rk_bkt" in ln, f"global-rank window: {ln}"
+
+
+def test_audience_overlap_hll_tracks_exact(spark, sf_dir):
+    """The sketch matrix must estimate every exact pairwise audience
+    overlap within HLL(lgK=14) tolerance (relative error ~0.8% at one
+    sigma; allow 5% plus small-count slack)."""
+    from gpu_database_spark.operators.behavior import (
+        audience_overlap_hll,
+        audience_overlap_jaccard,
+    )
+
+    exact = {
+        (r.type_a, r.type_b): r
+        for r in audience_overlap_jaccard(spark, sf_dir).collect()
+    }
+    est = {
+        (r.type_a, r.type_b): r
+        for r in audience_overlap_hll(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for k, r in est.items():
+        x = exact[k]
+        union = x.n_a + x.n_b - x.n_both
+        assert abs(r.est_union - union) <= max(0.05 * union, 3), (k, r, x)
+        assert abs(r.est_both - x.n_both) <= max(0.10 * union, 5), (k, r, x)

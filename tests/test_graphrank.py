@@ -83,3 +83,41 @@ def test_kcore_matches_serial_peeling(spark, sf_dir):
     assert set(got) == alive
     for n in alive:
         assert got[n] == len(adj[n] & alive), n
+
+
+def test_label_propagation_matches_serial_replica(spark, sf_dir):
+    """The distributed synchronous LPA must produce the identical
+    label assignment as a serial Python replay of the same rounds
+    (self-vote, most-frequent label, ties to the smallest)."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.llm.graphrank import (
+        LPA_ITERS,
+        label_propagation,
+        synth_edges,
+    )
+    from gpu_database_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = synth_edges(d.select(F.col("id").alias("doc_id")))
+    got = {
+        r.id: r.lbl for r in label_propagation(d, edges).collect()
+    }
+
+    nbrs = defaultdict(set)
+    for r in edges.collect():
+        nbrs[r.src].add(r.dst)
+        nbrs[r.dst].add(r.src)
+    ids = [r.id for r in d.collect()]
+    lbl = {i: i for i in ids}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for i in ids:
+            c = Counter(lbl[j] for j in nbrs[i])
+            c[lbl[i]] += 1
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[i] = best[0]
+        lbl = new
+    assert got == lbl
