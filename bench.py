@@ -178,6 +178,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "audience_overlap_hll",
     "graph_label_propagation",
+    "sim_ann_recall_report",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -810,3 +810,47 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= PQ_TOP_K)
         .orderBy("qid", "rk")
     )
+
+
+@register("sim_ann_recall_report")  # rows-only: evaluates engine-local indexes
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation AS a query: recall@k of each ANN
+    family (hyperplane LSH, IVF centroid-probe, product quantization)
+    against the exact brute-force baseline, computed entirely
+    Spark-side — the report a pipeline runs after (re)building an
+    index and gates deployment on. Exact and approximate top-k sets
+    join on (qid, cid); recall = |approx ∩ exact| / k per query,
+    rolled up per method.
+
+    Scale shape: each method's candidate generation is its own bounded
+    plan (documented at its definition); the evaluation itself joins
+    tiny top-k sets (queries × k rows) — negligible. At 100 TB the
+    exact baseline is computed once on a fixed evaluation query sample
+    exactly like this one (vec_id < {N_QUERIES})."""
+    exact = sim_topk_cosine(spark, sf_dir).select(
+        "qid", "cid", F.lit(TOP_K).alias("k")
+    )
+
+    def recall_of(name: str, approx: DataFrame) -> DataFrame:
+        hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"])
+        per_q = (
+            exact.select("qid").distinct()
+            .join(
+                hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")),
+                "qid",
+                "left",
+            )
+            .select("qid", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        )
+        return per_q.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.sum("n_hit") / (F.count(F.lit(1)) * TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+
+    lsh = recall_of("lsh", sim_ann_lsh(spark, sf_dir))
+    ivf = recall_of("ivf", sim_ann_ivf(spark, sf_dir))
+    pq = recall_of("pq", sim_ann_pq(spark, sf_dir).filter(F.col("rk") <= TOP_K))
+    return lsh.unionByName(ivf).unionByName(pq).orderBy("method")

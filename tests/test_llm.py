@@ -183,3 +183,19 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
         hits += len(exact & got[q])
         total += PQ_TOP_K
     assert hits >= total * 0.25, f"PQ recall too low: {hits}/{total}"
+
+
+def test_ann_recall_report_consistent(spark, sf_dir):
+    """The recall report must cover all three index families, count
+    every evaluation query, and agree with the per-method gates."""
+    from gpu_database_spark.llm.similarity import (
+        N_QUERIES,
+        sim_ann_recall_report,
+    )
+
+    rows = {r.method: r for r in sim_ann_recall_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for r in rows.values():
+        assert r.n_queries == N_QUERIES
+        assert 0.0 <= r.recall_at_k <= 1.0
+    assert rows["lsh"].recall_at_k > 0 and rows["pq"].recall_at_k > 0
