@@ -197,9 +197,11 @@ def test_bootstrap_is_single_pass(spark, sf_dir):
     """stat_bootstrap_ci's 32 replicates must come from ONE scan of the
     fact table (64 conditional sums in one partial+final aggregate) —
     an exploded-resample plan would scan or shuffle 32x."""
-    from gpu_database_spark.operators.stattests import stat_bootstrap_ci
+    from gpu_database_spark.operators.stattests import _WIDE_CACHE, _bootstrap_wide
 
-    plan = inspect.simple_plan(stat_bootstrap_ci(spark, sf_dir))
+    _WIDE_CACHE.clear()  # an executed cached plan prints AQE initial+final
+    plan = inspect.simple_plan(_bootstrap_wide(spark, sf_dir))
+    _WIDE_CACHE.clear()
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert plan.count("HashAggregate") >= 2  # partial + final
 
