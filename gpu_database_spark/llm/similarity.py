@@ -789,15 +789,24 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sub", "code", "dim")
         .agg(F.avg(F.col("val").cast("double")).alias("mv"))
     )
+    # The cache stores the COLLECTED codebook rows (8x32, tiny), not a
+    # checkpointed DataFrame: harnesses call materialize.release_all()
+    # between queries, which would strand a cached lineage-truncated
+    # checkpoint (verified: CHECKPOINT_BLOCK_NOT_FOUND on reuse).
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    cb1 = _PQ_CB_CACHE.get(cache_key)
-    if cb1 is None:
-        cb1 = materialize(
-            per_dim.groupBy("sub", "code")
+    cb_rows = _PQ_CB_CACHE.get(cache_key)
+    if cb_rows is None:
+        cb_rows = [
+            (r.sub, r.code, list(r.cw))
+            for r in per_dim.groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("a"))
             .select("sub", "code", F.transform("a", lambda s: s["mv"]).alias("cw"))
-        )
-        _PQ_CB_CACHE[cache_key] = cb1
+            .collect()
+        ]
+        _PQ_CB_CACHE[cache_key] = cb_rows
+    cb1 = spark.createDataFrame(
+        cb_rows, "sub int, code int, cw array<double>"
+    )
     codes = assign(cb1)
     # ADC: per-query distance table to every refined codeword
     dt = (

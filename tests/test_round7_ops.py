@@ -49,3 +49,20 @@ def test_bigram_surprisal_survives_short_docs(spark, tmp_path):
     rows = text_bigram_surprisal(spark, sf).collect()
     assert rows, "multi-token docs must still score"
     assert {r.doc_id for r in rows} <= {2, 3}, "short docs must be dropped"
+
+
+def test_session_caches_survive_release_all(spark, sf_dir):
+    """Queries with per-session caches (bootstrap wide plan, PQ
+    codebook) must stay usable after materialize.release_all(), which
+    bench/parity harnesses call between queries — a cached
+    lineage-truncated checkpoint would strand
+    (CHECKPOINT_BLOCK_NOT_FOUND, the bug this pins)."""
+    from gpu_database_spark.functions.materialize import release_all
+    from gpu_database_spark.llm.similarity import sim_ann_pq
+    from gpu_database_spark.operators.stattests import stat_bootstrap_ci
+
+    r1 = sim_ann_pq(spark, sf_dir).count()
+    b1 = stat_bootstrap_ci(spark, sf_dir).collect()
+    release_all(spark)
+    assert sim_ann_pq(spark, sf_dir).count() == r1
+    assert stat_bootstrap_ci(spark, sf_dir).collect() == b1
