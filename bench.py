@@ -179,6 +179,8 @@ HEADLINE = [
     "audience_overlap_hll",
     "graph_label_propagation",
     "sim_ann_recall_report",
+    "sample_class_balanced",
+    "events_did_lift",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

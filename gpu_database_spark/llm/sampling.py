@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -194,4 +195,66 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("priority"), "doc_id")
         .limit(25)
+    )
+
+
+@register(
+    "sample_class_balanced",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents
+        GROUP BY lang
+    ),
+    m AS (SELECT MIN(n_before) AS m FROM sizes),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN sizes s USING (lang) CROSS JOIN m
+        WHERE ({_hash_bucket_sql('d.doc_id')}) * s.n_before < m.m * {BUCKETS}
+    )
+    SELECT s.lang, s.n_before,
+           CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+    FROM sizes s
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) k
+      USING (lang)
+    ORDER BY s.lang
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — the standard rebalancing step
+    before training on skewed label distributions: every class is
+    rate-matched down to (approximately) the SMALLEST class's size by
+    the deterministic keep rule ``hash_bucket(doc_id) * n_class <
+    min_class * BUCKETS`` — pure integer arithmetic, so both engines
+    keep the identical documents and the decision is reproducible
+    under any partitioning (unlike df.sampleBy). Reports the
+    per-class before/after census.
+
+    Scale shape: one class-size aggregation (broadcast back — class
+    cardinality is tiny by definition), then a narrow filter over the
+    stream; no shuffle of kept rows, no per-class sort or rank (an
+    exact-count variant would need per-class global ranks; the rate
+    rule trades ±O(sqrt(n)) count jitter for rankless scalability)."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = materialize(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    m = sizes.agg(F.min("n_before").alias("m"))
+    kept = (
+        d.join(F.broadcast(sizes), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            hash_bucket(F.col("doc_id")) * F.col("n_before")
+            < F.col("m") * BUCKETS
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        sizes.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        )
+        .orderBy("lang")
     )

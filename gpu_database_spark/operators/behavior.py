@@ -1144,3 +1144,100 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est_a + est_b - est_u, 1).alias("est_both"),
         F.round((est_a + est_b - est_u) / est_u, 6).alias("est_jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "events_did_lift",
+    oracle="""
+    WITH span AS (
+        SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS mid FROM events
+    ),
+    cells AS (
+        SELECT (user_id % 2 = 0) AS treated,
+               (epoch_ns(ts) >= (SELECT mid FROM span)) AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                 AS mean_v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT
+        CAST(SUM(CASE WHEN treated AND post THEN n END) AS BIGINT) AS n_tp,
+        CAST(SUM(CASE WHEN treated AND NOT post THEN n END) AS BIGINT) AS n_t0,
+        CAST(SUM(CASE WHEN NOT treated AND post THEN n END) AS BIGINT) AS n_cp,
+        CAST(SUM(CASE WHEN NOT treated AND NOT post THEN n END) AS BIGINT)
+          AS n_c0,
+        round(MAX(CASE WHEN treated AND post THEN mean_v END), 6) AS m_tp,
+        round(MAX(CASE WHEN treated AND NOT post THEN mean_v END), 6) AS m_t0,
+        round(MAX(CASE WHEN NOT treated AND post THEN mean_v END), 6) AS m_cp,
+        round(MAX(CASE WHEN NOT treated AND NOT post THEN mean_v END), 6)
+          AS m_c0,
+        round((MAX(CASE WHEN treated AND post THEN mean_v END)
+               - MAX(CASE WHEN treated AND NOT post THEN mean_v END))
+              - (MAX(CASE WHEN NOT treated AND post THEN mean_v END)
+                 - MAX(CASE WHEN NOT treated AND NOT post THEN mean_v END)),
+              6) AS did_estimate
+    FROM cells
+    """,
+)
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift estimate over purchase values:
+    treatment = even user_id (the deterministic stand-in for an
+    experiment assignment column), exposure split at the midpoint of
+    the event-time span; DiD = (treated post-pre delta) minus
+    (control post-pre delta) — the quasi-experimental causal readout
+    an analytics engine runs when randomization wasn't available.
+
+    Scale shape: the time midpoint is one min/max aggregate broadcast
+    back; the four cells come from ONE conditional aggregation over
+    the filtered stream (map-side combined, 4 groups); the estimate is
+    arithmetic over the 4-row cell table. Cell means go through exact
+    DECIMAL sums so both engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    span = load_table(spark, sf_dir, "events").agg(
+        F.expr("(MIN(ts_ns) + MAX(ts_ns)) div 2").alias("mid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.col("ts_ns") >= F.col("mid")).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+        )
+    )
+
+    def cell(t: bool, p: bool, col: str):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.max(F.when(cond, F.col(col)))
+
+    did = (
+        cell(True, True, "mean_v")
+        - cell(True, False, "mean_v")
+    ) - (cell(False, True, "mean_v") - cell(False, False, "mean_v"))
+    return cells.agg(
+        F.sum(F.when((F.col("treated")) & (F.col("post")), F.col("n")))
+        .cast("long")
+        .alias("n_tp"),
+        F.sum(F.when((F.col("treated")) & (~F.col("post")), F.col("n")))
+        .cast("long")
+        .alias("n_t0"),
+        F.sum(F.when((~F.col("treated")) & (F.col("post")), F.col("n")))
+        .cast("long")
+        .alias("n_cp"),
+        F.sum(F.when((~F.col("treated")) & (~F.col("post")), F.col("n")))
+        .cast("long")
+        .alias("n_c0"),
+        F.round(cell(True, True, "mean_v"), 6).alias("m_tp"),
+        F.round(cell(True, False, "mean_v"), 6).alias("m_t0"),
+        F.round(cell(False, True, "mean_v"), 6).alias("m_cp"),
+        F.round(cell(False, False, "mean_v"), 6).alias("m_c0"),
+        F.round(did, 6).alias("did_estimate"),
+    )

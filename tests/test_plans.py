@@ -227,3 +227,26 @@ def test_psi_counts_both_cohorts_in_one_pass(spark, sf_dir):
     # executed then); the final plan must not rescan the fact table.
     plan = inspect.simple_plan(dq_distribution_drift_psi(spark, sf_dir))
     assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a table PARTITIONED on the join key with a filtered
+    dimension must plan a dynamic-pruning subquery on the scan — at
+    100 TB this is what turns a full-fact-table read into reading only
+    the partitions the dimension selects at RUNTIME (no static literal
+    available to the optimizer)."""
+    fact_path = str(tmp_path / "orders_part")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") > "4")  # runtime-only selection
+    )
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() >= 1
