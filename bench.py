@@ -181,6 +181,7 @@ HEADLINE = [
     "sim_ann_recall_report",
     "sample_class_balanced",
     "events_did_lift",
+    "fn_xml_parse",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

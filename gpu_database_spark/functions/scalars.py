@@ -694,3 +694,57 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).alias("first_th"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id,
+               '<doc id="' || doc_id || '"><lang>' || lang || '</lang>'
+               || '<src>' || source || '</src><chars>' || n_chars
+               || '</chars></doc>' AS xml
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(regexp_extract(xml, 'id="([0-9]+)"', 1) AS BIGINT) AS xid,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS xlang,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS xsrc,
+           CAST(regexp_extract(xml, '<chars>([0-9]+)</chars>', 1) AS BIGINT)
+             AS xchars
+    FROM x ORDER BY doc_id
+    """,
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 built-in XML support): documents
+    are round-tripped through an XML representation and parsed back
+    with the xpath_* family — attribute extraction, element text,
+    numeric casts — all JVM-side. DuckDB has no XML parser, so the
+    oracle states the equivalent regexp extractions over the SAME
+    synthesized markup; equality proves the xpath semantics. (from_xml
+    to a typed struct is the schema-on-read variant of the same
+    machinery; the xpath form is shown because it projects straight to
+    flat, canonicalizer-friendly columns.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><src>"),
+        F.col("source"),
+        F.lit("</src><chars>"),
+        F.col("n_chars"),
+        F.lit("</chars></doc>"),
+    )
+    return (
+        d.select("doc_id", xml.alias("xml"))
+        .select(
+            "doc_id",
+            F.expr("xpath_long(xml, '/doc/@id')").alias("xid"),
+            F.expr("xpath_string(xml, '/doc/lang')").alias("xlang"),
+            F.expr("xpath_string(xml, '/doc/src')").alias("xsrc"),
+            F.expr("xpath_long(xml, '/doc/chars')").alias("xchars"),
+        )
+        .orderBy("doc_id")
+    )
