@@ -16,7 +16,7 @@ execution. Two documented trade-offs come with it:
   point there, and persist would reintroduce it.)
 * **lifetime**: checkpoint blocks pin executor storage until the RDD
   is driver-GC'd, which py4j delays indefinitely in long sessions
-  (ADVICE r6: bench best-of-3 over 135 queries accumulates them).
+  (ADVICE r6: bench best-of-3 over the full headline set accumulates them).
   Harnesses that run many queries in one session call
   :func:`release_all` between queries, after results are fully
   collected — NEVER while a dependent plan is still unexecuted,

@@ -79,13 +79,16 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _png_scanlines(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+def _iter_png_scanlines(data: bytes):
     """Stdlib PNG decode to raw scanlines: walk the chunk stream for
     IHDR/IDAT, inflate, undo per-row filters (None/Sub/Up/Average/
     Paeth). Supports 8-bit gray/RGB/RGBA/gray+alpha, non-interlaced
     (what PNG encoders emit by default); anything else raises and the
     caller falls through to the next decoder. Returns
-    (width, height, channels, rows)."""
+    (width, height, channels, row_iterator) — the iterator keeps only
+    the current and previous scanline in memory, so streaming
+    consumers (the mean-intensity decode) stay O(stride) regardless of
+    image size; grid consumers materialize via _png_scanlines."""
     import struct
     import zlib
 
@@ -112,45 +115,58 @@ def _png_scanlines(data: bytes) -> tuple[int, int, int, list[bytearray]]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(idat)
     stride = width * channels
-    prev = bytearray(stride)
-    rows: list[bytearray] = []
-    i = 0
-    for _row in range(height):
-        filt = raw[i]
-        i += 1
-        line = bytearray(raw[i : i + stride])
-        i += stride
-        if filt == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 255
-        elif filt == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 255
-        elif filt == 3:  # Average
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
-        elif filt == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 255
-        elif filt != 0:
-            raise ValueError(f"bad PNG filter {filt}")
-        rows.append(line)
-        prev = line
-    return width, height, channels, rows
+
+    def rows():
+        prev = bytearray(stride)
+        i = 0
+        for _row in range(height):
+            filt = raw[i]
+            i += 1
+            line = bytearray(raw[i : i + stride])
+            i += stride
+            if filt == 1:  # Sub
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 255
+            elif filt == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 255
+            elif filt == 3:  # Average
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+            elif filt == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c)
+                    )
+                    line[x] = (line[x] + pred) & 255
+            elif filt != 0:
+                raise ValueError(f"bad PNG filter {filt}")
+            yield line
+            prev = line
+
+    return width, height, channels, rows()
+
+
+def _png_scanlines(data: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """Materialized form of _iter_png_scanlines for consumers that need
+    random row access (the perceptual-hash grid)."""
+    width, height, channels, it = _iter_png_scanlines(data)
+    return width, height, channels, list(it)
 
 
 def _decode_png(data: bytes) -> tuple[int, int, int, float]:
-    """PNG feature decode: true mean sample intensity over the
-    defiltered scanlines (see _png_scanlines)."""
-    width, height, channels, rows = _png_scanlines(data)
-    total = sum(sum(line) for line in rows)
+    """PNG feature decode: true mean sample intensity, streamed one
+    scanline at a time (O(stride) memory)."""
+    width, height, channels, it = _iter_png_scanlines(data)
+    total = sum(sum(line) for line in it)
     n_samples = height * width * channels
     mean = total / n_samples / 255.0 if n_samples else 0.0
     return width, height, 1, mean
@@ -424,29 +440,11 @@ def phash_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_run, schema=PHASH_SCHEMA)
 
 
-@register("mm_image_phash")  # rows-only: hash layout is engine-local
-def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup detection over image payloads — the
-    multimodal twin of dedup_simhash: each payload compresses to a
-    64-bit dHash (9x8 block-mean grayscale grid, adjacent-cell
-    comparisons; REAL pixels for PNG via the stdlib scanline decoder,
-    deterministic stand-in for the text fixture), and candidate pairs
-    come ONLY from banded blocking — two images must agree on at least
-    one of four 16-bit hash bands before the exact Hamming distance
-    (<= {PHASH_MAX_HAMMING}) is checked. A resize/re-encode/watermark
-    variant flips few grid comparisons, so true near-dups collide in
-    some band; random pairs almost never do.
-
-    Scale shape: ONE Arrow-batched mapInPandas pass computes hashes
-    (constant memory per task); the banded self-join touches only
-    same-band buckets — expected bucket size n/65536 per band, never
-    all-pairs — exactly dedup_lsh_pairs' candidate topology. The
-    exact-Hamming filter is JVM-side bit_count(xor).
-    tests/test_multimodal.py drives real generated PNGs (original +
-    few-pixel variant + distinct image) through the full pipeline."""
-    from gpu_database_spark.functions.materialize import materialize
-
-    hashed = materialize(phash_table(media_table(spark, sf_dir)))
+def phash_pairs(hashed: DataFrame) -> DataFrame:
+    """Banded near-dup pairing over a (media_id, phash, codec) table:
+    candidates ONLY from 4x16-bit band collisions, then the exact
+    Hamming filter — shared by the registered query and the real-PNG
+    pipeline test so the two cannot drift."""
     bands = hashed.select(
         "media_id",
         "phash",
@@ -470,16 +468,40 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("media_id").alias("id2"), F.col("phash").alias("h2"), "band", "val"
     )
-    pairs = (
+    return (
         left.join(right, ["band", "val"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "h1", "h2")
         .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-        )
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+@register("mm_image_phash")  # rows-only: hash layout is engine-local
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over image payloads — the
+    multimodal twin of dedup_simhash: each payload compresses to a
+    64-bit dHash (9x8 block-mean grayscale grid, adjacent-cell
+    comparisons; REAL pixels for PNG via the stdlib scanline decoder,
+    deterministic stand-in for the text fixture), and candidate pairs
+    come ONLY from banded blocking — two images must agree on at least
+    one of four 16-bit hash bands before the exact Hamming distance
+    (<= {PHASH_MAX_HAMMING}) is checked. A resize/re-encode/watermark
+    variant flips few grid comparisons, so true near-dups collide in
+    some band; random pairs almost never do.
+
+    Scale shape: ONE Arrow-batched mapInPandas pass computes hashes
+    (constant memory per task); the banded self-join touches only
+    same-band buckets — expected bucket size n/65536 per band, never
+    all-pairs — exactly dedup_lsh_pairs' candidate topology. The
+    exact-Hamming filter is JVM-side bit_count(xor).
+    tests/test_multimodal.py drives real generated PNGs (original +
+    few-pixel variant + distinct image) through the full pipeline."""
+    from gpu_database_spark.functions.materialize import materialize
+
+    hashed = materialize(phash_table(media_table(spark, sf_dir)))
+    pairs = phash_pairs(hashed)
     return (
         pairs.select("id1", "id2", "hamming")
         .orderBy("hamming", "id1", "id2")

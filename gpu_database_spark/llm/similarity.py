@@ -844,9 +844,10 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny top-k sets (queries × k rows) — negligible. At 100 TB the
     exact baseline is computed once on a fixed evaluation query sample
     exactly like this one (vec_id < {N_QUERIES})."""
-    exact = sim_topk_cosine(spark, sf_dir).select(
-        "qid", "cid", F.lit(TOP_K).alias("k")
-    )
+    # Materialized: the brute-force baseline feeds two consumers per
+    # method x three methods — without one execution point it would
+    # re-run six times per invocation.
+    exact = materialize(sim_topk_cosine(spark, sf_dir).select("qid", "cid"))
 
     def recall_of(name: str, approx: DataFrame) -> DataFrame:
         hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"])

@@ -228,38 +228,12 @@ def test_phash_finds_near_dup_pngs(spark):
     assert ham(h[1], h[2]) <= mm.PHASH_MAX_HAMMING
     assert ham(h[1], h[3]) > mm.PHASH_MAX_HAMMING
 
-    # full pipeline: banded candidates then exact Hamming
+    # full pipeline: the SAME banded-candidate + exact-Hamming helper
+    # the registered query runs (no private copy to drift)
     hashed_df = spark.createDataFrame(
         [(r.media_id, r.phash, r.codec) for r in hashed], mm.PHASH_SCHEMA
     )
-    bands = hashed_df.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "phash", "b.band", "b.val")
-    l = bands.select(F.col("media_id").alias("id1"), F.col("phash").alias("h1"), "band", "val")
-    r = bands.select(F.col("media_id").alias("id2"), F.col("phash").alias("h2"), "band", "val")
-    pairs = (
-        l.join(r, ["band", "val"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "h1", "h2")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
-        .filter(F.col("hamming") <= mm.PHASH_MAX_HAMMING)
-        .collect()
-    )
+    pairs = mm.phash_pairs(hashed_df).collect()
     assert {(p.id1, p.id2) for p in pairs} == {(1, 2)}
 
 
