@@ -182,6 +182,7 @@ HEADLINE = [
     "sample_class_balanced",
     "events_did_lift",
     "fn_xml_parse",
+    "stat_proportions_ab",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -910,3 +910,100 @@ def stat_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "stat_proportions_ab",
+    oracle="""
+    WITH u AS (
+        SELECT user_id % 2 = 0 AS treated,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 3
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT treated,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM u GROUP BY treated
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN treated THEN n END) AS n1,
+               MAX(CASE WHEN treated THEN k END) AS k1,
+               MAX(CASE WHEN NOT treated THEN n END) AS n2,
+               MAX(CASE WHEN NOT treated THEN k END) AS k2
+        FROM g
+    )
+    SELECT n1, k1, n2, k2,
+           round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                 / NULLIF(sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                               * (1.0 / n1 + 1.0 / n2)), 0.0), 6) AS z
+    FROM w
+    """,
+)
+def stat_proportions_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (>= 3 purchases;
+    did the treated half convert at a different rate?) — the A/B readout that pairs with
+    stat_welch_ttest (means) and events_did_lift (quasi-experimental):
+    per-user conversion flags collapse the stream (one shuffle on
+    user_id), group sizes and successes are one conditional aggregate
+    over that table, and z = (p1-p2)/sqrt(p(1-p)(1/n1+1/n2)) with the
+    pooled p is pure integer-ratio arithmetic — deterministic to the
+    bit, stated in the identical op order in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 3
+        )
+        .cast("int")
+        .alias("converted"),
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("treated"), "converted"
+    )
+    g = u.groupBy("treated").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+
+    def pick(flag: bool, col: str):
+        return F.max(F.when(F.col("treated") == flag, F.col(col)))
+
+    w = g.agg(
+        pick(True, "n").alias("n1"),
+        pick(True, "k").alias("k1"),
+        pick(False, "n").alias("n2"),
+        pick(False, "k").alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return w.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        # NULL z when the pooled proportion is degenerate (all or no
+        # users converted) — both engines state the same NULLIF guard.
+        F.round(
+            F.try_divide(
+                p1 - p2,
+                F.nullif(
+                    F.sqrt(
+                        pp
+                        * (1.0 - pp)
+                        * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("z"),
+    )
