@@ -183,6 +183,7 @@ HEADLINE = [
     "events_did_lift",
     "fn_xml_parse",
     "stat_proportions_ab",
+    "dedup_incremental_lsh",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -1025,3 +1025,92 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family_id")
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL}),
+    sig AS ({_MINHASH_SQL}),
+    nb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8),
+    ob AS (SELECT * FROM bands WHERE doc_id % 10 < 8),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS matched_doc
+        FROM nb n JOIN ob o ON n.band = o.band AND n.bsig = o.bsig
+        UNION
+        SELECT DISTINCT GREATEST(a.doc_id, b.doc_id) AS new_doc,
+                        LEAST(a.doc_id, b.doc_id) AS matched_doc
+        FROM nb a JOIN nb b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT c.new_doc, c.matched_doc, CAST(COUNT(*) AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.new_doc
+        JOIN sig sb ON sb.doc_id = c.matched_doc
+                   AND sb.h = sa.h AND sb.minhash = sa.minhash
+        GROUP BY 1, 2
+    )
+    SELECT new_doc, matched_doc, n_match,
+           round(n_match / {N_HASHES}.0, 6) AS est_jaccard
+    FROM m WHERE n_match >= {N_HASHES // 2}
+    ORDER BY new_doc, matched_doc
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the production operating mode the
+    full-corpus queries above don't show: a new ingest batch (the 20%
+    of docs with doc_id % 10 >= 8) is checked against the EXISTING
+    corpus's persisted band index plus itself, and old-vs-old pairs
+    are never generated — per-refresh cost scales with the batch, not
+    with corpus². Candidates come only from band collisions
+    (new-vs-indexed, plus new-vs-new with the keep-lowest-id
+    direction); each candidate is scored by the minhash agreement
+    fraction (n_match/{N_HASHES}, the unbiased Jaccard estimate) and
+    accepted at >= 0.5 — the skip-list a curation pipeline applies
+    before admitting the batch.
+
+    Scale shape: signatures and bands for the batch are a narrow map;
+    the index side is a pre-partitioned equi-join on (band, bsig);
+    the verify join touches only candidate pairs x 8 signature rows.
+    At 100 TB the band index is a bucketed table on (band, bsig) and
+    this whole query is shuffle-free on the corpus side."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = materialize(minhash_signatures(d))
+    bands = lsh_bands(sig)
+    is_new = F.col("doc_id") % 10 >= 8
+    nb = bands.filter(is_new)
+    ob = bands.filter(~is_new)
+    new_old = (
+        nb.join(
+            ob.withColumnsRenamed({"doc_id": "matched_doc"}),
+            ["band", "bsig"],
+        )
+        .select(F.col("doc_id").alias("new_doc"), "matched_doc")
+    )
+    b2 = nb.withColumnsRenamed({"doc_id": "doc_b"})
+    new_new = (
+        nb.join(b2, ["band", "bsig"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.greatest("doc_id", "doc_b").alias("new_doc"),
+            F.least("doc_id", "doc_b").alias("matched_doc"),
+        )
+    )
+    cand = new_old.unionByName(new_new).distinct()
+    sa = sig.withColumnsRenamed({"doc_id": "new_doc"})
+    sb = sig.withColumnsRenamed({"doc_id": "matched_doc", "minhash": "mh_b"})
+    m = (
+        cand.join(sa, "new_doc")
+        .join(sb, ["matched_doc", "h"])
+        .filter(F.col("minhash") == F.col("mh_b"))
+        .groupBy("new_doc", "matched_doc")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= N_HASHES // 2)
+    )
+    return m.select(
+        "new_doc",
+        "matched_doc",
+        "n_match",
+        F.round(F.col("n_match") / float(N_HASHES), 6).alias("est_jaccard"),
+    ).orderBy("new_doc", "matched_doc")
