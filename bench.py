@@ -184,6 +184,7 @@ HEADLINE = [
     "fn_xml_parse",
     "stat_proportions_ab",
     "dedup_incremental_lsh",
+    "timeseries_changepoint_cusum",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

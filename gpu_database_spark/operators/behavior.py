@@ -1241,3 +1241,95 @@ def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cell(False, False, "mean_v"), 6).alias("m_c0"),
         F.round(did, 6).alias("did_estimate"),
     )
+
+
+@register(
+    "timeseries_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                 AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                 AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM hourly GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT h.event_type, h.hour, s.n_hours,
+               SUM(CAST(h.v - s.mu AS DECIMAL(27,6)))
+                 OVER (PARTITION BY h.event_type ORDER BY h.hour
+                       ROWS UNBOUNDED PRECEDING) AS s_t
+        FROM hourly h JOIN stats s USING (event_type)
+    )
+    SELECT event_type, hour AS cp_hour, n_hours,
+           round(CAST(abs_s AS DOUBLE), 6) AS max_abs_cusum
+    FROM (
+        SELECT event_type, hour, n_hours, ABS(s_t) AS abs_s,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(s_t) DESC, hour) AS rk
+        FROM cusum
+    )
+    WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    running sum of deviations from the series mean peaks in magnitude
+    — the standard level-shift locator a monitoring pipeline runs over
+    metric streams (the argmax of |S_t| estimates where the mean
+    changed). Earliest hour breaks exact ties.
+
+    Scale shape: the raw stream collapses FIRST via the (type, hour)
+    groupBy (100 TB of events -> |types| x |hours| rows); only that
+    bounded series sees the per-type cumulative window and the argmax
+    window — safe by construction, same argument as timeseries_acf.
+    Deviations accumulate as exact DECIMALs (order-fixed by the ORDER
+    BY, identical in both engines); everything after is arithmetic on
+    one row per type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "s_t",
+            F.sum((F.col("v") - F.col("mu")).cast("decimal(27,6)")).over(wc),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("s_t").desc(), F.col("hour")
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            "n_hours",
+            F.round(F.abs("s_t").cast("double"), 6).alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )
