@@ -185,6 +185,7 @@ HEADLINE = [
     "stat_proportions_ab",
     "dedup_incremental_lsh",
     "timeseries_changepoint_cusum",
+    "sql_parameterized",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -248,3 +248,37 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries ``:floor`` / ``:cutoff`` markers and values bind at
+    execution — the injection-safe prepared-query surface an engine
+    front-end exposes. Catalyst folds the bound literals exactly as if
+    inlined (same pushdown, same plan), which the oracle's literal
+    form verifies."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+        FROM orders
+        WHERE o_totalprice > :floor AND o_orderdate < :cutoff
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"floor": 150000.0, "cutoff": "1997-01-01"},
+    )
