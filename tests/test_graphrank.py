@@ -121,3 +121,35 @@ def test_label_propagation_matches_serial_replica(spark, sf_dir):
             new[i] = best[0]
         lbl = new
     assert got == lbl
+
+
+def test_hits_matches_numpy(spark, sf_dir):
+    """Distributed HITS must agree with a dense numpy replica of the
+    same sum-normalized recursion to float tolerance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.llm.graphrank import HITS_ITERS, hits, synth_edges
+    from gpu_database_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = synth_edges(d.select(F.col("id").alias("doc_id")))
+    got = {r.id: (r.authority, r.hub) for r in hits(d, edges).collect()}
+
+    ids = sorted(r.id for r in d.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for r in edges.collect():
+        A[idx[r.src], idx[r.dst]] = 1.0
+    a = np.ones(n)
+    h = np.ones(n)
+    for _ in range(HITS_ITERS):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    for v in ids:
+        ga, gh = got[v]
+        assert abs(ga - a[idx[v]]) < 1e-9
+        assert abs(gh - h[idx[v]]) < 1e-9
