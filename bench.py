@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "timeseries_changepoint_cusum",
     "sql_parameterized",
+    "stat_spearman_rho",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

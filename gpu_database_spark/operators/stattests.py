@@ -1007,3 +1007,115 @@ def stat_proportions_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@register(
+    "stat_spearman_rho",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice AS x, l_quantity AS y,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice,
+                                           l_orderkey, l_linenumber) AS rx,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity,
+                                           l_orderkey, l_linenumber) AS ry
+        FROM lineitem
+    ),
+    ax AS (SELECT flag, x, (2 * SUM(rx)) // COUNT(*) AS ar2x
+           FROM r GROUP BY flag, x),
+    ay AS (SELECT flag, y, (2 * SUM(ry)) // COUNT(*) AS ar2y
+           FROM r GROUP BY flag, y),
+    j AS (
+        SELECT r.flag, ax.ar2x, ay.ar2y
+        FROM r JOIN ax ON ax.flag = r.flag AND ax.x = r.x
+               JOIN ay ON ay.flag = r.flag AND ay.y = r.y
+    ),
+    m AS (
+        SELECT flag, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ar2x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ar2y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ar2x AS DECIMAL(18,0))
+                        * CAST(ar2x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ar2y AS DECIMAL(18,0))
+                        * CAST(ar2y AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(ar2x AS DECIMAL(18,0))
+                        * CAST(ar2y AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        FROM j GROUP BY flag
+    )
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS rho_spearman
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs quantity per return flag
+    — the robust (monotone-invariant) complement of the Pearson
+    queries: Pearson over tie-averaged ranks. Ranks stay INTEGER-exact
+    end to end: row_numbers come from the grouped histogram-bucket
+    plan (functions/ranks.py — never a whole-group sort on a 3-value
+    key), tie-averaged ranks are doubled so they stay integral
+    ((2*sum(rn)) div count — k consecutive row_numbers always sum to
+    k*(min+max)/2), and the final rho is one closed form over exact
+    decimal moment sums, identical op order in both engines (the
+    oracle's flat per-flag windows state the same math at fixture
+    scale).
+
+    Scale shape: two grouped bucketed rank passes, two map-side
+    combinable tie-average groupBys joined back on (flag, value), one
+    moment aggregation. No window ever holds more than one (flag,
+    metric, bucket) slice."""
+    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # Both rank passes chain over ONE frame (the helper carries all
+    # columns through) — joining two separately-ranked copies back on
+    # (l_orderkey, l_linenumber) would be wrong: the fixture key is
+    # NOT unique, and row_number is only value-deterministic, so the
+    # tie-averaged group sums are the invariant, not the row pairing.
+    r = grouped_bucketed_row_number(
+        grouped_bucketed_row_number(
+            li, ["flag"], "x", ["l_orderkey", "l_linenumber"],
+            F.floor(F.col("x") / 2000.0), rank_col="rx",
+        ),
+        ["flag"], "y", ["l_orderkey", "l_linenumber"],
+        F.floor(F.col("y")), rank_col="ry",
+    )
+    ax = r.groupBy("flag", "x").agg(
+        F.expr("(2 * SUM(rx)) div COUNT(*)").alias("ar2x")
+    )
+    ay = r.groupBy("flag", "y").agg(
+        F.expr("(2 * SUM(ry)) div COUNT(*)").alias("ar2y")
+    )
+    j = r.join(ax, ["flag", "x"]).join(ay, ["flag", "y"])
+    dx = F.col("ar2x").cast("decimal(18,0)")
+    dy = F.col("ar2y").cast("decimal(18,0)")
+    m = j.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        F.col("flag").alias("l_returnflag"),
+        n.cast("long").alias("n"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("rho_spearman"),
+    ).orderBy("l_returnflag")
