@@ -187,6 +187,7 @@ HEADLINE = [
     "timeseries_changepoint_cusum",
     "sql_parameterized",
     "stat_spearman_rho",
+    "join_spatial_grid",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

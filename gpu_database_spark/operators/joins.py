@@ -639,3 +639,108 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("null_key")
     )
+
+
+SPATIAL_CELL = 500  # grid cell edge; box half-widths are < one cell below
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH points AS (
+        SELECT c_custkey,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'),
+                                   1, 8) AS BIGINT) % 10000 AS px,
+               CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'),
+                                   1, 8) AS BIGINT) % 10000 AS py
+        FROM customer
+    ),
+    boxes AS (
+        SELECT s_suppkey,
+               CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':x'),
+                                   1, 8) AS BIGINT) % 10000 AS cx,
+               CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':y'),
+                                   1, 8) AS BIGINT) % 10000 AS cy,
+               50 + CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+                                            || ':w'), 1, 8) AS BIGINT) % 200
+                 AS w
+        FROM supplier
+    )
+    SELECT b.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM boxes b JOIN points p
+      ON ABS(p.px - b.cx) <= b.w AND ABS(p.py - b.cy) <= b.w
+    GROUP BY b.s_suppkey
+    ORDER BY n_points DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D spatial containment join (points in boxes) via GRID-CELL
+    binning — the planar analogue of join_interval_binned, and the
+    shape every geo join (points-in-polygons, radius search) reduces
+    to at scale. Both sides are synthesized from md5 so the oracle
+    reproduces them; both sides grow with SF, so a broadcast
+    range-join is not available and the naive theta join (which the
+    DuckDB oracle brute-forces at fixture scale) is quadratic. The
+    rewrite: cell edge >= the max box half-width x2, so a box overlaps
+    at most 2x2 cells — explode boxes to their covered cells
+    (array_distinct keeps it <= 4), EQUI-join points on the cell, then
+    filter exact containment. One hash shuffle on the cell key;
+    fan-out bounded by boxes-per-cell."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def h32(key, salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    points = c.select(
+        "c_custkey",
+        (h32(F.col("c_custkey"), ":x") % 10000).alias("px"),
+        (h32(F.col("c_custkey"), ":y") % 10000).alias("py"),
+    ).withColumn(
+        "cell",
+        F.struct(
+            F.expr(f"px div {SPATIAL_CELL}").alias("gx"),
+            F.expr(f"py div {SPATIAL_CELL}").alias("gy"),
+        ),
+    )
+    boxes = s.select(
+        "s_suppkey",
+        (h32(F.col("s_suppkey"), ":x") % 10000).alias("cx"),
+        (h32(F.col("s_suppkey"), ":y") % 10000).alias("cy"),
+        (50 + h32(F.col("s_suppkey"), ":w") % 200).alias("w"),
+    )
+    box_cells = boxes.select(
+        "s_suppkey",
+        "cx",
+        "cy",
+        "w",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.expr(f"(cx {sx} w) div {SPATIAL_CELL}").alias("gx"),
+                            F.expr(f"(cy {sy} w) div {SPATIAL_CELL}").alias("gy"),
+                        )
+                        for sx in ("-", "+")
+                        for sy in ("-", "+")
+                    ]
+                )
+            )
+        ).alias("cell"),
+    )
+    hits = (
+        box_cells.join(points, "cell")
+        .filter(
+            (F.abs(F.col("px") - F.col("cx")) <= F.col("w"))
+            & (F.abs(F.col("py") - F.col("cy")) <= F.col("w"))
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return hits.orderBy(F.desc("n_points"), "s_suppkey").limit(20)

@@ -250,3 +250,14 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert j.count() >= 1
+
+
+def test_spatial_grid_join_is_equi(spark, sf_dir):
+    """join_spatial_grid must plan a hash equi-join on the grid cell —
+    never a nested-loop theta join (the quadratic plan the grid
+    rewrite exists to avoid)."""
+    from gpu_database_spark.operators.joins import join_spatial_grid
+
+    plan = inspect.simple_plan(join_spatial_grid(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert "Join" in plan
