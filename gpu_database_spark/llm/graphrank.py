@@ -66,7 +66,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
     ed.count()
 
     ranks = nodes.select(F.col("id"), F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(n_iters):
+    for i in range(n_iters):
         contribs = (
             ed.join(ranks, ed.src == ranks.id)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
