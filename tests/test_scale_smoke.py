@@ -460,3 +460,76 @@ def test_interval_binned_join_at_1m_events(spark):
     assert cmp.count() == 0, cmp.limit(5).collect()
     assert direct.count() == 200
     assert win.count() == hits.count(), "every window contains its own opener"
+
+
+def test_spatial_grid_join_at_1m_points(spark):
+    """join_spatial_grid's rewrite at 1M points x 50k boxes: the binned
+    equi-join must agree box-by-box with a DIRECT broadcast containment
+    join on a 200-box subset (independent verification, no bins)."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    cell = 500
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 2654435761) % 100_000).alias("px"),
+        ((F.col("id") * 97_003) % 100_000).alias("py"),
+    ).withColumn(
+        "cell",
+        F.struct(
+            F.expr(f"px div {cell}").alias("gx"),
+            F.expr(f"py div {cell}").alias("gy"),
+        ),
+    )
+    boxes = spark.range(50_000).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") * 7919) % 100_000).alias("cx"),
+        ((F.col("id") * 104_729) % 100_000).alias("cy"),
+        (50 + F.col("id") % 200).alias("w"),
+    )
+    box_cells = boxes.select(
+        "bid",
+        "cx",
+        "cy",
+        "w",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.expr(f"(cx {sx} w) div {cell}").alias("gx"),
+                            F.expr(f"(cy {sy} w) div {cell}").alias("gy"),
+                        )
+                        for sx in ("-", "+")
+                        for sy in ("-", "+")
+                    ]
+                )
+            )
+        ).alias("cell"),
+    )
+    contained = (F.abs(F.col("px") - F.col("cx")) <= F.col("w")) & (
+        F.abs(F.col("py") - F.col("cy")) <= F.col("w")
+    )
+    hits = (
+        box_cells.join(pts, "cell")
+        .filter(contained)
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sub = boxes.filter(F.col("bid") % 250 == 0)  # 200 boxes
+    direct = (
+        pts.join(F.broadcast(sub), contained)
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("k_direct"))
+    )
+    cmp = (
+        hits.join(F.broadcast(sub.select("bid")), "bid")
+        .join(direct, "bid", "full_outer")
+        .filter(
+            F.col("k").isNull()
+            | F.col("k_direct").isNull()
+            | (F.col("k") != F.col("k_direct"))
+        )
+    )
+    assert cmp.count() == 0, cmp.limit(5).collect()
+    assert hits.count() > 0
