@@ -188,6 +188,17 @@ HEADLINE = [
     "sql_parameterized",
     "stat_spearman_rho",
     "join_spatial_grid",
+    "graph_shortest_hops",
+    "feat_target_encoding",
+    "feat_woe_iv_binning",
+    "ml_eval_auc",
+    "ml_lift_deciles",
+    "stat_robust_means",
+    "ml_calibration_bins",
+    "ml_threshold_sweep",
+    "dq_k_anonymity",
+    "stat_cohens_kappa",
+    "layout_zonemap_pruning",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -1,0 +1,656 @@
+"""Feature engineering + model-evaluation operators for training data.
+
+A 100 TB training pipeline doesn't stop at dedup/filtering — the
+label-joined feature tables it emits need leakage-safe categorical
+encodings (target encoding), supervised binning diagnostics (weight
+of evidence / information value), and ranking-quality evaluation of
+the scores that drive curation (AUC, decile lift): "did the quality
+score actually order the corpus by usefulness?" is an AUC question.
+
+Every query here is one or two map-side-combinable groupBys plus a
+broadcast join back — no per-row Python, no global sort:
+
+* global/grouped rank statistics (AUC's rank sum, decile assignment)
+  go through the histogram-bucket rank plan
+  (functions/ranks.py:bucketed_row_number), never a single-partition
+  ``Window.orderBy``;
+* rank sums use DECIMAL(38,0) accumulators — a BIGINT rank sum
+  overflows around n ~ 6e9 rows (sum ~ n^2/2), a real 100 TB hazard
+  the fixture would never show;
+* ratios stay integer/decimal-exact until ONE final double division
+  (same operation order as the oracle SQL), so every value
+  hash-matches DuckDB bit for bit.
+
+Label/score used throughout: an order is "positive" when its
+priority is urgent/high (``substr(o_orderpriority,1,1) IN
+('1','2')``), scored by ``o_totalprice`` — a deterministic,
+engine-agnostic stand-in for (label = human quality rating, score =
+model quality head) over a corpus.
+
+Reference tie-in: the reference engine (lvhaodong0114/gpu-database,
+src/cuda/hashTable.cuh) is a KV store with no feature/eval surface;
+this family is part of the LLM-pipeline layer the build brief adds
+on top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_database_spark.functions.compat import dsum
+from gpu_database_spark.functions.ranks import (
+    bucketed_row_number,
+    grouped_bucketed_row_number,
+)
+from gpu_database_spark.registry import register
+from gpu_database_spark.sources.catalog import load_table
+
+# Target-encoding smoothing pseudo-count: the encoded value shrinks
+# toward the global prior until a category has ~M observations.
+TE_SMOOTHING = 20
+
+# WOE binning: fixed-width price bins (width, clamp), additive 0.5
+# smoothing so empty cells never hit log(0).
+WOE_BIN_WIDTH = 25000.0
+WOE_MAX_BIN = 19
+
+_LABEL_SQL = "CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2') THEN 1 ELSE 0 END"
+
+
+def _label_col() -> F.Column:
+    """Binary label: urgent/high priority order (deterministic)."""
+    return (
+        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1)
+        .otherwise(0)
+        .alias("y")
+    )
+
+
+@register(
+    "feat_target_encoding",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, c_mktsegment AS segment,
+               {_LABEL_SQL} AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    seg AS (SELECT segment, CAST(SUM(y) AS BIGINT) AS seg_sum,
+                   COUNT(*) AS seg_cnt
+            FROM lab GROUP BY segment),
+    g AS (SELECT CAST(SUM(y) AS BIGINT) AS g_sum, COUNT(*) AS g_cnt FROM lab)
+    SELECT l.o_orderkey, l.segment, l.y,
+           round((CAST(seg_sum - l.y AS DOUBLE)
+                  + {TE_SMOOTHING}.0 * (CAST(g_sum AS DOUBLE)
+                                        / CAST(g_cnt AS DOUBLE)))
+                 / CAST(seg_cnt - 1 + {TE_SMOOTHING} AS DOUBLE), 6) AS te
+    FROM lab l JOIN seg USING (segment) CROSS JOIN g
+    WHERE l.o_orderkey < 2000
+    ORDER BY l.o_orderkey
+    """,
+)
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe smoothed target encoding of a categorical feature:
+    each row's own label is EXCLUDED from its category mean
+    (leave-one-out), and sparse categories shrink toward the global
+    prior with pseudo-count M — te_i = (seg_sum - y_i + M * prior)
+    / (seg_cnt - 1 + M). The standard high-cardinality categorical
+    encoder for tabular training data, computed without a per-row
+    re-aggregation: one groupBy(category) pass over the full table,
+    broadcast back, and the LOO correction is pure row-local
+    arithmetic.
+
+    Scale shape: the encode statistics always cover the FULL table
+    (the o_orderkey < 2000 filter bounds only the emitted sample);
+    category stats are a map-side-combinable groupBy, the join back
+    is broadcast (|categories| rows). Integer sums stay integral and
+    the single double division happens in the same order as the
+    oracle, so values hash-match exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment"), _label_col()
+    )
+    seg = lab.groupBy("segment").agg(
+        F.sum("y").cast("long").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_cnt"),
+    )
+    g = lab.agg(
+        F.sum("y").cast("long").alias("g_sum"), F.count(F.lit(1)).alias("g_cnt")
+    )
+    prior = F.col("g_sum").cast("double") / F.col("g_cnt").cast("double")
+    return (
+        lab.filter(F.col("o_orderkey") < 2000)
+        .join(F.broadcast(seg), "segment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "segment",
+            "y",
+            F.round(
+                (
+                    (F.col("seg_sum") - F.col("y")).cast("double")
+                    + F.lit(float(TE_SMOOTHING)) * prior
+                )
+                / (F.col("seg_cnt") - 1 + TE_SMOOTHING).cast("double"),
+                6,
+            ).alias("te"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "feat_woe_iv_binning",
+    oracle=f"""
+    WITH lab AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {WOE_BIN_WIDTH}) AS BIGINT),
+                     {WOE_MAX_BIN}) AS bin,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    b AS (SELECT bin, COUNT(*) AS n_bin,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 COUNT(*) - CAST(SUM(y) AS BIGINT) AS n_neg
+          FROM lab GROUP BY bin),
+    t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_tot,
+                 CAST(SUM(n_neg) AS BIGINT) AS neg_tot FROM b)
+    SELECT bin, n_bin, n_pos, n_neg,
+           round(ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                     / (CAST(pos_tot AS DOUBLE) + 1.0))
+                    / ((CAST(n_neg AS DOUBLE) + 0.5)
+                       / (CAST(neg_tot AS DOUBLE) + 1.0))), 6) AS woe,
+           round(((CAST(n_pos AS DOUBLE) + 0.5)
+                  / (CAST(pos_tot AS DOUBLE) + 1.0)
+                  - (CAST(n_neg AS DOUBLE) + 0.5)
+                    / (CAST(neg_tot AS DOUBLE) + 1.0))
+                 * ln(((CAST(n_pos AS DOUBLE) + 0.5)
+                       / (CAST(pos_tot AS DOUBLE) + 1.0))
+                      / ((CAST(n_neg AS DOUBLE) + 0.5)
+                         / (CAST(neg_tot AS DOUBLE) + 1.0))), 6) AS iv_term
+    FROM b CROSS JOIN t ORDER BY bin
+    """,
+)
+def feat_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning diagnostic:
+    fixed-width bins of the score feature, per-bin WOE = ln(P(bin |
+    pos) / P(bin | neg)) with +0.5 additive smoothing, and the IV
+    contribution (dp - dn) * WOE whose sum grades the feature's
+    predictive power — the standard supervised-binning report for a
+    feature store.
+
+    Scale shape: ONE map-side-combinable groupBy on the bin id (the
+    bin is a row-local expression — no quantile pass, no sort), a
+    2-value total broadcast, then row-local closed forms. The only
+    transcendental (ln) is applied to identical doubles in both
+    engines and rounded to 6dp."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / WOE_BIN_WIDTH).cast("long"),
+            F.lit(WOE_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        _label_col(),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y").cast("long")).alias("n_neg"),
+    )
+    t = b.agg(
+        F.sum("n_pos").cast("long").alias("pos_tot"),
+        F.sum("n_neg").cast("long").alias("neg_tot"),
+    )
+    dp = (F.col("n_pos").cast("double") + 0.5) / (
+        F.col("pos_tot").cast("double") + 1.0
+    )
+    dn = (F.col("n_neg").cast("double") + 0.5) / (
+        F.col("neg_tot").cast("double") + 1.0
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_bin",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(dp / dn), 6).alias("woe"),
+            F.round((dp - dn) * F.log(dp / dn), 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ml_eval_auc",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, o_totalprice AS score,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    r AS (
+        SELECT score, y,
+               ROW_NUMBER() OVER (ORDER BY score, o_orderkey) AS rn
+        FROM lab
+    ),
+    ar AS (SELECT score, (2 * SUM(rn)) // COUNT(*) AS ar2
+           FROM r GROUP BY score),
+    s AS (
+        SELECT SUM(CASE WHEN r.y = 1 THEN ar.ar2 ELSE 0 END) AS s2,
+               CAST(SUM(r.y) AS BIGINT) AS npos,
+               COUNT(*) - CAST(SUM(r.y) AS BIGINT) AS nneg,
+               COUNT(*) AS n
+        FROM r JOIN ar ON r.score = ar.score
+    )
+    SELECT n, npos, nneg,
+           round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                 / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc,
+           round(CAST(s2 - npos * (npos + 1) - npos * nneg AS DOUBLE)
+                 / CAST(npos * nneg AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label via the
+    Mann-Whitney rank statistic with tie-averaged ranks: AUC =
+    (sum of positive ranks - npos*(npos+1)/2) / (npos*nneg), plus the
+    Gini coefficient 2*AUC - 1 — the ranking-quality grade for any
+    corpus quality score ("do positives outrank negatives?").
+
+    Scale shape: ranks come from the histogram-bucket rank plan
+    (functions/ranks.py — never one global sort task); tie-averaged
+    ranks are doubled to stay integral (k consecutive row numbers sum
+    to k*(lo+hi)/2); the rank sum accumulates in DECIMAL(38,0)
+    because sum(ranks) ~ n^2/2 overflows BIGINT near n ~ 6e9 — at
+    fixture scale invisible, at 100 TB fatal (the oracle's HUGEINT
+    arithmetic is exact at any n). Everything stays integer-exact
+    until the single final division; AUC and Gini are derived from
+    the same integers, not from each other's rounded output."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("score"), _label_col()
+    )
+    r = bucketed_row_number(
+        lab, "score", ["o_orderkey"], F.floor(F.col("score") / 2000.0),
+        rank_col="rn",
+    )
+    ar = r.groupBy("score").agg(
+        F.expr("(2 * SUM(rn)) div COUNT(*)").alias("ar2")
+    )
+    j = r.join(ar, "score")
+    d38 = "decimal(38,0)"
+    s = j.agg(
+        F.sum(
+            F.when(F.col("y") == 1, F.col("ar2")).otherwise(0).cast(d38)
+        ).alias("s2"),
+        F.sum("y").cast("long").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("y").cast("long")).alias("nneg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    npos38 = F.col("npos").cast(d38)
+    nneg38 = F.col("nneg").cast(d38)
+    return s.select(
+        "n",
+        "npos",
+        "nneg",
+        F.round(
+            (F.col("s2") - npos38 * (npos38 + 1)).cast("double")
+            / (F.lit(2).cast(d38) * npos38 * nneg38).cast("double"),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("s2") - npos38 * (npos38 + 1) - npos38 * nneg38).cast(
+                "double"
+            )
+            / (npos38 * nneg38).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "ml_lift_deciles",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, o_totalprice AS score,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM lab),
+    r AS (
+        SELECT y,
+               ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey DESC) AS rn
+        FROM lab
+    ),
+    d AS (SELECT ((rn - 1) * 10) // (SELECT n FROM n) AS decile, y FROM r),
+    agg AS (SELECT decile, COUNT(*) AS n_d, CAST(SUM(y) AS BIGINT) AS pos_d
+            FROM d GROUP BY decile)
+    SELECT decile, n_d, pos_d,
+           round(CAST(pos_d AS DOUBLE) / CAST(n_d AS DOUBLE), 6) AS pos_rate,
+           round(CAST(SUM(pos_d) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(SUM(pos_d) OVER () AS DOUBLE), 6) AS cum_capture,
+           round((CAST(pos_d AS DOUBLE) / CAST(n_d AS DOUBLE))
+                 / (CAST(SUM(pos_d) OVER () AS DOUBLE)
+                    / CAST((SELECT n FROM n) AS DOUBLE)), 6) AS lift
+    FROM agg ORDER BY decile
+    """,
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table: rows ranked by score descending, cut
+    into 10 equal-count deciles by exact row number (deterministic
+    tiebreak, so both engines cut identically), then per-decile
+    positive rate, cumulative capture of all positives, and lift vs
+    the base rate — the standard "how deep into the ranked corpus do
+    the good documents live" report that validates a curation score
+    before committing a 100 TB filter pass.
+
+    Scale shape: the descending global row number uses the bucketed
+    rank plan (no single-task sort); the decile roll-up is a 10-row
+    groupBy; the cumulative/total windows run over that 10-row table
+    only. Ratios are integer-exact until one double division per
+    column, in oracle-identical order."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("score"), _label_col()
+    )
+    n = lab.agg(F.count(F.lit(1)).alias("n"))
+    r = bucketed_row_number(
+        lab, "score", ["o_orderkey"], F.floor(F.col("score") / 2000.0),
+        rank_col="rn", ascending=False,
+    )
+    d = r.crossJoin(F.broadcast(n)).select(
+        F.expr("((rn - 1) * 10) div n").alias("decile"), "y", "n"
+    )
+    agg = d.groupBy("decile", "n").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("y").cast("long").alias("pos_d")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rate = F.col("pos_d").cast("double") / F.col("n_d").cast("double")
+    base = F.sum("pos_d").over(w_all).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return (
+        agg.select(
+            "decile",
+            "n_d",
+            "pos_d",
+            F.round(rate, 6).alias("pos_rate"),
+            F.round(
+                F.sum("pos_d").over(w_cum).cast("double")
+                / F.sum("pos_d").over(w_all).cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(rate / base, 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "stat_robust_means",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice,
+                                           l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    kk AS (SELECT *, n // 10 AS k FROM r),
+    b AS (SELECT flag,
+                 MAX(CASE WHEN rn = k + 1 THEN v END) AS lo_v,
+                 MAX(CASE WHEN rn = n - k THEN v END) AS hi_v
+          FROM kk GROUP BY flag),
+    m AS (SELECT flag, MAX(n) AS n, MAX(k) AS k,
+                 CAST(SUM(CAST(CASE WHEN rn > k AND rn <= n - k
+                                    THEN v ELSE 0 END
+                               AS DECIMAL(27,6))) AS DOUBLE) AS mid_sum,
+                 CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS all_sum
+          FROM kk GROUP BY flag)
+    SELECT m.flag AS l_returnflag,
+           CAST(m.n AS BIGINT) AS n, CAST(m.k AS BIGINT) AS k,
+           round(all_sum / CAST(m.n AS DOUBLE), 6) AS mean_all,
+           round(mid_sum / CAST(m.n - 2 * m.k AS DOUBLE), 6) AS mean_trimmed,
+           round((mid_sum + CAST(m.k AS DOUBLE) * lo_v
+                  + CAST(m.k AS DOUBLE) * hi_v)
+                 / CAST(m.n AS DOUBLE), 6) AS mean_winsor
+    FROM m JOIN b ON m.flag = b.flag ORDER BY l_returnflag
+    """,
+)
+def stat_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust location estimates per group: the 10% trimmed
+    mean (drop the k = n div 10 smallest and largest values) and the
+    10% winsorized mean (clamp them to the (k+1)-th / (n-k)-th order
+    statistics) next to the plain mean — the heavy-tail-safe
+    aggregates a metrics pipeline swaps in when a mean is driven by
+    outliers.
+
+    Scale shape: order statistics come from the grouped histogram-
+    bucket rank plan (functions/ranks.py — parallelism = groups x
+    value-buckets, never a whole-group sort on the 3-value flag key);
+    the clamp values are a 2-rows-per-group filter joined back
+    broadcast; sums use the DECIMAL(27,6) exact discipline so the
+    single final double division hash-matches the oracle (which
+    states the same math with flat windows at fixture scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = grouped_bucketed_row_number(
+        li, ["flag"], "v", ["l_orderkey", "l_linenumber"],
+        F.floor(F.col("v") / 2000.0), rank_col="rn",
+    )
+    cnt = r.groupBy("flag").agg(F.count(F.lit(1)).alias("n")).select(
+        "flag", "n", F.expr("n div 10").alias("k")
+    )
+    kk = r.join(F.broadcast(cnt), "flag")
+    b = kk.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("lo_v"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))
+        ).alias("hi_v"),
+    )
+    mid = F.when(
+        (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+        F.col("v"),
+    ).otherwise(F.lit(0.0))
+    m = kk.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        dsum(mid).alias("mid_sum"),
+        dsum(F.col("v")).alias("all_sum"),
+    )
+    kd = F.col("k").cast("double")
+    return (
+        m.join(F.broadcast(b), "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.round(F.col("all_sum") / F.col("n").cast("double"), 6).alias(
+                "mean_all"
+            ),
+            F.round(
+                F.col("mid_sum")
+                / (F.col("n") - 2 * F.col("k")).cast("double"),
+                6,
+            ).alias("mean_trimmed"),
+            F.round(
+                (F.col("mid_sum") + kd * F.col("lo_v") + kd * F.col("hi_v"))
+                / F.col("n").cast("double"),
+                6,
+            ).alias("mean_winsor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Calibration: equal-width score bins over the observed price range
+# (row-local bin id — no quantile pass), clamped to CAL_MAX_BIN.
+CAL_BIN_WIDTH = 50000.0
+CAL_MAX_BIN = 9
+
+# Threshold sweep: precision/recall at every CAL-bin lower edge —
+# the K-point PR curve a score gate is tuned from.
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH lab AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {CAL_BIN_WIDTH}) AS BIGINT),
+                     {CAL_MAX_BIN}) AS bin,
+               o_totalprice / {CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)} AS p,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    b AS (SELECT bin, COUNT(*) AS n_bin,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(CAST(p AS DECIMAL(27,6))) AS DOUBLE) AS p_sum,
+                 CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(27,6)))
+                      AS DOUBLE) AS brier_sum
+          FROM lab GROUP BY bin)
+    SELECT bin, n_bin, n_pos,
+           round(p_sum / CAST(n_bin AS DOUBLE), 6) AS mean_pred,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE), 6)
+               AS frac_pos,
+           round(brier_sum / CAST(n_bin AS DOUBLE), 6) AS brier
+    FROM b ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for a probabilistic
+    score: equal-width bins of the (min-max scaled) score, and per
+    bin the mean predicted probability vs the observed positive rate
+    — calibrated scores put the two on the diagonal. The per-bin
+    Brier term mean((p - y)^2) localizes WHERE the score is
+    miscalibrated, which is what a curation team reweights.
+
+    Scale shape: the bin id is a row-local expression, so the whole
+    report is ONE map-side-combinable groupBy producing <= 10 rows —
+    no quantile pass, no sort, no second scan. Sums accumulate in
+    DECIMAL(27,6) (exact at any row count) and the two final double
+    divisions happen in oracle-identical order."""
+    scale = CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / CAL_BIN_WIDTH).cast("long"),
+            F.lit(CAL_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        (F.col("o_totalprice") / scale).alias("p"),
+        _label_col(),
+    )
+    d27 = "decimal(27,6)"
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("p").cast(d27)).cast("double").alias("p_sum"),
+        F.sum(
+            ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(d27)
+        )
+        .cast("double")
+        .alias("brier_sum"),
+    )
+    nb = F.col("n_bin").cast("double")
+    return b.select(
+        "bin",
+        "n_bin",
+        "n_pos",
+        F.round(F.col("p_sum") / nb, 6).alias("mean_pred"),
+        F.round(F.col("n_pos").cast("double") / nb, 6).alias("frac_pos"),
+        F.round(F.col("brier_sum") / nb, 6).alias("brier"),
+    ).orderBy("bin")
+
+
+@register(
+    "ml_threshold_sweep",
+    oracle=f"""
+    WITH lab AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {CAL_BIN_WIDTH}) AS BIGINT),
+                     {CAL_MAX_BIN}) AS bin,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    b AS (SELECT bin, COUNT(*) AS n_bin, CAST(SUM(y) AS BIGINT) AS pos_bin
+          FROM lab GROUP BY bin),
+    c AS (
+        SELECT bin,
+               CAST(SUM(n_bin) OVER (ORDER BY bin DESC) AS BIGINT) AS n_ge,
+               CAST(SUM(pos_bin) OVER (ORDER BY bin DESC) AS BIGINT)
+                   AS pos_ge,
+               CAST(SUM(pos_bin) OVER () AS BIGINT) AS pos_all
+        FROM b
+    )
+    SELECT bin AS threshold_bin,
+           round(bin * {CAL_BIN_WIDTH}, 1) AS threshold_score,
+           n_ge AS n_flagged, pos_ge AS tp,
+           round(CAST(pos_ge AS DOUBLE) / CAST(n_ge AS DOUBLE), 6)
+               AS precision,
+           round(CAST(pos_ge AS DOUBLE) / CAST(pos_all AS DOUBLE), 6)
+               AS recall,
+           round(CAST(2 * pos_ge AS DOUBLE)
+                 / CAST(n_ge + pos_all AS DOUBLE), 6) AS f1
+    FROM c ORDER BY threshold_bin
+    """,
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at every candidate score threshold
+    (the lower edge of each score bin): flag rows with score >=
+    threshold, report how pure and how complete the flagged set is —
+    the sweep that picks the operating point of a quality-score gate
+    before a 100 TB filter pass commits to one.
+
+    Scale shape: ONE groupBy on the row-local bin id collapses the
+    corpus to <= 10 rows; the >=-threshold counts are then suffix
+    sums (descending cumulative window) over that tiny table, so the
+    window is trivially cheap and the full sweep costs exactly one
+    scan. F1 is computed from the same integers as precision/recall
+    (2*tp / (flagged + positives)), keeping every value
+    integer-exact until one division."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / CAL_BIN_WIDTH).cast("long"),
+            F.lit(CAL_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        _label_col(),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("y").cast("long").alias("pos_bin"),
+    )
+    w_ge = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = b.select(
+        "bin",
+        F.sum("n_bin").over(w_ge).cast("long").alias("n_ge"),
+        F.sum("pos_bin").over(w_ge).cast("long").alias("pos_ge"),
+        F.sum("pos_bin").over(w_all).cast("long").alias("pos_all"),
+    )
+    return c.select(
+        F.col("bin").alias("threshold_bin"),
+        F.round(F.col("bin") * CAL_BIN_WIDTH, 1).alias("threshold_score"),
+        F.col("n_ge").alias("n_flagged"),
+        F.col("pos_ge").alias("tp"),
+        F.round(
+            F.col("pos_ge").cast("double") / F.col("n_ge").cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            F.col("pos_ge").cast("double") / F.col("pos_all").cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("pos_ge")).cast("double")
+            / (F.col("n_ge") + F.col("pos_all")).cast("double"),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold_bin")

@@ -529,3 +529,104 @@ def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "id")
         .limit(20)
     )
+
+
+BFS_N_SEEDS = 5   # seed set: doc_id < BFS_N_SEEDS
+BFS_MAX_HOPS = 6  # bounded frontier expansion (both engines stop here)
+
+
+def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """Multi-source BFS: (id, hops) = minimum edge count from any seed,
+    bounded at ``max_hops``. seeds: (id); edges: (src, dst), directed.
+
+    Scale shape: each round is ONE equi-join (frontier x edges, shuffle
+    on src) + a distinct + an anti-join against the settled set — the
+    frontier is the only growing state, and it is materialized per
+    round so the loop plan stays constant-size. A node enters the
+    settled set the first round it is reached, which IS its BFS
+    distance, so no re-relaxation is ever needed (unit weights)."""
+    from gpu_database_spark.functions.materialize import materialize
+
+    ed = edges.select("src", "dst").cache()
+    ed.count()
+    dist = materialize(seeds.select("id", F.lit(0).alias("hops")))
+    frontier = dist.select("id")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(ed, frontier.id == ed.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = materialize(
+            nxt.join(dist, "id", "left_anti").select(
+                "id", F.lit(d).alias("hops")
+            )
+        )
+        if not new.head(1):
+            break
+        dist = materialize(dist.unionAll(new))
+        frontier = new.select("id")
+    ed.unpersist()
+    return dist
+
+
+@register(
+    "graph_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM n) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    bfs(id, dist) AS (
+        SELECT doc_id, 0 FROM docs WHERE doc_id < {BFS_N_SEEDS}
+        UNION
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN edges e ON b.id = e.src
+        WHERE b.dist < {BFS_MAX_HOPS}
+    ),
+    md AS (SELECT id, MIN(dist) AS hops FROM bfs GROUP BY id)
+    SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(id) AS min_id, MAX(id) AS max_id,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM md GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the synthetic link graph: how far
+    is every document from the seed set (doc_id < BFS_N_SEEDS), in
+    hops, out to BFS_MAX_HOPS? Reports a per-distance census
+    (count / min / max / sum of reached ids) — the reachability
+    profile a crawl-frontier or link-spam audit asks for.
+
+    The oracle states the identical computation as a DuckDB recursive
+    CTE (UNION-distinct bounds the state at nodes x hops rows; the
+    depth guard makes both engines stop at the same frontier). The
+    Spark side is the iterative frontier loop in :func:`bfs_hops` —
+    recursive CTEs don't distribute, frontier joins do.
+
+    Reference tie-in: the reference's key_op_chain
+    (src/cuda/key_op_chain.cuh:72-134) walks dependency edges between
+    ops; this is the same transitive-reachability primitive expressed
+    over a data graph at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.filter(F.col("doc_id") < BFS_N_SEEDS).select(
+        F.col("doc_id").alias("id")
+    )
+    dist = bfs_hops(seeds, synth_edges(d), BFS_MAX_HOPS)
+    return (
+        dist.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("id").alias("sum_id"),
+        )
+        .orderBy("hops")
+    )

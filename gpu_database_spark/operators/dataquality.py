@@ -264,3 +264,75 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(27,6)")).over(w).cast("double"), 6
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+# k-anonymity audit threshold: equivalence classes smaller than K are
+# re-identification risks.
+K_ANON = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               c_custkey
+        FROM customer
+    ),
+    eq AS (SELECT c_nationkey, c_mktsegment, bal_band,
+                  COUNT(*) AS class_size
+           FROM q GROUP BY ALL),
+    h AS (SELECT LEAST(class_size, {K_ANON}) AS size_bucket,
+                 COUNT(*) AS n_classes,
+                 CAST(SUM(class_size) AS BIGINT) AS n_rows
+          FROM eq GROUP BY 1)
+    SELECT size_bucket, n_classes, n_rows,
+           (size_bucket < {K_ANON}) AS at_risk,
+           round(CAST(n_rows AS DOUBLE)
+                 / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS row_share
+    FROM h ORDER BY size_bucket
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation,
+    market segment, account-balance band): rows whose equivalence
+    class has fewer than K members are re-identifiable, so a
+    training-data release gate needs the class-size census BEFORE
+    export — how many classes (and what fraction of rows) sit below
+    K, bucketed by exact class size with a >=K catch-all.
+
+    Scale shape: one groupBy on the quasi-identifier tuple (map-side
+    combinable, high cardinality — shuffles well), then a second
+    groupBy on the clamped class size collapses to <= K rows; the
+    row-share window runs over that tiny table only. Generalization
+    (the balance band) is a row-local expression, so widening bands
+    to push classes over K re-runs the same two-shuffle plan."""
+    q = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    eq = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    h = eq.groupBy(
+        F.least(F.col("class_size"), F.lit(K_ANON)).alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        "size_bucket",
+        "n_classes",
+        "n_rows",
+        (F.col("size_bucket") < K_ANON).alias("at_risk"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(w_all).cast("double"),
+            6,
+        ).alias("row_share"),
+    ).orderBy("size_bucket")

@@ -809,3 +809,140 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Zone-map audit: rows per simulated parquet file, and the scan
+# predicate whose skipping the two layouts are graded on.
+ZM_ROWS_PER_FILE = 1024
+ZM_LO = "1998-01-01"
+ZM_HI = "1998-12-31"
+
+
+def _zm_layout_sql(order_by: str, layout: str) -> str:
+    return f"""
+        SELECT '{layout}' AS layout, file_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN d BETWEEN DATE '{ZM_LO}'
+                                        AND DATE '{ZM_HI}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               MIN(d) AS d_min, MAX(d) AS d_max
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   (row_number() OVER (ORDER BY {order_by}) - 1)
+                       // {ZM_ROWS_PER_FILE} AS file_id
+            FROM orders
+        ) GROUP BY file_id"""
+
+
+@register(
+    "layout_zonemap_pruning",
+    oracle=f"""
+    WITH files AS (
+        {_zm_layout_sql("o_orderkey", "insertion")}
+        UNION ALL
+        {_zm_layout_sql("CAST(o_orderdate AS DATE), o_orderkey",
+                        "date_sorted")}
+    )
+    SELECT layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN d_max >= DATE '{ZM_LO}'
+                          AND d_min <= DATE '{ZM_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+           CAST(SUM(CASE WHEN d_max >= DATE '{ZM_LO}'
+                          AND d_min <= DATE '{ZM_HI}'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+           CAST(SUM(n_match) AS BIGINT) AS rows_wanted,
+           round(1.0 - CAST(SUM(CASE WHEN d_max >= DATE '{ZM_LO}'
+                                      AND d_min <= DATE '{ZM_HI}'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS skip_ratio,
+           round(CAST(SUM(CASE WHEN d_max >= DATE '{ZM_LO}'
+                                AND d_min <= DATE '{ZM_HI}'
+                               THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_match) AS DOUBLE), 6) AS read_amplification
+    FROM files GROUP BY layout ORDER BY layout
+    """,
+)
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) pruning audit: simulate two physical
+    layouts of the same table — insertion order vs sorted by the scan
+    dimension — cut each into fixed-size files, and grade a year-long
+    date-range predicate: how many files CAN be skipped on min/max
+    alone, and the read amplification (rows read / rows wanted) the
+    layout costs. The quantified before/after that justifies a
+    re-clustering job: at 100 TB the same report prices an OPTIMIZE.
+
+    Scale shape: the global row numbers that simulate file assignment
+    route through the histogram-bucket rank plan (never one sort
+    task); per-file min/max/count is a map-side-combinable groupBy on
+    file_id; the final grade aggregates ~n_rows/ROWS_PER_FILE file
+    rows down to 2. The oracle states the identical simulation with
+    flat window row_numbers at fixture scale."""
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    lo, hi = F.lit(ZM_LO).cast("date"), F.lit(ZM_HI).cast("date")
+
+    def files_for(df: DataFrame, layout: str) -> DataFrame:
+        fid = F.floor((F.col("rn") - 1) / ZM_ROWS_PER_FILE).alias("file_id")
+        return (
+            df.select(fid, "d")
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("d").between(lo, hi).cast("int"))
+                .cast("long")
+                .alias("n_match"),
+                F.min("d").alias("d_min"),
+                F.max("d").alias("d_max"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .alias("d_days"),
+    )
+    by_key = bucketed_row_number(
+        o, "o_orderkey", [], F.floor(F.col("o_orderkey") / 4096),
+        rank_col="rn",
+    )
+    by_date = bucketed_row_number(
+        o, "d_days", ["o_orderkey"], F.floor(F.col("d_days") / 64),
+        rank_col="rn",
+    )
+    files = files_for(by_key, "insertion").unionByName(
+        files_for(by_date, "date_sorted")
+    )
+    hit = (F.col("d_max") >= lo) & (F.col("d_min") <= hi)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit.cast("int")).cast("long").alias("files_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_read"),
+            F.sum("n_match").cast("long").alias("rows_wanted"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "files_hit",
+            "rows_read",
+            "rows_wanted",
+            F.round(
+                1.0
+                - F.col("files_hit").cast("double")
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("skip_ratio"),
+            F.round(
+                F.col("rows_read").cast("double")
+                / F.col("rows_wanted").cast("double"),
+                6,
+            ).alias("read_amplification"),
+        )
+        .orderBy("layout")
+    )

@@ -1119,3 +1119,91 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho_spearman"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "stat_cohens_kappa",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS b
+        FROM orders
+    ),
+    c AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n00
+          FROM r)
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
+           round(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_exp,
+           round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (1.0 - CAST((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                          / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS kappa
+    FROM c
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    raters: kappa = (p_obs - p_exp) / (1 - p_exp) from the 2x2
+    confusion counts. The inter-annotator-agreement grade every
+    labeling/RLHF pipeline computes before trusting its labels; the
+    two deterministic raters here (priority-derived vs price-derived
+    flags) stand in for two annotation sources over a corpus.
+
+    Scale shape: the entire statistic reduces to FOUR conditional
+    counts in ONE map-side-combinable aggregation pass — O(1) state
+    per task, no shuffle beyond the single-row combine. Marginals
+    multiply as BIGINTs (exact), and the division order matches the
+    oracle so kappa hash-matches bit for bit."""
+    r = load_table(spark, sf_dir, "orders").select(
+        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int"))
+        .cast("long")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    p_obs = (F.col("n11") + F.col("n00")).cast("double") / nd
+    exp_num = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double")
+    p_exp = exp_num / nd / nd
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_exp, 6).alias("p_exp"),
+        F.round((p_obs - p_exp) / (F.lit(1.0) - p_exp), 6).alias("kappa"),
+    )

@@ -77,6 +77,7 @@ def _load_all() -> None:
     from gpu_database_spark.llm import (  # noqa: F401
         curation,
         dedup,
+        features,
         filtering,
         graphrank,
         multimodal,

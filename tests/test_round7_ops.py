@@ -66,3 +66,103 @@ def test_session_caches_survive_release_all(spark, sf_dir):
     release_all(spark)
     assert sim_ann_pq(spark, sf_dir).count() == r1
     assert stat_bootstrap_ci(spark, sf_dir).collect() == b1
+
+
+def test_auc_matches_serial_rank_computation(spark, sf_dir):
+    """ml_eval_auc's distributed Mann-Whitney AUC must equal a serial
+    tie-averaged-rank AUC computed driver-side at fixture scale."""
+    from gpu_database_spark.registry import queries
+
+    row = queries()["ml_eval_auc"](spark, sf_dir).collect()[0]
+
+    from gpu_database_spark.sources.catalog import load_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_totalprice AS score",
+            "CASE WHEN substr(o_orderpriority,1,1) IN ('1','2') "
+            "THEN 1 ELSE 0 END AS y",
+        )
+        .toPandas()
+    )
+    ranks = pdf["score"].rank(method="average")  # tie-averaged, 1-based
+    npos = int(pdf["y"].sum())
+    nneg = len(pdf) - npos
+    auc = (ranks[pdf["y"] == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert row.npos == npos and row.nneg == nneg
+    assert abs(row.auc - round(auc, 6)) <= 1e-6
+    assert abs(row.gini - round(2 * auc - 1, 6)) <= 2e-6
+
+
+def test_bfs_matches_serial_frontier(spark, sf_dir):
+    """bfs_hops must equal a dict-based multi-source BFS on the same
+    synthetic edge list."""
+    from collections import deque
+
+    from gpu_database_spark.llm.graphrank import (
+        BFS_MAX_HOPS,
+        BFS_N_SEEDS,
+        bfs_hops,
+        synth_edges,
+    )
+    from gpu_database_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    seeds = d.filter(F.col("doc_id") < BFS_N_SEEDS).select(
+        F.col("doc_id").alias("id")
+    )
+    got = {r.id: r.hops for r in bfs_hops(seeds, edges, BFS_MAX_HOPS).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    want = {i: 0 for i in range(BFS_N_SEEDS)}
+    q = deque(want)
+    while q:
+        u = q.popleft()
+        if want[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+
+
+def test_feature_rank_plans_are_bucketed(spark, sf_dir):
+    """AUC / decile / robust-mean global ranks must route through the
+    histogram-bucket plan — no single-partition row_number window."""
+    from gpu_database_spark.plans import inspect
+    from gpu_database_spark.registry import queries
+
+    for name in ("ml_eval_auc", "ml_lift_deciles", "stat_robust_means"):
+        plan = inspect.simple_plan(queries()[name](spark, sf_dir))
+        rn_lines = [
+            ln for ln in plan.splitlines() if "row_number" in ln.lower()
+        ]
+        assert rn_lines, f"{name}: expected a rank window\n{plan}"
+        for ln in rn_lines:
+            assert "_bkt" in ln or "bucket" in ln, (
+                f"{name}: unbucketed global rank window: {ln}"
+            )
+
+
+def test_target_encoding_is_leave_one_out(spark, sf_dir):
+    """A row's own label must not leak into its encoding: for rows in
+    the same segment, te differs between y=0 and y=1 rows by exactly
+    1/(seg_cnt-1+M) — verify on one segment."""
+    from gpu_database_spark.registry import queries
+
+    rows = queries()["feat_target_encoding"](spark, sf_dir).collect()
+    by_seg: dict[str, set[tuple[int, float]]] = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, set()).add((r.y, r.te))
+    # Within a segment every y=1 row shares one te, every y=0 row
+    # another, and te(y=0) > te(y=1) (removing a positive lowers it).
+    for seg, pairs in by_seg.items():
+        tes = {y: te for y, te in pairs}
+        if 0 in tes and 1 in tes:
+            assert tes[0] > tes[1], (seg, pairs)
+        assert len(pairs) <= 2, (seg, pairs)
