@@ -199,6 +199,8 @@ HEADLINE = [
     "dq_k_anonymity",
     "stat_cohens_kappa",
     "layout_zonemap_pruning",
+    "split_group_kfold",
+    "feat_quantile_normalize",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -258,3 +258,162 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+K_FOLDS = 5  # group-aware cross-validation folds
+
+
+@register(
+    "split_group_kfold",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               {{hb}} % {K_FOLDS} AS fold
+        FROM events
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS purchase_rate
+    FROM e GROUP BY fold ORDER BY fold
+    """.format(hb="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+                  " AS BIGINT)"),
+)
+def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment: EVERY event of a user lands in
+    the same fold (fold = md5(user) % K), so cross-validation never
+    leaks one user's behavior across train and eval — the grouped
+    split any per-user model demands, with the per-fold balance
+    census (users, events, label rate) that validates the folds are
+    exchangeable.
+
+    Scale shape: the fold id is a row-local hash — no shuffle to
+    assign; the census is one groupBy(fold) with a distinct-user
+    count (Spark expands to a two-level aggregate). Reproducible
+    under any partitioning or corpus growth, unlike randomized
+    splits."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (hash_bucket(F.col("user_id")) % K_FOLDS).alias("fold"),
+    )
+    return (
+        e.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "n_purchases",
+            F.round(
+                F.col("n_purchases").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("purchase_rate"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "feat_quantile_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn_s,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars AS v,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn_g,
+               COUNT(*) OVER () AS n
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source, n_chars,
+               LEAST(GREATEST((rn_s * ((SELECT MAX(n) FROM g) + 1))
+                              // (n_s + 1), 1),
+                     (SELECT MAX(n) FROM g)) AS target_rank
+        FROM s
+    )
+    SELECT t.doc_id, t.source,
+           CAST(t.n_chars AS BIGINT) AS n_chars,
+           CAST(g.v AS BIGINT) AS v_normalized
+    FROM t JOIN g ON t.target_rank = g.rn_g
+    WHERE t.doc_id < 300
+    ORDER BY t.doc_id
+    """,
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: a document's feature value
+    is replaced by the GLOBAL value at its within-source quantile, so
+    heterogeneous sources (whose quality scores live on different
+    scales) become comparable before a single threshold is applied —
+    the standard fix when one crawl source scores systematically high.
+    The quantile mapping is integer-exact: within-source rank r of
+    n_s maps to global rank r*(N+1) div (n_s+1), clamped to [1, N] —
+    no floating-point quantile in either engine.
+
+    Scale shape: BOTH rank passes route through the histogram-bucket
+    plan (per-source grouped ranks; one global rank) — never a
+    single-task sort; the mapping join is an equi-join on the target
+    rank (shuffle on an integer key, uniform by construction). The
+    doc_id < 300 filter bounds only the emitted sample — the
+    normalization map covers the full corpus."""
+    from gpu_database_spark.functions.ranks import (
+        bucketed_row_number,
+        grouped_bucketed_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    s = grouped_bucketed_row_number(
+        d, ["source"], "n_chars", ["doc_id"],
+        F.floor(F.col("n_chars") / 200), rank_col="rn_s",
+    )
+    n_s = s.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    g = bucketed_row_number(
+        d.select(F.col("n_chars").alias("v"), "doc_id"), "v", ["doc_id"],
+        F.floor(F.col("v") / 200), rank_col="rn_g",
+    ).select("v", "rn_g")
+    n_tot = d.agg(F.count(F.lit(1)).alias("n"))
+    t = (
+        s.join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.least(
+                F.greatest(
+                    F.expr("(rn_s * (n + 1)) div (n_s + 1)"), F.lit(1)
+                ),
+                F.col("n"),
+            ).alias("target_rank"),
+        )
+    )
+    return (
+        t.join(g, t.target_rank == g.rn_g)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("v").cast("long").alias("v_normalized"),
+        )
+        .orderBy("doc_id")
+    )
