@@ -533,3 +533,52 @@ def test_spatial_grid_join_at_1m_points(spark):
     )
     assert cmp.count() == 0, cmp.limit(5).collect()
     assert hits.count() > 0
+
+
+def test_auc_pipeline_at_1m_rows(spark):
+    """The ml_eval_auc shape at 1M rows with a closed-form check: for
+    score = id with label = (id >= n/2), every positive outranks every
+    negative, so AUC must be exactly 1.0; for label = id % 2 the
+    ranks interleave and AUC must be 0.5 +- o(1). Exercises the
+    bucketed global rank + tie-average + decimal rank-sum plan at a
+    size where one sort task would stall."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    n = 1_000_000
+
+    def auc_for(label_col):
+        lab = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("score"),
+            label_col.alias("y"),
+        )
+        r = bucketed_row_number(
+            lab, "score", ["k"], F.floor(F.col("score") / 10_000),
+            rank_col="rn",
+        )
+        ar = r.groupBy("score").agg(
+            F.expr("(2 * SUM(rn)) div COUNT(*)").alias("ar2")
+        )
+        d38 = "decimal(38,0)"
+        s = (
+            r.join(ar, "score")
+            .agg(
+                F.sum(
+                    F.when(F.col("y") == 1, F.col("ar2")).otherwise(0).cast(d38)
+                ).alias("s2"),
+                F.sum("y").cast("long").alias("npos"),
+                (F.count(F.lit(1)) - F.sum("y").cast("long")).alias("nneg"),
+            )
+            .collect()[0]
+        )
+        return (int(s.s2) - s.npos * (s.npos + 1)) / (2 * s.npos * s.nneg)
+
+    t0 = time.perf_counter()
+    perfect = auc_for((F.col("id") >= n // 2).cast("int"))
+    coin = auc_for((F.col("id") % 2).cast("int"))
+    elapsed = time.perf_counter() - t0
+    assert perfect == 1.0
+    assert abs(coin - 0.5) < 1e-5, coin
+    assert elapsed < 120, f"AUC at 1M rows took {elapsed:.1f}s"
