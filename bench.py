@@ -188,7 +188,8 @@ HEADLINE = [
     "sql_parameterized",
     "stat_spearman_rho",
     "join_spatial_grid",
-    "graph_shortest_hops",
+    # graph_shortest_hops stays off HEADLINE like pagerank/HITS: its
+    # cost is per-round BFS job orchestration, not data volume.
     "feat_target_encoding",
     "feat_woe_iv_binning",
     "ml_eval_auc",
@@ -201,6 +202,7 @@ HEADLINE = [
     "layout_zonemap_pruning",
     "split_group_kfold",
     "feat_quantile_normalize",
+    "curriculum_pacing",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

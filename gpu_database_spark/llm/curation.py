@@ -528,3 +528,84 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "canon_url")
         .limit(20)
     )
+
+
+N_STAGES = 4  # curriculum stages, easiest -> hardest
+
+
+@register(
+    "curriculum_pacing",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM documents
+    ),
+    st AS (SELECT ((rn - 1) * {N_STAGES}) // n AS stage, n_chars, n_tokens
+           FROM r),
+    agg AS (SELECT stage, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM st GROUP BY stage)
+    SELECT stage, n_docs, n_tokens, min_chars, max_chars,
+           round(CAST(SUM(n_tokens) OVER (ORDER BY stage) AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+               AS cum_token_share
+    FROM agg ORDER BY stage
+    """,
+)
+def curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum pacing schedule: the corpus cut into equal-count
+    difficulty stages (difficulty proxy: document length — swap in
+    any score column), with per-stage document/token budgets and the
+    cumulative token share a trainer's dataloader walks through —
+    the plan that turns 'train easy-to-hard' into concrete stage
+    boundaries over 100 TB.
+
+    Scale shape: the global difficulty rank routes through the
+    histogram-bucket plan (never one sort task); the stage id is
+    integer arithmetic on the rank ((rn-1)*S div n — both engines
+    identical); the census is one groupBy to S rows and the
+    cumulative windows run over that S-row table only."""
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count(F.col("text")).alias("n_tokens")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    r = bucketed_row_number(
+        d, "n_chars", ["doc_id"], F.floor(F.col("n_chars") / 200),
+        rank_col="rn",
+    )
+    st = r.crossJoin(F.broadcast(n)).select(
+        F.expr(f"((rn - 1) * {N_STAGES}) div n").alias("stage"),
+        "n_chars",
+        "n_tokens",
+    )
+    agg = st.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        "min_chars",
+        "max_chars",
+        F.round(
+            F.sum("n_tokens").over(w_cum).cast("double")
+            / F.sum("n_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("cum_token_share"),
+    ).orderBy("stage")
