@@ -203,6 +203,7 @@ HEADLINE = [
     "split_group_kfold",
     "feat_quantile_normalize",
     "curriculum_pacing",
+    "fn_higher_order",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

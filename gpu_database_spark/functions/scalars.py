@@ -748,3 +748,73 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    WITH items AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                   AS cents,
+               list_sort(list(CAST(round(l_discount * 100) AS BIGINT)))
+                   AS disc
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(cents) AS BIGINT) AS n_items,
+           CAST(list_aggregate(cents, 'sum') AS BIGINT) AS total_cents,
+           CAST(list_aggregate(
+                    list_transform(cents, x -> x * 2), 'max')
+                AS BIGINT) AS max_doubled,
+           CAST(len(list_filter(cents, x -> x > 5000000))
+                AS BIGINT) AS n_large,
+           (len(list_filter(cents, x -> x <= 0)) = 0) AS all_positive,
+           array_to_string(cents[1:3], ',') AS low3
+    FROM items ORDER BY l_orderkey
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over arrays — transform / filter
+    / aggregate / exists-style predicates — the JVM-side array
+    algebra that replaces per-row Python when a column holds a
+    collection. Values stay integral (exact cents) so both engines'
+    lambda pipelines hash-match; the collected array is sorted first
+    because collect_list order is partition-dependent (determinism
+    rule every array-building query here follows).
+
+    Scale shape: groupBy(l_orderkey) + collect_list shuffles once on
+    a high-cardinality key; every lambda then runs inside whole-stage
+    codegen — zero Python, zero explode-re-aggregate round trips.
+    The l_orderkey < 200 filter bounds the demo; the plan is
+    row-count linear."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("cents")).alias("cents")
+    )
+    return items.select(
+        "l_orderkey",
+        F.size("cents").cast("long").alias("n_items"),
+        F.aggregate(
+            "cents", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_cents"),
+        F.array_max(F.transform("cents", lambda x: x * 2))
+        .cast("long")
+        .alias("max_doubled"),
+        F.size(F.filter("cents", lambda x: x > 5_000_000))
+        .cast("long")
+        .alias("n_large"),
+        (~F.exists("cents", lambda x: x <= 0)).alias("all_positive"),
+        F.concat_ws(",", F.slice("cents", 1, 3)).alias("low3"),
+    ).orderBy("l_orderkey")
