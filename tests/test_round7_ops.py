@@ -137,7 +137,14 @@ def test_feature_rank_plans_are_bucketed(spark, sf_dir):
     from gpu_database_spark.plans import inspect
     from gpu_database_spark.registry import queries
 
-    for name in ("ml_eval_auc", "ml_lift_deciles", "stat_robust_means"):
+    for name in (
+        "ml_eval_auc",
+        "ml_lift_deciles",
+        "stat_robust_means",
+        "feat_quantile_normalize",
+        "layout_zonemap_pruning",
+        "curriculum_pacing",
+    ):
         plan = inspect.simple_plan(queries()[name](spark, sf_dir))
         rn_lines = [
             ln for ln in plan.splitlines() if "row_number" in ln.lower()
