@@ -427,3 +427,135 @@ def test_streaming_soak_1m_events_watermark_and_aria(spark, tmp_path):
     assert final.filter(F.col("value").startswith("init:")).count() < 20_000, (
         "no write ever installed"
     )
+
+
+def test_streaming_incremental_lsh_dedup_equals_batch(spark):
+    """Continuous-ingest near-dup dedup: a synthdocs micro-batch
+    stream runs through foreachBatch; every batch is banded and
+    checked against the ACCUMULATED band index (new-vs-index +
+    new-vs-new, old-vs-old never generated — the dedup_incremental_lsh
+    contract, but driven by a real streaming query). The union of
+    per-batch accepted pairs must equal the full-corpus batch LSH
+    pair set: each pair is discovered exactly when its later doc
+    arrives, regardless of micro-batch boundaries."""
+    from gpu_database_spark.llm.dedup import (
+        N_HASHES,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from gpu_database_spark.sources.pysource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    n_docs, fam = 400, 137  # doc_id % fam => exact-duplicate families
+
+    def with_dup_text(df):
+        # Deterministic duplicate families: text is a pure function of
+        # doc_id % fam, so family members are exact near-dups.
+        words = [
+            F.md5(F.concat((F.col("doc_id") % fam).cast("string"), F.lit(f":{j}")))
+            for j in range(12)
+        ]
+        return df.select("doc_id", F.concat_ws(" ", *words).alias("text"))
+
+    state = {"sig": None, "bands": None, "pairs": set(), "n_seen": 0}
+
+    def on_batch(batch_df, batch_id):
+        docs = with_dup_text(batch_df)
+        if docs.isEmpty():
+            return
+        sig = minhash_signatures(docs).localCheckpoint(eager=True)
+        bands = lsh_bands(sig).localCheckpoint(eager=True)
+        nb = bands
+        cands = (
+            nb.join(
+                nb.withColumnsRenamed({"doc_id": "doc_b"}), ["band", "bsig"]
+            )
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .select(
+                F.col("doc_b").alias("new_doc"),
+                F.col("doc_id").alias("matched_doc"),
+            )
+        )
+        if state["bands"] is not None:
+            cands = cands.unionByName(
+                nb.join(
+                    state["bands"].withColumnsRenamed({"doc_id": "matched_doc"}),
+                    ["band", "bsig"],
+                ).select(F.col("doc_id").alias("new_doc"), "matched_doc")
+            )
+        all_sig = (
+            sig
+            if state["sig"] is None
+            else sig.unionByName(state["sig"])
+        )
+        sa = all_sig.withColumnsRenamed({"doc_id": "new_doc"})
+        sb = all_sig.withColumnsRenamed(
+            {"doc_id": "matched_doc", "minhash": "mh_b"}
+        )
+        accepted = (
+            cands.distinct()
+            .join(sa, "new_doc")
+            .join(sb, ["matched_doc", "h"])
+            .filter(F.col("minhash") == F.col("mh_b"))
+            .groupBy("new_doc", "matched_doc")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+            .filter(F.col("n_match") >= N_HASHES // 2)
+            .collect()
+        )
+        state["pairs"].update(
+            frozenset((r.new_doc, r.matched_doc)) for r in accepted
+        )
+        state["sig"] = all_sig.localCheckpoint(eager=True)
+        state["bands"] = (
+            bands
+            if state["bands"] is None
+            else bands.unionByName(state["bands"])
+        ).localCheckpoint(eager=True)
+        # Incremented LAST: the drain poll must not stop the query
+        # while this batch's pair computation is still in flight.
+        state["n_seen"] += docs.count()
+
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n_rows", n_docs)
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    # availableNow falls back to one micro-batch for Python stream
+    # sources (Spark 4.1) — run free and poll until the source drains.
+    import time as _time
+
+    q = stream.writeStream.foreachBatch(on_batch).start()
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline and state["n_seen"] < n_docs:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert state["n_seen"] == n_docs
+
+    # Full-corpus batch reference over the identical doc set.
+    full = with_dup_text(
+        spark.read.format("synthdocs").option("n_rows", n_docs).load()
+    )
+    sig = minhash_signatures(full)
+    bands = lsh_bands(sig)
+    pairs_ref = (
+        bands.join(bands.withColumnsRenamed({"doc_id": "doc_b"}), ["band", "bsig"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select("doc_id", "doc_b")
+        .distinct()
+        .join(sig, "doc_id")
+        .join(
+            sig.withColumnsRenamed({"doc_id": "doc_b", "minhash": "mh_b"}),
+            ["doc_b", "h"],
+        )
+        .filter(F.col("minhash") == F.col("mh_b"))
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= N_HASHES // 2)
+        .collect()
+    )
+    want = {frozenset((r.doc_id, r.doc_b)) for r in pairs_ref}
+    assert len(want) > 100  # duplicate families guarantee a dense pair set
+    assert state["pairs"] == want
