@@ -883,7 +883,9 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = F.lit(ZM_LO).cast("date"), F.lit(ZM_HI).cast("date")
 
     def files_for(df: DataFrame, layout: str) -> DataFrame:
-        fid = F.floor((F.col("rn") - 1) / ZM_ROWS_PER_FILE).alias("file_id")
+        # Integer div, not floor(double-/): at 1e12 ranks the double
+        # quotient can round across a file boundary.
+        fid = F.expr(f"(rn - 1) div {ZM_ROWS_PER_FILE}").alias("file_id")
         return (
             df.select(fid, "d")
             .groupBy("file_id")
