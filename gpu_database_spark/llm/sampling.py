@@ -344,8 +344,9 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
         SELECT doc_id, source, n_chars,
-               LEAST(GREATEST((rn_s * ((SELECT MAX(n) FROM g) + 1))
-                              // (n_s + 1), 1),
+               LEAST(GREATEST(CAST((CAST(rn_s AS HUGEINT)
+                                    * ((SELECT MAX(n) FROM g) + 1))
+                                   // (n_s + 1) AS BIGINT), 1),
                      (SELECT MAX(n) FROM g)) AS target_rank
         FROM s
     )
@@ -398,9 +399,16 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
+            # DECIMAL(38,0) product: rn_s * (n+1) overflows BIGINT once
+            # the corpus passes ~3e9 rows — the 100 TB regime this
+            # operator claims. The quotient is cast back to long.
             F.least(
                 F.greatest(
-                    F.expr("(rn_s * (n + 1)) div (n_s + 1)"), F.lit(1)
+                    F.expr(
+                        "CAST((CAST(rn_s AS DECIMAL(38,0)) * (n + 1))"
+                        " div (n_s + 1) AS BIGINT)"
+                    ),
+                    F.lit(1),
                 ),
                 F.col("n"),
             ).alias("target_rank"),
