@@ -274,7 +274,12 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rn",
     )
     ar = r.groupBy("score").agg(
-        F.expr("(2 * SUM(rn)) div COUNT(*)").alias("ar2")
+        # The tie-group rank sum accumulates in DECIMAL(38,0): with
+        # heavy ties SUM(rn) approaches n^2/2, far past BIGINT at
+        # corpus scale (DuckDB's SUM is HUGEINT and needs no cast).
+        F.expr(
+            "(2 * SUM(CAST(rn AS DECIMAL(38,0)))) div COUNT(*)"
+        ).alias("ar2")
     )
     j = r.join(ar, "score")
     d38 = "decimal(38,0)"

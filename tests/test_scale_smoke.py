@@ -559,7 +559,9 @@ def test_auc_pipeline_at_1m_rows(spark):
             rank_col="rn",
         )
         ar = r.groupBy("score").agg(
-            F.expr("(2 * SUM(rn)) div COUNT(*)").alias("ar2")
+            F.expr(
+                "(2 * SUM(CAST(rn AS DECIMAL(38,0)))) div COUNT(*)"
+            ).alias("ar2")
         )
         d38 = "decimal(38,0)"
         s = (
