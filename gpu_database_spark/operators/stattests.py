@@ -1142,15 +1142,15 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM r)
     SELECT n, n11, n10, n01, n00,
            round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_obs,
-           round(CAST((n11 + n10) * (n11 + n01)
-                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           round(CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
                  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_exp,
            round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
-                  - CAST((n11 + n10) * (n11 + n01)
-                         + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                  - CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
                     / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
-                 / (1.0 - CAST((n11 + n10) * (n11 + n01)
-                               + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / (1.0 - CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                               + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
                           / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                AS kappa
     FROM c
@@ -1192,9 +1192,15 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     p_obs = (F.col("n11") + F.col("n00")).cast("double") / nd
+    # Marginal products approach n^2 — DECIMAL(38,0) keeps them exact
+    # past BIGINT range (the oracle uses HUGEINT), ONE cast to double
+    # at the end on both sides.
+    d38 = "decimal(38,0)"
     exp_num = (
-        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
-        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+        (F.col("n11") + F.col("n10")).cast(d38)
+        * (F.col("n11") + F.col("n01")).cast(d38)
+        + (F.col("n01") + F.col("n00")).cast(d38)
+        * (F.col("n10") + F.col("n00")).cast(d38)
     ).cast("double")
     p_exp = exp_num / nd / nd
     return c.select(
