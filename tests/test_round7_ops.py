@@ -173,3 +173,28 @@ def test_target_encoding_is_leave_one_out(spark, sf_dir):
         if 0 in tes and 1 in tes:
             assert tes[0] > tes[1], (seg, pairs)
         assert len(pairs) <= 2, (seg, pairs)
+
+
+def test_quantile_normalize_is_monotone_and_value_preserving(spark, sf_dir):
+    """feat_quantile_normalize invariants: within a source the mapping
+    is monotone in the original value, and every normalized value is
+    an actual corpus value (the mapping lands ON the global
+    distribution, it doesn't interpolate)."""
+    from gpu_database_spark.registry import queries
+    from gpu_database_spark.sources.catalog import load_table
+
+    rows = queries()["feat_quantile_normalize"](spark, sf_dir).collect()
+    corpus_values = {
+        r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("n_chars")
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r.v_normalized in corpus_values, r
+        by_source.setdefault(r.source, []).append((r.n_chars, r.v_normalized))
+    for source, pairs in by_source.items():
+        pairs.sort()
+        normed = [v for _, v in pairs]
+        assert normed == sorted(normed), f"{source}: not monotone"
