@@ -204,6 +204,7 @@ HEADLINE = [
     "feat_quantile_normalize",
     "curriculum_pacing",
     "fn_higher_order",
+    "fn_csv_parse",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -818,3 +818,62 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.exists("cents", lambda x: x <= 0)).alias("all_positive"),
         F.concat_ws(",", F.slice("cents", 1, 3)).alias("low3"),
     ).orderBy("l_orderkey")
+
+
+@register(
+    "fn_csv_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+                   || CAST(round(o_totalprice, 2) AS VARCHAR)
+                   || ',' || o_orderpriority AS line
+        FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey, line,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS k,
+           string_split(line, ',')[2] AS status,
+           CAST(string_split(line, ',')[3] AS DOUBLE) AS price,
+           string_split(line, ',')[4] AS priority
+    FROM raw ORDER BY o_orderkey
+    """,
+)
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read CSV parsing as a SCALAR function: ``from_csv``
+    turns an embedded delimited string column into a typed struct in
+    one JVM-side expression — the log-line / export-blob unpacking
+    primitive (the file-level CSV reader is sources/readers.py; this
+    is the per-column variant). The line is synthesized from typed
+    columns first so both engines parse the identical bytes; the
+    oracle states the same unpack with string_split + casts.
+
+    Scale shape: row-local expression, no shuffle, whole-stage
+    codegen; the filter bounds the demo output only."""
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                "o_orderstatus",
+                F.round("o_totalprice", 2).cast("string"),
+                "o_orderpriority",
+            ).alias("line"),
+        )
+    )
+    parsed = raw.withColumn(
+        "c",
+        F.from_csv(
+            "line", "k long, status string, price double, priority string"
+        ),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "line",
+        F.col("c.k").alias("k"),
+        F.col("c.status").alias("status"),
+        F.col("c.price").alias("price"),
+        F.col("c.priority").alias("priority"),
+    ).orderBy("o_orderkey")
