@@ -205,6 +205,7 @@ HEADLINE = [
     "curriculum_pacing",
     "fn_higher_order",
     "fn_csv_parse",
+    "dq_expectations_audit",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

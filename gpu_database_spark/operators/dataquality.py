@@ -336,3 +336,123 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("row_share"),
     ).orderBy("size_bucket")
+
+
+# Expectation-suite thresholds: a rule WARNs above this failure rate
+# and FAILs above 10x this rate.
+DQ_WARN_RATE = 0.001
+
+
+@register(
+    "dq_expectations_audit",
+    oracle=f"""
+    WITH o AS (
+        SELECT *,
+               (o_totalprice > 0) AS r_price_pos,
+               (o_orderstatus IN ('O', 'F', 'P')) AS r_status_domain,
+               (o_orderdate >= TIMESTAMP '1990-01-01'
+                AND o_orderdate < TIMESTAMP '2030-01-01') AS r_date_range,
+               (o_custkey IS NOT NULL) AS r_custkey_nn,
+               (o_orderpriority SIMILAR TO '[1-5]-[A-Z ]+') AS r_priority_fmt
+        FROM orders
+    ),
+    rules AS (
+        SELECT 'price_positive' AS rule, COUNT(*) AS n_checked,
+               CAST(SUM(CASE WHEN NOT r_price_pos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_failed FROM o
+        UNION ALL
+        SELECT 'status_in_domain', COUNT(*),
+               CAST(SUM(CASE WHEN NOT r_status_domain THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'date_in_range', COUNT(*),
+               CAST(SUM(CASE WHEN NOT r_date_range THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'custkey_not_null', COUNT(*),
+               CAST(SUM(CASE WHEN NOT r_custkey_nn THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'priority_format', COUNT(*),
+               CAST(SUM(CASE WHEN NOT r_priority_fmt THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'custkey_fk_resolves', COUNT(*),
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT rule, n_checked, n_failed,
+           round(CAST(n_failed AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
+               AS fail_rate,
+           CASE WHEN n_failed = 0 THEN 'PASS'
+                WHEN CAST(n_failed AS DOUBLE) / CAST(n_checked AS DOUBLE)
+                     <= {DQ_WARN_RATE} THEN 'WARN'
+                ELSE 'FAIL' END AS status
+    FROM rules ORDER BY rule
+    """,
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (the Great-Expectations-style gate a
+    warehouse load runs before publishing a table): each rule is a
+    row-local predicate — positivity, domain membership, date sanity,
+    non-null, format regex — plus one referential rule (every
+    o_custkey resolves), reported as (rule, checked, failed,
+    fail_rate, PASS/WARN/FAIL).
+
+    Scale shape: all five row-local rules evaluate in ONE scan and
+    ONE conditional aggregation (map-side combinable, O(rules) state
+    per task); the FK rule is a broadcast-dim left join counted in
+    the same pass shape as dq_referential_orphans. Adding a rule
+    adds a column, never a scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range": (
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2030-01-01").cast("timestamp"))
+        ),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+    }
+    # ALL row-local rules in ONE aggregation pass over one scan …
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum((~pred).cast("int")).cast("long").alias(f"f_{rule}")
+            for rule, pred in checks.items()
+        ],
+    )
+    rules = wide.selectExpr(
+        "stack({n}, {args}) AS (rule, n_failed)".format(
+            n=len(checks),
+            args=", ".join(f"'{r}', f_{r}" for r in checks),
+        ),
+        "n_checked",
+    ).select("rule", "n_checked", "n_failed")
+    # … plus the one rule that genuinely needs a second input: the FK
+    # resolution join (broadcast dim, same shape as dq_referential_orphans).
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.lit("custkey_fk_resolves").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.col("c_custkey").isNull().cast("int"))
+            .cast("long")
+            .alias("n_failed"),
+        )
+    )
+    rules = rules.unionByName(fk)
+    rate = F.col("n_failed").cast("double") / F.col("n_checked").cast("double")
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_failed",
+        F.round(rate, 6).alias("fail_rate"),
+        F.when(F.col("n_failed") == 0, "PASS")
+        .when(rate <= DQ_WARN_RATE, "WARN")
+        .otherwise("FAIL")
+        .alias("status"),
+    ).orderBy("rule")
