@@ -206,6 +206,7 @@ HEADLINE = [
     "fn_higher_order",
     "fn_csv_parse",
     "dq_expectations_audit",
+    "ml_eval_auc_grouped",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

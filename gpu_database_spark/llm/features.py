@@ -659,3 +659,92 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("threshold_bin")
+
+
+@register(
+    "ml_eval_auc_grouped",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, c_mktsegment AS segment,
+               o_totalprice AS score, {_LABEL_SQL} AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+        SELECT segment, score, y,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY score, o_orderkey) AS rn
+        FROM lab
+    ),
+    ar AS (SELECT segment, score, (2 * SUM(rn)) // COUNT(*) AS ar2
+           FROM r GROUP BY segment, score),
+    s AS (
+        SELECT r.segment,
+               SUM(CASE WHEN r.y = 1 THEN ar.ar2 ELSE 0 END) AS s2,
+               CAST(SUM(r.y) AS BIGINT) AS npos,
+               COUNT(*) - CAST(SUM(r.y) AS BIGINT) AS nneg,
+               COUNT(*) AS n
+        FROM r JOIN ar ON r.segment = ar.segment AND r.score = ar.score
+        GROUP BY r.segment
+    )
+    SELECT segment, n, npos, nneg,
+           round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
+                 / CAST(2 * npos * nneg AS DOUBLE), 6) AS auc
+    FROM s ORDER BY segment
+    """,
+)
+def ml_eval_auc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC AUC — does the score rank positives above
+    negatives WITHIN each customer segment? The fairness/consistency
+    slice of ml_eval_auc: a score can look fine globally while being
+    anti-predictive inside one cohort (Simpson's reversal), so a
+    curation gate is audited group by group before it is applied
+    corpus-wide.
+
+    Scale shape: per-group ranks come from the grouped histogram-
+    bucket plan (parallelism = segments x score-buckets — the 5-value
+    segment key alone never becomes 5 sort tasks); tie-averaged
+    doubled ranks and the per-segment rank sums accumulate in
+    DECIMAL(38,0); one closed-form division per segment at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("score"),
+        _label_col(),
+    )
+    r = grouped_bucketed_row_number(
+        lab, ["segment"], "score", ["o_orderkey"],
+        F.floor(F.col("score") / 2000.0), rank_col="rn",
+    )
+    ar = r.groupBy("segment", "score").agg(
+        F.expr(
+            "(2 * SUM(CAST(rn AS DECIMAL(38,0)))) div COUNT(*)"
+        ).alias("ar2")
+    )
+    d38 = "decimal(38,0)"
+    s = (
+        r.join(ar, ["segment", "score"])
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.when(F.col("y") == 1, F.col("ar2")).otherwise(0).cast(d38)
+            ).alias("s2"),
+            F.sum("y").cast("long").alias("npos"),
+            (F.count(F.lit(1)) - F.sum("y").cast("long")).alias("nneg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    npos38 = F.col("npos").cast(d38)
+    nneg38 = F.col("nneg").cast(d38)
+    return s.select(
+        "segment",
+        "n",
+        "npos",
+        "nneg",
+        F.round(
+            (F.col("s2") - npos38 * (npos38 + 1)).cast("double")
+            / (F.lit(2).cast(d38) * npos38 * nneg38).cast("double"),
+            6,
+        ).alias("auc"),
+    ).orderBy("segment")
