@@ -207,6 +207,7 @@ HEADLINE = [
     "fn_csv_parse",
     "dq_expectations_audit",
     "ml_eval_auc_grouped",
+    "er_blocking_quality",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

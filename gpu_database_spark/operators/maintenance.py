@@ -948,3 +948,69 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "er_blocking_quality",
+    oracle="""
+    WITH blocked AS (
+        SELECT split_part(p_name, ' ', 2) || '|' || p_brand AS block_key
+        FROM part
+    ),
+    b AS (SELECT block_key, COUNT(*) AS k FROM blocked GROUP BY block_key),
+    h AS (
+        SELECT LEAST(k, 8) AS size_bucket,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(k) AS BIGINT) AS n_rows,
+               CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_pairs
+        FROM b GROUP BY 1
+    )
+    SELECT size_bucket, n_blocks, n_rows, n_pairs,
+           round(CAST(n_pairs AS DOUBLE)
+                 / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS pair_share
+    FROM h ORDER BY size_bucket
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key pre-flight for entity resolution / LSH: the
+    block-size histogram with the PAIR cost each size bucket implies
+    (sum k·(k-1)/2) and its share of total candidate pairs — the
+    report that catches a quadratic blow-up BEFORE the pair join runs
+    (round 2's sim_pairs re-block and er_fuzzy_match's compound key
+    were both chosen off exactly this census). Size buckets clamp at
+    8+ so the head of the histogram stays readable while the tail —
+    where the cost lives — is still visible in n_pairs.
+
+    Scale shape: one groupBy on the blocking key (map-side
+    combinable), one groupBy on the clamped size, a window over <= 8
+    rows. The pair count is integer-exact; at corpus scale k·(k-1)/2
+    for a degenerate block exceeds nothing — k is bounded by the
+    block's row count and the sum accumulates in BIGINT up to ~4e9
+    rows per block before it would need the decimal discipline."""
+    blocked = load_table(spark, sf_dir, "part").select(
+        F.concat(
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.lit("|"),
+            F.col("p_brand"),
+        ).alias("block_key")
+    )
+    b = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("k"))
+    h = b.groupBy(F.least(F.col("k"), F.lit(8)).alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("n_pairs"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        "size_bucket",
+        "n_blocks",
+        "n_rows",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            6,
+        ).alias("pair_share"),
+    ).orderBy("size_bucket")
