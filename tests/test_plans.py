@@ -261,3 +261,50 @@ def test_spatial_grid_join_is_equi(spark, sf_dir):
     plan = inspect.simple_plan(join_spatial_grid(spark, sf_dir))
     assert "NestedLoop" not in plan, plan[:1500]
     assert "Join" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling must fire on a pathologically skewed
+    shuffle join: with the skew thresholds lowered to fixture scale,
+    the finalized plan must mark the sort-merge join as skew-handled
+    (partition split at runtime) — the mechanism that saves a 100 TB
+    join when one key holds a double-digit share of the rows."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 300k rows on ONE hot key vs a uniform right side: the hot
+        # shuffle partition dwarfs the median and must be split.
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # A global (keyless) aggregate above the join: a groupBy(k)
+        # would REQUIRE the join's hash partitioning and veto the
+        # skew split (splitting breaks co-partitioning).
+        j = left.join(right, "k").agg(F.sum("payload").alias("s"))
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final or "skew=" in final, final[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
