@@ -756,9 +756,7 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
         SELECT l_orderkey,
                list_sort(list(CAST(round(l_extendedprice * 100) AS BIGINT)))
-                   AS cents,
-               list_sort(list(CAST(round(l_discount * 100) AS BIGINT)))
-                   AS disc
+                   AS cents
         FROM lineitem
         WHERE l_orderkey < 200
         GROUP BY l_orderkey

@@ -511,7 +511,8 @@ CAL_MAX_BIN = 9
     WITH lab AS (
         SELECT LEAST(CAST(FLOOR(o_totalprice / {CAL_BIN_WIDTH}) AS BIGINT),
                      {CAL_MAX_BIN}) AS bin,
-               o_totalprice / {CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)} AS p,
+               LEAST(o_totalprice / {CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)},
+                     1.0) AS p,
                {_LABEL_SQL} AS y
         FROM orders
     ),
@@ -531,7 +532,8 @@ CAL_MAX_BIN = 9
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram + per-bin Brier score for a probabilistic
-    score: equal-width bins of the (min-max scaled) score, and per
+    score: equal-width bins of the scaled score (clamped to [0, 1] —
+    the tail above the top bin edge saturates at p = 1), and per
     bin the mean predicted probability vs the observed positive rate
     — calibrated scores put the two on the diagonal. The per-bin
     Brier term mean((p - y)^2) localizes WHERE the score is
@@ -548,7 +550,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") / CAL_BIN_WIDTH).cast("long"),
             F.lit(CAL_MAX_BIN).cast("long"),
         ).alias("bin"),
-        (F.col("o_totalprice") / scale).alias("p"),
+        F.least(F.col("o_totalprice") / scale, F.lit(1.0)).alias("p"),
         _label_col(),
     )
     d27 = "decimal(27,6)"

@@ -268,7 +268,7 @@ K_FOLDS = 5  # group-aware cross-validation folds
     oracle=f"""
     WITH e AS (
         SELECT event_id, user_id, event_type,
-               {{hb}} % {K_FOLDS} AS fold
+               ({{hb}}) % {K_FOLDS} AS fold
         FROM events
     )
     SELECT fold,
@@ -280,12 +280,12 @@ K_FOLDS = 5  # group-aware cross-validation folds
                           END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
                AS purchase_rate
     FROM e GROUP BY fold ORDER BY fold
-    """.format(hb="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
-                  " AS BIGINT)"),
+    """.format(hb=_hash_bucket_sql("user_id")),
 )
 def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware k-fold assignment: EVERY event of a user lands in
-    the same fold (fold = md5(user) % K), so cross-validation never
+    the same fold (fold = hash_bucket(md5(user)) % K — the identical
+    bucketing every sampler here uses), so cross-validation never
     leaks one user's behavior across train and eval — the grouped
     split any per-user model demands, with the per-fold balance
     census (users, events, label rate) that validates the folds are

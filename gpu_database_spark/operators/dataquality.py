@@ -338,8 +338,8 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("size_bucket")
 
 
-# Expectation-suite thresholds: a rule WARNs above this failure rate
-# and FAILs above 10x this rate.
+# Expectation-suite thresholds: zero failures = PASS; a nonzero
+# failure rate up to DQ_WARN_RATE = WARN; anything above = FAIL.
 DQ_WARN_RATE = 0.001
 
 

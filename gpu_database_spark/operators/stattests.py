@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import dsum
 from gpu_database_spark.functions.materialize import materialize
+from gpu_database_spark.llm.features import _LABEL_SQL, _label_col
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -1123,10 +1124,9 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_cohens_kappa",
-    oracle="""
+    oracle=f"""
     WITH r AS (
-        SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
-                    THEN 1 ELSE 0 END AS a,
+        SELECT {_LABEL_SQL} AS a,
                CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS b
         FROM orders
     ),
@@ -1170,9 +1170,7 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply as BIGINTs (exact), and the division order matches the
     oracle so kappa hash-matches bit for bit."""
     r = load_table(spark, sf_dir, "orders").select(
-        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1)
-        .otherwise(0)
-        .alias("a"),
+        _label_col().alias("a"),
         F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("b"),
     )
     c = r.agg(
