@@ -208,6 +208,7 @@ HEADLINE = [
     "dq_expectations_audit",
     "ml_eval_auc_grouped",
     "er_blocking_quality",
+    "text_kneser_ney_bigram",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

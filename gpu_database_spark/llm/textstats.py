@@ -746,3 +746,100 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_surprisal"), "doc_id")
         .limit(10)
     )
+
+
+KN_DISCOUNT = 0.75  # Kneser-Ney absolute discount
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH words AS (
+        SELECT string_split(trim(text), ' ') AS w FROM documents
+    ),
+    pairs AS (SELECT w, unnest(range(1, len(w))) AS i FROM words),
+    bg AS (
+        SELECT lower(w[i]) AS w1, lower(w[i + 1]) AS w2, COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2
+    ),
+    h AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS n1f
+          FROM bg GROUP BY w1),
+    t AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bg GROUP BY w2),
+    z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n, c1, n1f, n1p,
+           round(CAST(bg.n AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p_mle,
+           round(GREATEST(CAST(bg.n AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                     / CAST(c1 AS DOUBLE)
+                 + ({KN_DISCOUNT} / CAST(c1 AS DOUBLE))
+                   * CAST(n1f AS DOUBLE)
+                   * (CAST(n1p AS DOUBLE) / CAST(n_types AS DOUBLE)),
+                 6) AS p_kn
+    FROM bg JOIN h USING (w1) JOIN t USING (w2) CROSS JOIN z
+    ORDER BY n DESC, w1, w2 LIMIT 30
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram probabilities — the canonical n-gram
+    LM smoothing: P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+    + (D/c(w1·)) · N1+(w1·) · Pcont(w2), with the continuation
+    probability Pcont(w2) = N1+(·w2)/N1+(··) ranking words by how many
+    DISTINCT contexts they follow (the "San Francisco" fix: 'Francisco'
+    is frequent but occurs after one context only). Shown next to the
+    MLE for the top-30 bigrams — the quality signal a surprisal-based
+    corpus filter upgrades to when add-k is too blunt.
+
+    Scale shape: all four statistics are groupBys over the one
+    exploded bigram stream (map-side combinable; the bigram explode is
+    the same narrow map text_bigram_counts uses); the type total is a
+    1-row broadcast; every count stays integral until the one
+    closed-form double expression, written operation-for-operation
+    like the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(F.lower(a).alias("w1"), F.lower(b).alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = bg.groupBy("w1").agg(
+        F.sum("n").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    t = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p"))
+    z = bg.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    D = KN_DISCOUNT
+    nd = F.col("n").cast("double")
+    c1d = F.col("c1").cast("double")
+    return (
+        bg.join(h, "w1")
+        .join(t, "w2")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            "c1",
+            "n1f",
+            "n1p",
+            F.round(nd / c1d, 6).alias("p_mle"),
+            F.round(
+                F.greatest(nd - D, F.lit(0.0)) / c1d
+                + (F.lit(D) / c1d)
+                * F.col("n1f").cast("double")
+                * (
+                    F.col("n1p").cast("double")
+                    / F.col("n_types").cast("double")
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(30)
+    )
