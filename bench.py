@@ -209,6 +209,8 @@ HEADLINE = [
     "ml_eval_auc_grouped",
     "er_blocking_quality",
     "text_kneser_ney_bigram",
+    "join_asof_nearest",
+    "events_new_vs_returning",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -626,3 +626,74 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_vshapes") >= 3)
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id),
+    daily AS (
+        SELECT d.day,
+               COUNT(DISTINCT d.user_id) AS active_users,
+               COUNT(DISTINCT CASE WHEN d.day = f.first_day
+                                   THEN d.user_id END) AS new_users
+        FROM days d JOIN firsts f ON d.user_id = f.user_id
+        GROUP BY d.day
+    )
+    SELECT day, active_users, new_users,
+           active_users - new_users AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+               AS cumulative_users,
+           round(CAST(active_users - new_users AS DOUBLE)
+                 / CAST(active_users AS DOUBLE), 6) AS returning_share
+    FROM daily ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: per day, active users split into NEW
+    (first-ever activity that day) vs RETURNING, plus the cumulative
+    user count — the DAU/new/returning curve every product and every
+    crawl-ingest dashboard opens with (for a corpus: new vs re-crawled
+    domains per day).
+
+    Scale shape: first-seen day is one groupBy(user) (map-side
+    combinable); the daily split joins the user-sized first-day table
+    back on user_id (broadcast at dimension scale, shuffle join
+    beyond) and counts distinct per day; the cumulative window runs
+    over the tiny per-day table only. The cumulative count needs no
+    second distinct pass — summing new_users is exact because each
+    user is new exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            ).alias("new_users"),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w_cum).cast("long").alias("cumulative_users"),
+        F.round(
+            (F.col("active_users") - F.col("new_users")).cast("double")
+            / F.col("active_users").cast("double"),
+            6,
+        ).alias("returning_share"),
+    ).orderBy("day")

@@ -303,3 +303,128 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH rates AS (
+        SELECT i AS rate_id,
+               TIMESTAMP '1995-01-01 00:00:00' + to_days(CAST(i * 90 AS INTEGER)) AS valid_from,
+               round(1.0 + 0.01 * (i % 7), 2) AS fx_rate
+        FROM range(0, 30) t(i)
+    ),
+    picked AS (
+        SELECT o_orderkey, o_totalprice,
+               (SELECT max_by(fx_rate, valid_from)
+                FROM rates WHERE valid_from <= o_orderdate) AS prev_rate,
+               (SELECT date_diff('day', MAX(valid_from), CAST(o_orderdate AS DATE))
+                FROM rates WHERE valid_from <= o_orderdate) AS d_prev,
+               (SELECT min_by(fx_rate, valid_from)
+                FROM rates WHERE valid_from > o_orderdate) AS next_rate,
+               (SELECT date_diff('day', CAST(o_orderdate AS DATE), MIN(valid_from))
+                FROM rates WHERE valid_from > o_orderdate) AS d_next
+        FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(d_prev AS BIGINT) AS d_prev, CAST(d_next AS BIGINT) AS d_next,
+           CASE WHEN next_rate IS NULL THEN 'backward'
+                WHEN prev_rate IS NULL THEN 'forward'
+                WHEN d_prev <= d_next THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CASE WHEN next_rate IS NULL THEN prev_rate
+                WHEN prev_rate IS NULL THEN next_rate
+                WHEN d_prev <= d_next THEN prev_rate
+                ELSE next_rate END AS fx_rate
+    FROM picked ORDER BY o_orderkey
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    each order takes whichever rate is closer in time — the prevailing
+    one (valid_from <= t) or the next one (valid_from > t) — with the
+    BACKWARD match winning exact distance ties (the deterministic
+    policy merge_asof uses). Completes the as-of family:
+    prevailing (backward) / forward / tolerance / nearest.
+
+    ONE union + ONE shuffle computes both candidates: rates sort
+    before orders at equal timestamps, a last(ignorenulls) over the
+    preceding frame carries the prevailing rate+date forward and a
+    first(ignorenulls) over the following frame carries the next
+    rate+date backward; the nearest pick is then row-local CASE
+    arithmetic on whole-day deltas. No range join, no per-row
+    subquery — the oracle states the semantics with correlated
+    max_by/min_by instead."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    rates = spark.range(0, 30).select(
+        (
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(days=F.col("id").cast("int") * 90)
+        ).alias("valid_from"),
+        F.round(1.0 + 0.01 * (F.col("id") % 7), 2).alias("fx_rate"),
+    )
+    l_aug = o.select(
+        F.lit(1).alias("_k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("_t"),
+        F.lit(1).alias("_src"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("double").alias("fx_rate"),
+        F.lit(None).cast("timestamp_ntz").alias("rate_ts"),
+    )
+    r_aug = rates.select(
+        F.lit(1).alias("_k"),
+        F.col("valid_from").alias("_t"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "fx_rate",
+        F.col("valid_from").alias("rate_ts"),
+    )
+    # Rates (_src=0) sort before orders at equal _t: a rate AT t is
+    # eligible backward (<=) and excluded forward (strict >) — the
+    # same equal-time policy the prevailing/forward queries state.
+    order = [F.col("_t").asc(), F.col("_src").asc()]
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l_aug.unionByName(r_aug).select(
+        "_src",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("_t"),
+        F.last("fx_rate", ignorenulls=True).over(w_prev).alias("prev_rate"),
+        F.last("rate_ts", ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("fx_rate", ignorenulls=True).over(w_next).alias("next_rate"),
+        F.first("rate_ts", ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    d_prev = F.datediff(F.col("_t").cast("date"), F.col("prev_ts").cast("date"))
+    d_next = F.datediff(F.col("next_ts").cast("date"), F.col("_t").cast("date"))
+    backward = F.col("next_rate").isNull() | (
+        F.col("prev_rate").isNotNull() & (d_prev <= d_next)
+    )
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            d_prev.cast("long").alias("d_prev"),
+            d_next.cast("long").alias("d_next"),
+            F.when(backward, "backward").otherwise("forward").alias("direction"),
+            F.when(backward, F.col("prev_rate"))
+            .otherwise(F.col("next_rate"))
+            .alias("fx_rate"),
+        )
+        .orderBy("o_orderkey")
+    )
