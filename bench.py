@@ -211,6 +211,7 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "join_asof_nearest",
     "events_new_vs_returning",
+    "join_asof_keyed",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -428,3 +428,116 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_asof_keyed",
+    oracle="""
+    WITH marks AS (
+        SELECT event_type,
+               epoch_ns(ts) // 3600000000000 AS hr,
+               min_by(value, lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')
+                             || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS mark_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT event_id, event_type, epoch_ns(ts) // 3600000000000 AS hr,
+               value
+        FROM events WHERE event_type IN ('purchase', 'click')
+          AND event_id % 50 = 0
+    )
+    SELECT p.event_id, p.event_type,
+           CAST(p.hr AS BIGINT) AS hr, p.value,
+           (SELECT max_by(m.mark_value, m.hr) FROM marks m
+            WHERE m.event_type = p.event_type AND m.hr <= p.hr - 1)
+               AS prev_hour_mark
+    FROM purchases p ORDER BY p.event_id
+    """,
+)
+def join_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED as-of join — the per-key sharding the constant-key demos
+    (prevailing/forward/tolerance/nearest) only claim: each sampled
+    purchase/click attaches the latest hourly opening mark OF ITS OWN
+    event type from any hour strictly before its own. The union
+    stream partitions by (event_type): Spark shards the carry-forward
+    window per key, so parallelism scales with keys and no key ever
+    sees another key's marks.
+
+    Scale shape: the mark table is one groupBy (type, hour) with a
+    deterministic min_by opener (zero-padded (epoch_ns, event_id)
+    string key — lexicographic == numeric, the timeseries_ohlc
+    convention); the as-of itself is ONE shuffle on
+    event_type + a linear in-partition carry — identical cost to a
+    sort-merge join on the key. The strictly-before semantics come
+    from joining marks at hr and reading them from hr+1 onward
+    (mark rows sort at their own hour; lookups subtract one hour),
+    stated in the oracle as hr <= p.hr - 1."""
+    e = load_table(spark, sf_dir, "events")
+    ordkey = F.expr(
+        "lpad(CAST(ts_ns AS STRING), 20, '0')"
+        " || lpad(CAST(event_id AS STRING), 12, '0')"
+    )
+    marks = (
+        e.groupBy(
+            "event_type", F.expr("ts_ns div 3600000000000").alias("hr")
+        )
+        .agg(F.min_by("value", ordkey).alias("mark_value"))
+    )
+    purchases = (
+        e.filter(
+            F.col("event_type").isin("purchase", "click")
+            & (F.col("event_id") % 50 == 0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("ts_ns div 3600000000000").alias("hr"),
+            "value",
+        )
+    )
+    l_aug = purchases.select(
+        "event_type",
+        # lookups read strictly-before marks: shift left rows to hr-1,
+        # where the preceding frame ends at that hour's mark
+        (F.col("hr") - 1).alias("_t"),
+        F.lit(1).alias("_src"),
+        "event_id",
+        F.col("hr").alias("ev_hr"),
+        "value",
+        F.lit(None).cast("double").alias("mark_value"),
+    )
+    r_aug = marks.select(
+        "event_type",
+        F.col("hr").alias("_t"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("ev_hr"),
+        F.lit(None).cast("double").alias("value"),
+        "mark_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_t").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_aug.unionByName(r_aug).select(
+        "_src",
+        "event_id",
+        "event_type",
+        "ev_hr",
+        "value",
+        F.last("mark_value", ignorenulls=True).over(w).alias("prev_hour_mark"),
+    )
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ev_hr").cast("long").alias("hr"),
+            "value",
+            "prev_hour_mark",
+        )
+        .orderBy("event_id")
+    )
