@@ -198,3 +198,29 @@ def test_quantile_normalize_is_monotone_and_value_preserving(spark, sf_dir):
         pairs.sort()
         normed = [v for _, v in pairs]
         assert normed == sorted(normed), f"{source}: not monotone"
+
+
+def test_asof_nearest_consistent_with_directional_joins(spark, sf_dir):
+    """join_asof_nearest must agree with the directional as-of joins:
+    its backward picks equal join_asof_prevailing's rate, its forward
+    picks equal join_asof_forward's, and the direction choice is the
+    smaller whole-day delta (backward on ties)."""
+    from gpu_database_spark.registry import queries
+
+    qs = queries()
+    near = {r.o_orderkey: r for r in qs["join_asof_nearest"](spark, sf_dir).collect()}
+    prev = {r.o_orderkey: r.fx_rate for r in qs["join_asof_prevailing"](spark, sf_dir).collect()}
+    nxt = {r.o_orderkey: r.next_rate for r in qs["join_asof_forward"](spark, sf_dir).collect()}
+    assert set(near) == set(prev) == set(nxt)
+    n_forward = 0
+    for k, r in near.items():
+        if r.direction == "backward":
+            assert r.fx_rate == prev[k], (k, r, prev[k])
+            if r.d_next is not None:
+                assert r.d_prev <= r.d_next, (k, r)
+        else:
+            n_forward += 1
+            assert r.fx_rate == nxt[k], (k, r, nxt[k])
+            assert r.d_prev is None or r.d_next < r.d_prev, (k, r)
+    # the 90-day rate grid guarantees both directions occur
+    assert 0 < n_forward < len(near)
