@@ -212,6 +212,7 @@ HEADLINE = [
     "join_asof_nearest",
     "events_new_vs_returning",
     "join_asof_keyed",
+    "set_except_intersect_all",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -182,3 +182,59 @@ def set_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "set_except_intersect_all",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+               FROM lineitem WHERE l_orderkey < 400),
+    b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem WHERE l_orderkey >= 200 AND l_orderkey < 600),
+    ex AS (SELECT flag, qty FROM a EXCEPT ALL SELECT flag, qty FROM b),
+    ix AS (SELECT flag, qty FROM a INTERSECT ALL SELECT flag, qty FROM b)
+    SELECT 'except_all' AS op, flag, qty, COUNT(*) AS n
+    FROM ex GROUP BY flag, qty
+    UNION ALL
+    SELECT 'intersect_all', flag, qty, COUNT(*) FROM ix GROUP BY flag, qty
+    ORDER BY op, flag, qty
+    """,
+)
+def set_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    DUPLICATE multiplicities (except-all: max(count_a - count_b, 0)
+    copies; intersect-all: min(count_a, count_b)), which the
+    deduplicating EXCEPT/INTERSECT queries above cannot express. The
+    changelog-diff primitive: 'which rows, WITH multiplicity, are in
+    yesterday's extract but not today's'.
+
+    Scale shape: Spark plans both as a single hash aggregation on the
+    row value with two counters (no sort, no join) — the result is
+    re-counted per distinct row so the driver-visible output is a
+    bounded census, not the multiset itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 400).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    b = li.filter(
+        (F.col("l_orderkey") >= 200) & (F.col("l_orderkey") < 600)
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("flag", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("flag", "qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(ix).select("op", "flag", "qty", "n").orderBy(
+        "op", "flag", "qty"
+    )
