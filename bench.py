@@ -213,6 +213,7 @@ HEADLINE = [
     "events_new_vs_returning",
     "join_asof_keyed",
     "set_except_intersect_all",
+    "sql_transpose",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -282,3 +282,57 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"floor": 150000.0, "cutoff": "1997-01-01"},
     )
+
+
+@register(
+    "sql_transpose",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag AS flag,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_rows' AS key,
+           MAX(CASE WHEN flag = 'A' THEN n_rows END) AS A,
+           MAX(CASE WHEN flag = 'N' THEN n_rows END) AS N,
+           MAX(CASE WHEN flag = 'R' THEN n_rows END) AS R
+    FROM m
+    UNION ALL
+    SELECT 'n_orders',
+           MAX(CASE WHEN flag = 'A' THEN n_orders END),
+           MAX(CASE WHEN flag = 'N' THEN n_orders END),
+           MAX(CASE WHEN flag = 'R' THEN n_orders END) FROM m
+    UNION ALL
+    SELECT 'sum_qty',
+           MAX(CASE WHEN flag = 'A' THEN sum_qty END),
+           MAX(CASE WHEN flag = 'N' THEN sum_qty END),
+           MAX(CASE WHEN flag = 'R' THEN sum_qty END) FROM m
+    ORDER BY key
+    """,
+)
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose()``: flip a per-group metric
+    table so metrics become rows and groups become columns — the
+    report-orientation move analysts do by hand with N pivot
+    expressions (which is exactly what the oracle states). Transpose
+    collects the index column to name the output columns, so it is a
+    SMALL-RESULT operator by contract: here it runs on the 3-row
+    aggregate of a full scan, never on the fact table itself.
+
+    Scale shape: the heavy work (groupBy flag over lineitem) is a
+    normal map-side-combinable aggregation; transpose touches only
+    the 3x4 result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.countDistinct("l_orderkey").cast("double").alias("n_orders"),
+        )
+    )
+    return m.transpose().orderBy("key")
