@@ -584,3 +584,49 @@ def test_auc_pipeline_at_1m_rows(spark):
     assert perfect == 1.0
     assert abs(coin - 0.5) < 1e-5, coin
     assert elapsed < 120, f"AUC at 1M rows took {elapsed:.1f}s"
+
+
+def test_asof_carry_forward_at_1m_rows(spark):
+    """The as-of union+carry-forward plan at 1M left rows x 10k right
+    rows across 100 keys: spot-verified against a direct broadcast
+    max_by lookup on a 200-row left sample — the linear plan must
+    agree with the quadratic definition."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.operators.asof import asof_join
+
+    n_left, n_right, keys = 1_000_000, 10_000, 100
+    left = spark.range(n_left).select(
+        (F.col("id") % keys).alias("k"),
+        ((F.col("id") * 7919) % 1_000_000).alias("t"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(n_right).select(
+        (F.col("id") % keys).alias("k"),
+        ((F.col("id") * 104729) % 1_000_000).alias("t"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t0 = time.perf_counter()
+    j = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        value_cols=["v"], tiebreak_cols=["v"],
+    )
+    sample = {r.left_id: r.v for r in j.filter(F.col("left_id") % 5000 == 0).collect()}
+    elapsed = time.perf_counter() - t0
+    assert len(sample) == n_left // 5000
+
+    sub = left.filter(F.col("left_id") % 5000 == 0)
+    direct = {
+        r.left_id: r.v
+        for r in sub.alias("l")
+        .join(
+            F.broadcast(right).alias("r"),
+            (F.col("l.k") == F.col("r.k")) & (F.col("r.t") <= F.col("l.t")),
+            "left",
+        )
+        .groupBy("left_id")
+        .agg(F.expr("max_by(r.v, struct(r.t, r.v))").alias("v"))
+        .collect()
+    }
+    assert sample == direct
+    assert elapsed < 120, f"as-of at 1M rows took {elapsed:.1f}s"
