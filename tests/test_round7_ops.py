@@ -224,3 +224,53 @@ def test_asof_nearest_consistent_with_directional_joins(spark, sf_dir):
             assert r.d_prev is None or r.d_next < r.d_prev, (k, r)
     # the 90-day rate grid guarantees both directions occur
     assert 0 < n_forward < len(near)
+
+
+def test_eval_family_invariants(spark, sf_dir):
+    """Statistical invariants that don't depend on the fixture:
+    threshold-sweep monotonicity, calibration/Brier bounds, kappa
+    range, WOE/IV consistency, lift-decile conservation."""
+    from gpu_database_spark.registry import queries
+
+    qs = queries()
+
+    sweep = qs["ml_threshold_sweep"](spark, sf_dir).collect()
+    flagged = [r.n_flagged for r in sweep]
+    recall = [r.recall for r in sweep]
+    assert flagged == sorted(flagged, reverse=True)
+    assert recall == sorted(recall, reverse=True)
+    assert recall[0] == 1.0  # lowest threshold flags everything
+    for r in sweep:
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.f1 <= 1.0
+
+    cal = qs["ml_calibration_bins"](spark, sf_dir).collect()
+    for r in cal:
+        assert 0.0 <= r.mean_pred <= 1.0, r
+        assert 0.0 <= r.frac_pos <= 1.0 and 0.0 <= r.brier <= 1.0, r
+
+    kap = qs["stat_cohens_kappa"](spark, sf_dir).collect()[0]
+    assert -1.0 <= kap.kappa <= 1.0
+    assert kap.n == kap.n11 + kap.n10 + kap.n01 + kap.n00
+
+    woe = qs["feat_woe_iv_binning"](spark, sf_dir).collect()
+    for r in woe:
+        assert r.n_bin == r.n_pos + r.n_neg
+        # iv_term sign matches woe sign (iv = (dp-dn)*woe, same sign)
+        if abs(r.woe) > 1e-9:
+            assert r.iv_term >= -1e-9 or abs(r.iv_term) < 1e-6
+
+    lift = qs["ml_lift_deciles"](spark, sf_dir).collect()
+    assert len(lift) == 10
+    assert abs(lift[-1].cum_capture - 1.0) < 1e-9
+    total = sum(r.n_d for r in lift)
+    from gpu_database_spark.sources.catalog import load_table
+
+    assert total == load_table(spark, sf_dir, "orders").count()
+
+    rob = qs["stat_robust_means"](spark, sf_dir).collect()
+    for r in rob:
+        # trimming/winsorizing pulls toward the median; all three are
+        # within the data range and the winsorized mean sits between
+        # the trimmed mean's direction and the raw mean
+        assert r.k == r.n // 10
+        assert min(r.mean_trimmed, r.mean_all) <= r.mean_winsor * 1.0001
