@@ -214,6 +214,8 @@ HEADLINE = [
     "join_asof_keyed",
     "set_except_intersect_all",
     "sql_transpose",
+    "dq_freshness_audit",
+    "pack_epoch_shuffle_plan",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -609,3 +609,87 @@ def curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_token_share"),
     ).orderBy("stage")
+
+
+N_EPOCHS = 3  # epochs whose shuffle orders the plan reports
+
+
+@register(
+    "pack_epoch_shuffle_plan",
+    oracle=f"""
+    WITH perm AS (
+        SELECT e.epoch, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                               || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS pos
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, {N_EPOCHS})) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pos <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS head10_docid_sum,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS pos_docid_dot
+    FROM perm GROUP BY epoch ORDER BY epoch
+    """,
+)
+def pack_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: epoch e's data order
+    is the rank of md5(e || doc_id) — a seeded permutation that is (a)
+    reproducible on any cluster and any partitioning (unlike
+    orderBy(rand())), (b) different every epoch, and (c) resumable
+    mid-epoch because any doc's position is recomputable from its id.
+    The census fingerprints each epoch's order (head sample +
+    position·id dot product) so two runs of the dataloader can assert
+    they fed batches identically.
+
+    Scale shape: the permutation rank routes through the grouped
+    histogram-bucket plan partitioned by epoch — the md5 hex prefix
+    gives a uniform bucket key, so parallelism = epochs × buckets and
+    no epoch ever sorts on one task. The dot product accumulates in
+    DECIMAL(38,0)-safe range here (pos·id ≤ n² = 1e12 at fixture
+    scale; the oracle's HUGEINT and a decimal swap cover 100 TB)."""
+    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    tagged = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    # md5 hex is uniform: the first 2 hex chars give 256 buckets that
+    # are a monotone prefix of the full string order.
+    ranked = grouped_bucketed_row_number(
+        tagged, ["epoch"], "h", ["doc_id"],
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("long"), rank_col="pos",
+    )
+    return (
+        ranked.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pos") <= 10, F.col("doc_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("head10_docid_sum"),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("long")
+            .alias("pos_docid_dot"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "n_docs",
+            "head10_docid_sum",
+            "pos_docid_dot",
+        )
+        .orderBy("epoch")
+    )

@@ -456,3 +456,78 @@ def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("FAIL")
         .alias("status"),
     ).orderBy("rule")
+
+
+# Freshness SLA in days, evaluated against the corpus max day (a
+# deterministic stand-in for "now" so both engines agree).
+FRESH_SLA_DAYS = 3
+
+
+@register(
+    "dq_freshness_audit",
+    oracle=f"""
+    WITH days AS (
+        SELECT props, user_id,
+               epoch_ns(ts) // 86400000000000 AS day,
+               CASE WHEN user_id % 4 = 0 THEN 'feed_a'
+                    WHEN user_id % 4 = 1 THEN 'feed_b'
+                    WHEN user_id % 4 = 2 THEN 'feed_c'
+                    ELSE 'feed_d' END AS feed
+        FROM events
+    ),
+    ref AS (SELECT MAX(day) AS now_day FROM days),
+    per AS (
+        SELECT feed, COUNT(*) AS n_events,
+               CAST(MAX(day) AS BIGINT) AS last_day,
+               CAST(MIN(day) AS BIGINT) AS first_day
+        FROM days GROUP BY feed
+    )
+    SELECT feed, n_events, first_day, last_day,
+           CAST(now_day - last_day AS BIGINT) AS staleness_days,
+           (now_day - last_day <= {FRESH_SLA_DAYS}) AS within_sla
+    FROM per CROSS JOIN ref ORDER BY feed
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness audit: per feed (a deterministic partition of
+    the event stream standing in for upstream sources), the last-seen
+    day, staleness vs the corpus watermark, and an SLA verdict — the
+    data-ops gate that catches a silently stalled upstream BEFORE a
+    refresh publishes a partially-stale table.
+
+    Scale shape: one groupBy(feed) with min/max/count (map-side
+    combinable, O(1) state), one 1-row watermark broadcast. The
+    reference instant is the corpus max day, not wall-clock, so the
+    report is reproducible and cross-engine exact."""
+    e = load_table(spark, sf_dir, "events")
+    feed = (
+        F.when(F.col("user_id") % 4 == 0, "feed_a")
+        .when(F.col("user_id") % 4 == 1, "feed_b")
+        .when(F.col("user_id") % 4 == 2, "feed_c")
+        .otherwise("feed_d")
+    )
+    days = e.select(
+        feed.alias("feed"), F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    ref = days.agg(F.max("day").alias("now_day"))
+    per = days.groupBy("feed").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("day").cast("long").alias("last_day"),
+        F.min("day").cast("long").alias("first_day"),
+    )
+    return (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            "feed",
+            "n_events",
+            "first_day",
+            "last_day",
+            (F.col("now_day") - F.col("last_day"))
+            .cast("long")
+            .alias("staleness_days"),
+            (
+                F.col("now_day") - F.col("last_day") <= FRESH_SLA_DAYS
+            ).alias("within_sla"),
+        )
+        .orderBy("feed")
+    )
