@@ -216,6 +216,8 @@ HEADLINE = [
     "sql_transpose",
     "dq_freshness_audit",
     "pack_epoch_shuffle_plan",
+    "agg_histogram_2d",
+    "text_readability_flesch",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -843,3 +843,78 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS words,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT), 1) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(syllables) AS BIGINT) AS syllables,
+           round(206.835
+                 - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                            / CAST(SUM(sentences) AS DOUBLE))
+                 - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                           / CAST(SUM(words) AS DOUBLE)), 6) AS flesch
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 - 1.015·(words/sentence)
+    - 84.6·(syllables/word), with syllables approximated by vowel-group
+    count (the standard cheap proxy) and sentence count floored at 1 —
+    the readability axis of corpus quality scoring, complementing
+    text_quality_score's length/punct/stopword gates (a quality filter
+    often buckets by readability before sampling).
+
+    Scale shape: all three counts are row-local regexp counts fused
+    into the scan; the per-source roll-up is one map-side-combinable
+    groupBy; the formula is applied once per source on exact integer
+    sums, in oracle-identical operation order."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        token_count(F.col("text")).alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    wd = F.col("words").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (wd / F.col("sentences").cast("double"))
+            - 84.6 * (F.col("syllables").cast("double") / wd),
+            6,
+        ).alias("flesch"),
+    ).orderBy("source")

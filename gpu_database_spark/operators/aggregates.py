@@ -757,3 +757,69 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 9)
+                   AS price_bin,
+               LEAST(CAST(FLOOR(l_quantity / 10) AS BIGINT), 4) AS qty_bin,
+               l_discount
+        FROM lineitem
+    )
+    SELECT price_bin, qty_bin, COUNT(*) AS n,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_discount,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS density
+    FROM b GROUP BY price_bin, qty_bin
+    ORDER BY price_bin, qty_bin
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (price x quantity heat grid) with a per-cell
+    mean of a third measure and the cell density — the joint-
+    distribution profile behind every heat map and the binning
+    pre-pass of a mutual-information or copula estimate. Both bin ids
+    are row-local clamped expressions, so the whole grid is ONE
+    map-side-combinable groupBy to <= 50 cells; the density window
+    runs over that tiny grid only. Discount means use the exact
+    DECIMAL(27,6) sum discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.least(
+            F.floor(F.col("l_extendedprice") / 10000).cast("long"), F.lit(9)
+        ).alias("price_bin"),
+        F.least(
+            F.floor(F.col("l_quantity") / 10).cast("long"), F.lit(4)
+        ).alias("qty_bin"),
+        "l_discount",
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        b.groupBy("price_bin", "qty_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_discount").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("dsum"),
+        )
+        .select(
+            "price_bin",
+            "qty_bin",
+            "n",
+            F.round(F.col("dsum") / F.col("n").cast("double"), 6).alias(
+                "avg_discount"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(w_all).cast("double"),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("price_bin", "qty_bin")
+    )
