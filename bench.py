@@ -218,6 +218,7 @@ HEADLINE = [
     "pack_epoch_shuffle_plan",
     "agg_histogram_2d",
     "text_readability_flesch",
+    "sessionize_native_window",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -697,3 +697,65 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("returning_share"),
     ).orderBy("day")
+
+
+@register(
+    "sessionize_native_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         >= 1800000000 OR
+                         LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS start_us,
+           CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS end_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, start_us
+    """,
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window``
+    operator in batch mode (the API stream_session_windows uses on
+    the stream) — one groupBy(user, session_window(ts, gap)), the
+    engine merges overlapping per-event windows itself. Kept next to
+    sessionize_lag_cumsum deliberately: native semantics SPLIT at
+    diff >= gap (an event exactly `gap` later starts a new session,
+    since [t, t+gap) windows only merge on strict overlap) while the
+    lag-cumsum idiom as written splits at diff > gap — the oracle
+    states the native (>=) rule, and the one-microsecond disagreement
+    class between the two queries is the point of shipping both.
+
+    Scale shape: one shuffle on user_id; the window merge is an
+    in-partition sort — the same cost envelope as the manual idiom,
+    with the session-gap logic inside the engine."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            # sw.* are TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+            # the cast to TIMESTAMP is the identity instant
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
