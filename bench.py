@@ -219,6 +219,7 @@ HEADLINE = [
     "agg_histogram_2d",
     "text_readability_flesch",
     "sessionize_native_window",
+    "stat_brown_forsythe",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

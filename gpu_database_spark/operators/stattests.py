@@ -1211,3 +1211,173 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_exp, 6).alias("p_exp"),
         F.round((p_obs - p_exp) / (F.lit(1.0) - p_exp), 6).alias("kappa"),
     )
+
+
+@register(
+    "stat_brown_forsythe",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice,
+                                           l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n_j
+        FROM lineitem
+    ),
+    med AS (
+        -- exact decimal median: average of the two middle order
+        -- statistics (prices are 2dp, so med has <= 3dp and z below
+        -- is EXACT in DECIMAL — no double rounding anywhere)
+        SELECT grp,
+               CAST(SUM(CASE WHEN rn IN ((n_j + 1) // 2, n_j // 2 + 1)
+                             THEN CAST(v AS DECIMAL(27,6)) END)
+                    / COUNT(CASE WHEN rn IN ((n_j + 1) // 2, n_j // 2 + 1)
+                                 THEN 1 END) AS DECIMAL(27,6)) AS med
+        FROM x GROUP BY grp
+    ),
+    z AS (
+        SELECT x.grp,
+               abs(CAST(x.v AS DECIMAL(27,6)) - med.med) AS z
+        FROM x JOIN med ON x.grp = med.grp
+    ),
+    g AS (
+        SELECT grp, COUNT(*) AS n_j,
+               CAST(SUM(z) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(z AS DECIMAL(19,6))
+                        * CAST(z AS DECIMAL(19,6))) AS DOUBLE) AS s2
+        FROM z GROUP BY grp
+    ),
+    t AS (
+        -- per-flag pivot: the ssb/ssw folds below run in FIXED
+        -- textual order (A, N, R), so the double sums are
+        -- bit-identical across engines (a commutative SUM over
+        -- groups drifts by one ulp at 1e12 magnitude)
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n, COUNT(*) AS k,
+               CAST(SUM(CAST(s1 AS DECIMAL(27,6))) AS DOUBLE) AS s1_all,
+               MAX(CASE WHEN grp = 'A' THEN s1 END) AS s1a,
+               MAX(CASE WHEN grp = 'N' THEN s1 END) AS s1n,
+               MAX(CASE WHEN grp = 'R' THEN s1 END) AS s1r,
+               MAX(CASE WHEN grp = 'A' THEN s2 END) AS s2a,
+               MAX(CASE WHEN grp = 'N' THEN s2 END) AS s2n,
+               MAX(CASE WHEN grp = 'R' THEN s2 END) AS s2r,
+               MAX(CASE WHEN grp = 'A' THEN CAST(n_j AS DOUBLE) END) AS na,
+               MAX(CASE WHEN grp = 'N' THEN CAST(n_j AS DOUBLE) END) AS nn,
+               MAX(CASE WHEN grp = 'R' THEN CAST(n_j AS DOUBLE) END) AS nr
+        FROM g
+    )
+    SELECT n, k,
+           round((s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
+                 - s1_all * s1_all / CAST(n AS DOUBLE), 6) AS ssb,
+           round((s2a - s1a * s1a / na) + (s2n - s1n * s1n / nn)
+                 + (s2r - s1r * s1r / nr), 6) AS ssw,
+           round((((s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
+                   - s1_all * s1_all / CAST(n AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE))
+                 / (((s2a - s1a * s1a / na) + (s2n - s1n * s1n / nn)
+                     + (s2r - s1r * s1r / nr))
+                    / CAST(n - k AS DOUBLE)), 6) AS f_stat
+    FROM t
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with MEDIAN centers) for
+    homogeneity of variances across groups: z_ij = |x_ij - median_j|,
+    then the one-way-ANOVA F statistic over the z's — the robust
+    pre-check before pooling variances (Welch's t sidesteps it for 2
+    groups; this grades k groups at once, median-centered so heavy
+    tails don't inflate the test).
+
+    Scale shape: group medians come from the grouped histogram-bucket
+    rank plan (even-n median = the average of the two middle order
+    statistics, DuckDB's interpolation rule) and broadcast back; both
+    ANOVA sums accumulate in exact DECIMAL(27,6); between/within sums
+    of squares use the computational identity (ss = s2 - s1^2/n), so
+    the whole test costs two aggregation passes and zero sorts."""
+    from gpu_database_spark.functions.ranks import (
+        grouped_bucketed_row_number,
+    )
+
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    r = grouped_bucketed_row_number(
+        x, ["grp"], "v", ["l_orderkey", "l_linenumber"],
+        F.floor(F.col("v") / 2000.0), rank_col="rn",
+    )
+    cnt = r.groupBy("grp").agg(F.count(F.lit(1)).alias("n_j"))
+    mid = cnt.select(
+        "grp",
+        F.expr("(n_j + 1) div 2").alias("lo"),
+        F.expr("(n_j div 2) + 1").alias("hi"),
+    )
+    d27 = "decimal(27,6)"
+    # exact decimal median (2dp prices -> <=3dp median -> z exact)
+    med = (
+        r.join(F.broadcast(mid), "grp")
+        .filter((F.col("rn") == F.col("lo")) | (F.col("rn") == F.col("hi")))
+        .groupBy("grp")
+        .agg(
+            (F.sum(F.col("v").cast(d27)) / F.count(F.lit(1)))
+            .cast(d27)
+            .alias("med")
+        )
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v").cast(d27) - F.col("med")).alias("z")
+    )
+    d19 = "decimal(19,6)"
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("z").cast("double").alias("s1"),
+        F.sum(F.col("z").cast(d19) * F.col("z").cast(d19))
+        .cast("double")
+        .alias("s2"),
+    )
+    njd = F.col("n_j").cast("double")
+
+    def pick(col: str, flag: str) -> F.Column:
+        return F.max(F.when(F.col("grp") == flag, F.col(col)))
+
+    # per-flag pivot so the ssb/ssw folds run in FIXED (A, N, R)
+    # order — a commutative SUM over groups drifts by one ulp at
+    # 1e12 magnitude and breaks the 6dp hash gate
+    t = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s1").cast(d27)).cast("double").alias("s1_all"),
+        pick("s1", "A").alias("s1a"),
+        pick("s1", "N").alias("s1n"),
+        pick("s1", "R").alias("s1r"),
+        pick("s2", "A").alias("s2a"),
+        pick("s2", "N").alias("s2n"),
+        pick("s2", "R").alias("s2r"),
+        F.max(F.when(F.col("grp") == "A", njd)).alias("na"),
+        F.max(F.when(F.col("grp") == "N", njd)).alias("nn"),
+        F.max(F.when(F.col("grp") == "R", njd)).alias("nr"),
+    )
+    nd = F.col("n").cast("double")
+    ssb_part = (
+        F.col("s1a") * F.col("s1a") / F.col("na")
+        + F.col("s1n") * F.col("s1n") / F.col("nn")
+        + F.col("s1r") * F.col("s1r") / F.col("nr")
+    )
+    ssb = ssb_part - F.col("s1_all") * F.col("s1_all") / nd
+    ssw = (
+        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
+        + (F.col("s2n") - F.col("s1n") * F.col("s1n") / F.col("nn"))
+        + (F.col("s2r") - F.col("s1r") * F.col("s1r") / F.col("nr"))
+    )
+    return t.select(
+        "n",
+        "k",
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
