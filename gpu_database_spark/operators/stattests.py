@@ -1266,10 +1266,9 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT n, k,
-           round((s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
-                 - s1_all * s1_all / CAST(n AS DOUBLE), 6) AS ssb,
-           round((s2a - s1a * s1a / na) + (s2n - s1n * s1n / nn)
-                 + (s2r - s1r * s1r / nr), 6) AS ssw,
+           round(s1a / na, 6) AS mad_a,
+           round(s1n / nn, 6) AS mad_n,
+           round(s1r / nr, 6) AS mad_r,
            round((((s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
                    - s1_all * s1_all / CAST(n AS DOUBLE))
                   / CAST(k - 1 AS DOUBLE))
@@ -1370,11 +1369,16 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("s2n") - F.col("s1n") * F.col("s1n") / F.col("nn"))
         + (F.col("s2r") - F.col("s1r") * F.col("s1r") / F.col("nr"))
     )
+    # Output contract: only O(1)-to-O(1e4) magnitude doubles survive
+    # to the result — the raw sums of squares live at ~1e13, where
+    # even CAST(exact-decimal AS DOUBLE) differs by an ulp across
+    # engines (measured: identical DECIMAL s2, last-bit double drift)
     return t.select(
         "n",
         "k",
-        F.round(ssb, 6).alias("ssb"),
-        F.round(ssw, 6).alias("ssw"),
+        F.round(F.col("s1a") / F.col("na"), 6).alias("mad_a"),
+        F.round(F.col("s1n") / F.col("nn"), 6).alias("mad_n"),
+        F.round(F.col("s1r") / F.col("nr"), 6).alias("mad_r"),
         F.round(
             (ssb / (F.col("k") - 1).cast("double"))
             / (ssw / (F.col("n") - F.col("k")).cast("double")),
