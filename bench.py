@@ -220,6 +220,7 @@ HEADLINE = [
     "text_readability_flesch",
     "sessionize_native_window",
     "stat_brown_forsythe",
+    "ml_eval_average_precision",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

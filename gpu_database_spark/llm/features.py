@@ -750,3 +750,92 @@ def ml_eval_auc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     ).orderBy("segment")
+
+
+AP_RANK_BUCKET = 4096  # ranks per prefix-sum bucket
+
+
+@register(
+    "ml_eval_average_precision",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, o_totalprice AS score, {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    r AS (
+        SELECT y,
+               ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey DESC)
+                   AS rn
+        FROM lab
+    ),
+    c AS (
+        SELECT rn, y,
+               SUM(y) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+                   AS pos_cum
+        FROM r
+    ),
+    terms AS (
+        SELECT round(CAST(pos_cum AS DOUBLE) / CAST(rn AS DOUBLE), 12)
+                   AS term
+        FROM c WHERE y = 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                   AS term_sum,
+               COUNT(*) AS npos
+        FROM terms
+    )
+    SELECT npos, round(term_sum / CAST(npos AS DOUBLE), 6) AS avg_precision
+    FROM s
+    """,
+)
+def ml_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Average Precision (area under the precision-recall curve
+    by the step-wise definition): AP = mean over positives of
+    precision@rank(positive) — the eval metric that, unlike ROC AUC,
+    collapses when positives are rare and the ranker front-loads
+    negatives, which is why retrieval and filtering gates report it.
+
+    Scale shape: the descending global rank comes from the bucketed
+    histogram plan; the running positive count is a TWO-LEVEL prefix
+    sum over fixed-width rank buckets (per-bucket window + broadcast
+    bucket offsets — the pack_sequences decomposition, never one
+    global window task). Per-positive terms are rounded to 12dp (both
+    engines round half away from zero) and summed in DECIMAL(38,12),
+    so the one double division at the end hash-matches."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("score"), _label_col()
+    )
+    r = bucketed_row_number(
+        lab, "score", ["o_orderkey"], F.floor(F.col("score") / 2000.0),
+        rank_col="rn", ascending=False,
+    ).select("rn", "y")
+    b = r.withColumn("bkt", F.expr(f"rn div {AP_RANK_BUCKET}"))
+    wb = Window.partitionBy("bkt").orderBy("rn")
+    local = b.withColumn("local_cum", F.sum("y").over(wb))
+    totals = b.groupBy("bkt").agg(F.sum("y").alias("bkt_pos"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_pos").over(wo), F.lit(0)).alias("bkt_off"),
+    )
+    c = local.join(F.broadcast(offsets), "bkt").select(
+        "rn", "y", (F.col("bkt_off") + F.col("local_cum")).alias("pos_cum")
+    )
+    terms = c.filter(F.col("y") == 1).select(
+        F.round(
+            F.col("pos_cum").cast("double") / F.col("rn").cast("double"), 12
+        ).alias("term")
+    )
+    s = terms.agg(
+        F.sum(F.col("term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("term_sum"),
+        F.count(F.lit(1)).alias("npos"),
+    )
+    return s.select(
+        "npos",
+        F.round(
+            F.col("term_sum") / F.col("npos").cast("double"), 6
+        ).alias("avg_precision"),
+    )
