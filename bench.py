@@ -221,6 +221,7 @@ HEADLINE = [
     "sessionize_native_window",
     "stat_brown_forsythe",
     "ml_eval_average_precision",
+    "agg_bitwise",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -823,3 +823,43 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bin", "qty_bin")
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(user_id % 256 AS BIGINT) AS mask
+        FROM events
+    )
+    SELECT event_type,
+           CAST(bit_or(mask) AS BIGINT) AS union_mask,
+           CAST(bit_and(mask) AS BIGINT) AS common_mask,
+           CAST(bit_xor(mask) AS BIGINT) AS parity_mask,
+           COUNT(*) AS n
+    FROM m GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — BIT_OR / BIT_AND / BIT_XOR over a per-row
+    bitmask: the flag-merge primitive (union of capability masks,
+    intersection of common flags, xor parity for change detection)
+    that replaces a 64-row explode + boolean roll-up with one
+    associative, map-side-combinable aggregation — O(1) state per
+    task, exactly the shape of the reference's metadata-word OR-merge
+    (src/cuda/metadatahelper.cuh bit pack/unpack, here at column
+    granularity)."""
+    m = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 256).cast("long").alias("mask")
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.bit_or("mask").cast("long").alias("union_mask"),
+            F.bit_and("mask").cast("long").alias("common_mask"),
+            F.bit_xor("mask").cast("long").alias("parity_mask"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
