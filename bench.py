@@ -222,6 +222,7 @@ HEADLINE = [
     "stat_brown_forsythe",
     "ml_eval_average_precision",
     "agg_bitwise",
+    "timeseries_mom_yoy_growth",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

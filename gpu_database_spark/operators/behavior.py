@@ -1333,3 +1333,59 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "timeseries_mom_yoy_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, n_orders, round(revenue, 2) AS revenue,
+           round(CASE WHEN lag(revenue) OVER w IS NOT NULL
+                      THEN (revenue - lag(revenue) OVER w)
+                           / lag(revenue) OVER w END, 6) AS mom_growth,
+           round(CASE WHEN lag(revenue, 12) OVER w IS NOT NULL
+                      THEN (revenue - lag(revenue, 12) OVER w)
+                           / lag(revenue, 12) OVER w END, 6) AS yoy_growth
+    FROM m
+    WINDOW w AS (ORDER BY yr, mo)
+    ORDER BY yr, mo
+    """,
+)
+def timeseries_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    opening table of every business/ops review: the fact stream
+    collapses to one row per calendar month FIRST (map-side
+    combinable, exact decimal sums), and the lag(1)/lag(12) growth
+    windows run over that tiny month table only — the same
+    collapse-before-window discipline as the EWMA/Holt/CUSUM
+    queries, so no window ever sees the raw stream."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return m.select(
+        "yr",
+        "mo",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.when(prev.isNotNull(), (F.col("revenue") - prev) / prev), 6
+        ).alias("mom_growth"),
+        F.round(
+            F.when(prev12.isNotNull(), (F.col("revenue") - prev12) / prev12),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("yr", "mo")
