@@ -146,20 +146,44 @@ def _rotation_tier(name: str) -> int:
     return 5
 
 
+def _prior_declared() -> set[str]:
+    """Names snapshotted at the end of a PREVIOUS round.
+
+    ``tools/declared_snapshot.json`` is written by
+    ``tools/snapshot_declared.py`` at round end. Any snapshot name
+    that still lacks a driver row is BACKLOG: it pins ahead of every
+    query registered since, so new registrations can never front-run
+    it out of the driver's 50-sample window (VERDICT r7 fix #1).
+    """
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo_dir, "tools", "declared_snapshot.json")
+    try:
+        with open(path) as fh:
+            names = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    return set(names) if isinstance(names, list) else set()
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, rotated for driver sampling.
 
-    Order: (1) oracled queries with no driver-green row yet, by tier
-    then registration order; (2) unchecked rows-only queries; (3)
-    already-checked queries. Dict contents are identical either way —
-    only iteration order changes.
+    Order: (0) BACKLOG — unchecked queries already declared in a prior
+    round's snapshot (oracled before rows-only), pinned ahead of
+    everything so new registrations can never starve them; (1)
+    unchecked oracled queries, by tier then registration order; (2)
+    unchecked rows-only queries; (3) already-checked queries. Dict
+    contents are identical either way — only iteration order changes.
     """
     _load_all()
     checked = _driver_checked()
+    prior = _prior_declared()
     names = list(_QUERIES)
 
     def sort_key(pair: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = pair
+        if name not in checked and name in prior:
+            return (-1, 0 if name in _ORACLES else 1, idx)
         if name not in checked and name in _ORACLES:
             return (0, _rotation_tier(name), idx)
         if name not in checked:
