@@ -320,7 +320,10 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .transform(materialize)
+            # loop-carried state: ALWAYS checkpoint (never env-switched
+            # persist) or the self-referencing label plan regrows every
+            # round — see materialize() docstring
+            .transform(lambda d: materialize(d, force_checkpoint=True))
         )
         changed = (
             new_labels.alias("n")
@@ -791,8 +794,8 @@ KNN_K = 3  # neighbors kept per doc in the similarity graph
 )
 def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN document-similarity graph from minhash agreement: for each
-    doc, its top-{KNN_K} LSH candidates ranked by estimated Jaccard
-    (matching minhash positions / {N_HASHES}) — the input graph
+    doc, its top-KNN_K (=5) LSH candidates ranked by estimated Jaccard
+    (matching minhash positions / N_HASHES=8) — the input graph
     SemDeDup-style clustering, duplicate-family mining and curriculum
     grouping all consume. Estimation costs one equi-join on the
     signature table; no shingle-level comparison ever re-runs.
@@ -1066,7 +1069,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus². Candidates come only from band collisions
     (new-vs-indexed, plus new-vs-new with the keep-lowest-id
     direction); each candidate is scored by the minhash agreement
-    fraction (n_match/{N_HASHES}, the unbiased Jaccard estimate) and
+    fraction (n_match/N_HASHES=8, the unbiased Jaccard estimate) and
     accepted at >= 0.5 — the skip-list a curation pipeline applies
     before admitting the batch.
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -92,7 +93,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
         )
         if (i + 1) % 4 == 0:
             # truncate lineage: keeps the per-iteration plan constant-size
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = materialize(ranks, force_checkpoint=True)
     return ranks
 
 
@@ -215,9 +216,9 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)  # static within the loop, not loop-carried
     )
-    alive = nodes.select("id").localCheckpoint(eager=True)
+    alive = materialize(nodes.select("id"), force_checkpoint=True)
     for _ in range(max_iters):
         live_edges = (
             sym.join(alive.select(F.col("id").alias("src")), "src")
@@ -225,7 +226,9 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
         )
         deg = live_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
-        new_alive = alive.join(keep, "id", "left_semi").localCheckpoint(eager=True)
+        new_alive = materialize(
+            alive.join(keep, "id", "left_semi"), force_checkpoint=True
+        )
         dropped = alive.count() - new_alive.count()
         alive = new_alive
         if dropped == 0:
@@ -372,7 +375,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds deg + both join sides once
+        .transform(materialize)  # feeds deg + both join sides once
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     a = sym.alias("a")
@@ -420,7 +423,7 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITE
     (same discipline as pagerank above)."""
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(materialize)
     labels = nodes.select(F.col("id"), F.col("id").alias("lbl"))
     for _ in range(n_iters):
         nbr = und.join(
@@ -434,14 +437,14 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITE
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("id", (-F.col("m.nl")).alias("lbl"))
         )
-        labels = best.localCheckpoint(eager=True)
+        labels = materialize(best, force_checkpoint=True)
     return labels
 
 
 @register("graph_label_propagation")  # rows-only: iterative fixpoint, no SQL oracle
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community census of the synthetic link graph by deterministic
-    synchronous LPA ({LPA_ITERS} rounds): top-20 communities by size —
+    synchronous LPA (LPA_ITERS=6 rounds): top-20 communities by size —
     the crawl-side clustering that groups mutually-linking sites
     before per-community sampling caps (a training-data pipeline caps
     any one community's share). tests/test_graphrank.py checks the
@@ -503,8 +506,8 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iters: int = HITS_ITERS) -> DataF
         # the plan growth of pagerank's single vector — checkpoint BOTH
         # every round or analysis time explodes (measured: >10 min at
         # 8 rounds unchecked vs seconds checkpointed).
-        a = a.localCheckpoint(eager=True)
-        h = h.localCheckpoint(eager=True)
+        a = materialize(a, force_checkpoint=True)
+        h = materialize(h, force_checkpoint=True)
     return a.join(h, "id").select(
         "id", F.col("a").alias("authority"), F.col("h").alias("hub")
     )
@@ -545,11 +548,14 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
     round so the loop plan stays constant-size. A node enters the
     settled set the first round it is reached, which IS its BFS
     distance, so no re-relaxation is ever needed (unit weights)."""
-    from gpu_database_spark.functions.materialize import materialize
-
     ed = edges.select("src", "dst").cache()
     ed.count()
-    dist = materialize(seeds.select("id", F.lit(0).alias("hops")))
+    # dist/new are loop-carried: ALWAYS checkpoint (never env-switched
+    # persist) or the self-referencing plan regrows every round — see
+    # materialize() docstring
+    dist = materialize(
+        seeds.select("id", F.lit(0).alias("hops")), force_checkpoint=True
+    )
     frontier = dist.select("id")
     for d in range(1, max_hops + 1):
         nxt = (
@@ -560,11 +566,12 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
         new = materialize(
             nxt.join(dist, "id", "left_anti").select(
                 "id", F.lit(d).alias("hops")
-            )
+            ),
+            force_checkpoint=True,
         )
         if not new.head(1):
             break
-        dist = materialize(dist.unionAll(new))
+        dist = materialize(dist.unionAll(new), force_checkpoint=True)
         frontier = new.select("id")
     ed.unpersist()
     return dist

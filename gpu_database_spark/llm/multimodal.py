@@ -487,7 +487,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for the text fixture), and candidate pairs
     come ONLY from banded blocking — two images must agree on at least
     one of four 16-bit hash bands before the exact Hamming distance
-    (<= {PHASH_MAX_HAMMING}) is checked. A resize/re-encode/watermark
+    (<= PHASH_MAX_HAMMING=6) is checked. A resize/re-encode/watermark
     variant flips few grid comparisons, so true near-dups collide in
     some band; random pairs almost never do.
 

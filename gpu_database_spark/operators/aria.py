@@ -45,6 +45,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.materialize import materialize
+
 
 def reserve(ops: DataFrame) -> DataFrame:
     """Per-key min-Tid reservations: (key, rts, wts).
@@ -390,7 +392,7 @@ def run_batch(
     for epoch in range(max_epochs):
         if rmw:
             ep = run_epoch(table, live, reorder=reorder, new_value=new_value)
-            table = ep.table.localCheckpoint(eager=True)
+            table = materialize(ep.table, force_checkpoint=True)
             ep_committed, aborted = ep.committed, ep.aborted
             if orig_map is None:
                 orig_map = {t: t for t in ep_committed + aborted}
@@ -410,7 +412,7 @@ def run_batch(
                 .select(
                     F.col("_new_tid").alias("txn_id"), "op_idx", "key", "is_update"
                 )
-                .localCheckpoint(eager=True)
+                .transform(lambda d: materialize(d, force_checkpoint=True))
             )
             continue
         # Distributed path: commit decisions, winner overlay and the
@@ -466,7 +468,7 @@ def run_batch(
                 "is_update",
                 "orig_tid",
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda d: materialize(d, force_checkpoint=True))
         )
     else:
         # range exhausted without the aborted-set ever draining

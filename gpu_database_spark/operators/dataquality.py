@@ -223,8 +223,11 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan over one shared scan."""
     o = load_table(spark, sf_dir, "orders")
     binned = o.select(
+        # F.floor, not cast('long'): cast truncates toward zero, which
+        # only matches the oracle's FLOOR because o_totalprice > 0 —
+        # floor keeps the expression reusable over signed metrics
         F.least(
-            (F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
+            F.floor(F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
         ).alias("bin"),
         (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date")).alias(
             "cur"
