@@ -11,6 +11,16 @@ local[$SPARK_GRAFT_CPUS], times each query end-to-end (plan + execute
 Also times the Aria engine at the reference's workload configuration
 (BASELINE.md: 200k-row preload, 150-txn batch, U(0,30) ops,
 keys U(1,20000), 40% writes) for baseline comparability.
+
+Isolated-session mode (default, VERDICT r7 ask #3): the suite runs in
+SPARK_GRAFT_BENCH_SESSIONS (default 2) fresh child JVMs, each timing
+every query best-of-SPARK_GRAFT_BENCH_RUNS (default 2); the reported
+number is the per-query MIN across sessions. A fresh JVM per session
+removes every long-session artifact (code-cache pressure, GC history,
+accumulated blocks) from round-over-round comparisons structurally
+instead of by disclaimer; min-of-4-across-2-JVMs is also a tighter
+host-noise floor than min-of-3-in-one. Set
+SPARK_GRAFT_BENCH_SESSIONS=1 for the legacy single-session best-of-3.
 """
 
 from __future__ import annotations
@@ -223,6 +233,8 @@ HEADLINE = [
     "ml_eval_average_precision",
     "agg_bitwise",
     "timeseries_mom_yoy_growth",
+    # round-8 additions
+    "sim_ann_ivf_pq",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round
@@ -231,7 +243,11 @@ HEADLINE = [
 QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "150"))
 
 
-def main() -> None:
+def run_suite(n_runs: int) -> dict:
+    """One Spark session: time every HEADLINE query best-of-``n_runs``.
+
+    Returns {"queries": {...}, "spread": {...}, "errors": {...}}.
+    """
     from gpu_database_spark.session import get_spark
     from gpu_database_spark import registry
 
@@ -299,7 +315,7 @@ def main() -> None:
         try:
             fn = qs[name]
             timings[name], spread[name] = best_of(
-                3, lambda: fn(spark, SF_DIR).collect(), group=name
+                n_runs, lambda: fn(spark, SF_DIR).collect(), group=name
             )
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -324,11 +340,90 @@ def main() -> None:
 
     try:
         timings["aria_ycsb_batch"], spread["aria_ycsb_batch"] = best_of(
-            3, run_aria, group="aria_ycsb_batch"
+            n_runs, run_aria, group="aria_ycsb_batch"
         )
     except Exception as exc:  # noqa: BLE001
         errors["aria_ycsb_batch"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: aria_ycsb_batch FAILED: {errors['aria_ycsb_batch']}", file=sys.stderr)
+
+    spark.stop()
+    return {"queries": timings, "spread": spread, "errors": errors}
+
+
+def main() -> None:
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    child_out = os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+
+    if child_out:
+        # Child mode: run the suite once in THIS (fresh) JVM, write the
+        # result JSON for the parent, print nothing on stdout.
+        res = run_suite(n_runs)
+        with open(child_out, "w") as f:
+            json.dump(res, f)
+        return
+
+    if n_sessions <= 1:
+        merged = run_suite(3)  # legacy single-session mode
+        sessions_used = 1
+    else:
+        # Isolated-session mode: each session is a fresh JVM (fresh
+        # code cache, GC state, no accumulated blocks); per-query min
+        # across sessions is the reported time.
+        import subprocess
+        import tempfile
+
+        session_results = []
+        for i in range(n_sessions):
+            with tempfile.NamedTemporaryFile(
+                suffix=f".bench{i}.json", delete=False
+            ) as tf:
+                out_path = tf.name
+            env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD=out_path)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=sys.stderr,  # child chatter never hits parent stdout
+                stderr=sys.stderr,
+            )
+            try:
+                with open(out_path) as f:
+                    session_results.append(json.load(f))
+            except (OSError, ValueError):
+                print(
+                    f"bench: session {i} produced no result "
+                    f"(exit {proc.returncode})",
+                    file=sys.stderr,
+                )
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
+        if not session_results:
+            raise RuntimeError("bench: every isolated session failed")
+        sessions_used = len(session_results)
+        merged = {"queries": {}, "spread": {}, "errors": {}}
+        all_names: list[str] = []
+        for r in session_results:
+            for k in list(r["queries"]) + list(r["errors"]):
+                if k not in all_names:
+                    all_names.append(k)
+        for k in all_names:
+            samples = [r["queries"][k] for r in session_results if k in r["queries"]]
+            if samples:
+                # min across sessions; spread = cross-session disagreement
+                merged["queries"][k] = min(samples)
+                merged["spread"][k] = round(max(samples) - min(samples), 4)
+            else:
+                # failed in EVERY session → a real error, not noise
+                merged["errors"][k] = next(
+                    r["errors"][k] for r in session_results if k in r["errors"]
+                )
+
+    timings = merged["queries"]
+    spread = merged["spread"]
+    errors = merged["errors"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -345,6 +440,8 @@ def main() -> None:
         "spread": spread,
         "errors": errors,
         "sf": sf_val,
+        "sessions": sessions_used,
+        "runs_per_session": n_runs if sessions_used > 1 else 3,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -375,9 +472,9 @@ def main() -> None:
         del out["queries"][fastest]
         line = json.dumps(out, separators=(",", ":"))
 
-    # Stop Spark BEFORE printing so no shutdown chatter can land after the
-    # JSON line in the combined-stream tail the driver captures.
-    spark.stop()
+    # Spark is already stopped (inside run_suite / the child sessions),
+    # so no shutdown chatter can land after the JSON line in the
+    # combined-stream tail the driver captures.
     sys.stdout.flush()
     print(line)
 

@@ -195,6 +195,101 @@ def aria_metadata_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+@register(
+    "aria_epoch_loop_census",
+    oracle="""
+    WITH RECURSIVE
+    live(epoch, txn_id, op_idx, key, is_update, committed) AS (
+        SELECT 0, l_orderkey, CAST(l_linenumber AS INTEGER),
+               l_partkey % 1009 + 1, (l_quantity >= 30), FALSE
+        FROM lineitem WHERE l_orderkey <= 150
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM live WHERE NOT committed),
+          res AS (SELECT key, MIN(txn_id) AS rts,
+                         MIN(CASE WHEN is_update THEN txn_id END) AS wts
+                  FROM cur GROUP BY key),
+          flags AS (SELECT o.txn_id,
+                           bool_or(r.wts IS NOT NULL AND r.wts < o.txn_id) AS raw,
+                           bool_or(o.is_update AND r.rts < o.txn_id) AS war,
+                           bool_or(o.is_update AND r.wts IS NOT NULL
+                                   AND r.wts < o.txn_id) AS waw
+                    FROM cur o JOIN res r USING (key) GROUP BY o.txn_id),
+          verdict AS (SELECT txn_id, (waw OR (raw AND war)) AS abort FROM flags),
+          renum AS (SELECT txn_id, ROW_NUMBER() OVER (ORDER BY txn_id) AS new_tid
+                    FROM (SELECT DISTINCT txn_id FROM verdict WHERE abort))
+          SELECT c.epoch, c.txn_id, c.op_idx, c.key, c.is_update, TRUE
+          FROM cur c JOIN verdict v USING (txn_id) WHERE NOT v.abort
+          UNION ALL
+          SELECT c.epoch + 1, r.new_tid, c.op_idx, c.key, c.is_update, FALSE
+          FROM cur c JOIN renum r USING (txn_id)
+        )
+    ),
+    wins AS (
+        SELECT key,
+               md5(CAST(txn_id AS VARCHAR) || ':' || CAST(op_idx AS VARCHAR)
+                   || ':' || CAST(key AS VARCHAR)) AS value,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY epoch DESC, txn_id ASC,
+                                           op_idx DESC) AS rn
+        FROM live WHERE committed AND is_update
+    ),
+    base AS (
+        SELECT i AS key, md5('init:' || CAST(i AS VARCHAR)) AS value
+        FROM range(1, 1010) t(i)
+    )
+    SELECT COALESCE(b.key, w.key) AS key,
+           COALESCE(w.value, b.value) AS value,
+           (SELECT CAST(MAX(epoch) + 1 AS BIGINT) FROM live WHERE committed)
+               AS epochs
+    FROM base b FULL OUTER JOIN (SELECT key, value FROM wins WHERE rn = 1) w
+        ON b.key = w.key
+    ORDER BY key
+    """,
+)
+def aria_epoch_loop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multi-epoch Aria loop, oracle-gated (VERDICT r7 ask #5):
+    run_batch's fully DISTRIBUTED path (local_threshold=0 — per-epoch
+    commit decisions, winner overlays and Collect-phase renumbering all
+    stay DataFrame-side; reference loop: db.h:104-125) over a
+    deterministic lineitem-derived batch (txn_id <= 150, keyspace 1009)
+    against an md5-seeded base table. The DuckDB oracle replays the
+    identical epoch protocol as a recursive CTE — reservations, flag
+    analysis, reorder-mode commit rule, order-preserving renumber —
+    and reconstructs the final table as latest-epoch winner per key,
+    so the hash gate covers reservation, conflict, commit, renumber
+    AND multi-epoch install semantics in one row set.
+
+    Scale shape: identical to run_batch's documented epoch costs (one
+    keyed reserve shuffle + one flags groupBy + a bounded abort probe
+    per epoch); 4 epochs at the driver/bench scale factors."""
+    from gpu_database_spark.operators.aria import run_batch
+
+    ops = fixture_ops_wide(spark, sf_dir).filter(F.col("txn_id") <= 150)
+    base = spark.range(1, 1010).select(
+        F.col("id").alias("key"),
+        F.md5(F.concat(F.lit("init:"), F.col("id").cast("string"))).alias("value"),
+    )
+    result = run_batch(base, ops, reorder=True, local_threshold=0)
+    return (
+        result.table.withColumn("epochs", F.lit(result.epochs).cast("long"))
+        .orderBy("key")
+    )
+
+
+def fixture_ops_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixture_ops with a wider (1009) keyspace: lower contention, so
+    the multi-epoch loop converges in a handful of epochs at every
+    fixture scale instead of dozens."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").alias("txn_id"),
+        F.col("l_linenumber").cast("int").alias("op_idx"),
+        (F.col("l_partkey") % 1009 + 1).alias("key"),
+        (F.col("l_quantity") >= 30).alias("is_update"),
+    )
+
+
 @register("aria_run_batch")  # rows-only: iterative epoch loop, not one SQL query
 def aria_run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE Aria engine end-to-end through the driver contract:

@@ -292,3 +292,136 @@ def stream_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register("stream_soak_census")  # rows-only: true-streaming micro-batch semantics
+def stream_soak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming drop census (VERDICT r7 ask #6): the
+    1M-event soak's watermark-drop check, declared as a query so the
+    driver exercises the real streaming path (readStream -> watermark
+    -> tumbling window -> append-mode parquet sink), not just the batch
+    equivalents above.
+
+    Arrival simulation (harness-side by necessity; the computation is
+    all distributed): the events fixture is split into 3 chronological
+    thirds, arriving one file per availableNow run against a shared
+    checkpoint — micro-batch boundaries, and therefore watermark
+    advancement, are exactly reproducible. Files 1 and 2 also REPLAY
+    the 200 oldest events shifted 10 days earlier: by then the
+    watermark (file-0 max - 30 min) is far past them, so Structured
+    Streaming must drop all 400. File 2 carries one far-future sentinel
+    and a 4th flush file forces the post-sentinel emission batch, so
+    every on-time window is closed and appended.
+
+    Returns per-window (ws_s, n_streamed, n_on_time, delta): delta = 0
+    everywhere proves BOTH that every on-time row survived and that
+    every late replay was dropped. tests/test_streaming.py asserts it.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from gpu_database_spark.functions.materialize import materialize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # events.ts is TIMESTAMP_NTZ; the repo idiom for epoch seconds is the
+    # ntz -> timestamp -> long cast chain (same conversion everywhere in
+    # this query, so the session tz cancels out)
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    lo, hi = ev.agg(F.min(ts_long), F.max(ts_long)).first()
+    third = (hi - lo + 1) / 3.0
+
+    workdir = tempfile.mkdtemp(prefix="soak_census_")
+    src = os.path.join(workdir, "src")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+    try:
+        late = (
+            ev.orderBy("ts", "event_id")
+            .limit(200)
+            .select(
+                "event_id",
+                (F.col("ts") - F.expr("INTERVAL 240 HOURS")).alias("ts"),
+            )
+        )
+        sentinel = spark.createDataFrame([(int(-1),)], "event_id long").select(
+            "event_id",
+            F.timestamp_seconds(F.lit(hi + 30 * 86_400))
+            .cast("timestamp_ntz")
+            .alias("ts"),  # ntz here, ltz at the stage_file boundary
+        )
+        flush = spark.createDataFrame([(int(-2),)], "event_id long").select(
+            "event_id",
+            F.timestamp_seconds(F.lit(hi + 60 * 86_400))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+        )
+
+        def stage_file(k: int, df) -> None:
+            stage = os.path.join(workdir, f"stage{k}")
+            # watermarks require TIMESTAMP (ltz): convert at the source
+            # boundary, one place, same session for every conversion
+            df = df.select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"arrival-{k}.parquet"))
+
+        def run_once() -> None:
+            stream = (
+                spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+                .parquet(src)
+            )
+            q = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("win"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").cast("long").alias("ws_s"), "n")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        bucket = F.least(F.lit(2), F.floor((ts_long - F.lit(lo)) / F.lit(third)))
+        for k in range(3):
+            part = ev.filter(bucket == k)
+            if k > 0:
+                part = part.unionByName(late)
+            if k == 2:
+                part = part.unionByName(sentinel)
+            stage_file(k, part)
+            run_once()
+        stage_file(3, flush)
+        run_once()
+
+        streamed = spark.read.parquet(sink)
+        expected = (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_on_time"))
+            .select(
+                F.col("win.start").cast("timestamp").cast("long").alias("ws_s"),
+                "n_on_time",
+            )
+        )
+        census = (
+            expected.join(streamed, "ws_s", "left")
+            .select(
+                "ws_s",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n_streamed"),
+                "n_on_time",
+                (F.col("n_on_time") - F.coalesce(F.col("n"), F.lit(0))).alias(
+                    "delta"
+                ),
+            )
+            .orderBy("ws_s")
+        )
+        # the result must survive the temp-dir cleanup below — cut the
+        # lineage to the sink files before deleting them
+        return materialize(census, force_checkpoint=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

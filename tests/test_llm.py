@@ -186,7 +186,7 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
 
 
 def test_ann_recall_report_consistent(spark, sf_dir):
-    """The recall report must cover all three index families, count
+    """The recall report must cover all four index families, count
     every evaluation query, and agree with the per-method gates."""
     from gpu_database_spark.llm.similarity import (
         N_QUERIES,
@@ -194,8 +194,47 @@ def test_ann_recall_report_consistent(spark, sf_dir):
     )
 
     rows = {r.method: r for r in sim_ann_recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivf_pq"}
     for r in rows.values():
         assert r.n_queries == N_QUERIES
         assert 0.0 <= r.recall_at_k <= 1.0
     assert rows["lsh"].recall_at_k > 0 and rows["pq"].recall_at_k > 0
+
+
+def test_ann_ivf_pq_candidates_and_recall(spark, sf_dir):
+    """IVF+PQ must (a) return at most PQ_TOP_K rows per query drawn
+    only from the probed lists, and (b) keep recall in the same band
+    as plain PQ on its candidate subset — composing the coarse index
+    must not corrupt the ADC scoring."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gpu_database_spark.llm.similarity import (
+        N_QUERIES,
+        PQ_TOP_K,
+        sim_ann_ivf_pq,
+    )
+
+    rows = sim_ann_ivf_pq(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.cid)
+    assert set(got) == set(range(N_QUERIES))
+    # nprobe lists cover a fraction of the corpus; each query still
+    # has enough candidates at fixture scale to fill top-k
+    assert all(1 <= len(v) <= PQ_TOP_K for v in got.values())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.vstack(t.embedding.values).astype(np.float64)
+    ids = t.vec_id.values
+    hits, total = 0, 0
+    for q in range(N_QUERIES):
+        qv = E[ids == q][0]
+        d = ((E - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:PQ_TOP_K]])
+        hits += len(exact & got[q])
+        total += PQ_TOP_K
+    # uniform random data + nprobe=3/16 lists: the coarse filter costs
+    # some recall vs full-corpus PQ; demand a nonzero floor
+    assert hits >= total * 0.1, f"IVF+PQ recall too low: {hits}/{total}"

@@ -72,3 +72,28 @@ def test_psi_bin_uses_floor_semantics(spark):
         F.least(F.floor(F.col("x") / 1).cast("long"), F.lit(9)).alias("bin")
     ).collect()
     assert [r.bin for r in out] == [-2, 1]
+
+
+def test_stream_soak_census_drops_late_keeps_on_time(spark, sf_dir):
+    """The true-streaming drop census (VERDICT r7 ask #6): every
+    on-time window count must match the batch expectation exactly
+    (delta == 0 everywhere), which simultaneously proves the 400
+    late replays were dropped by the watermark."""
+    from gpu_database_spark.streaming.batch_equiv import stream_soak_census
+
+    rows = stream_soak_census(spark, sf_dir).collect()
+    assert rows, "census must produce windows"
+    assert all(r.delta == 0 for r in rows)
+    assert sum(r.n_streamed for r in rows) == sum(r.n_on_time for r in rows)
+
+
+def test_aria_epoch_loop_census_runs_distributed(spark, sf_dir):
+    """aria_epoch_loop_census must exercise run_batch's DISTRIBUTED
+    path (local_threshold=0) and converge in a bounded epoch count."""
+    from gpu_database_spark.operators.aria_queries import aria_epoch_loop_census
+
+    rows = aria_epoch_loop_census(spark, sf_dir).collect()
+    assert len(rows) == 1009
+    epochs = {r.epochs for r in rows}
+    assert len(epochs) == 1 and 1 <= epochs.pop() <= 20
+    assert all(len(r.value) == 32 for r in rows)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Synthesize sf1.0 parity fixtures by deterministic 10x replication.
+
+The driver generates /root/testdata/sf{0.001,0.01,0.1} with its own
+(seeded, out-of-repo) generator; a true sf1.0 isn't available locally.
+For the magnitude-driven hash hazards the sf1.0 sweep exists to catch
+(rank sums past BIGINT midpoints, cross-moment terms past ~1e11, the
+double->DECIMAL shortest-string boundary), what matters is ROW COUNT
+and SUM MAGNITUDE, not the exact generator: this tool builds sf1.0 as
+ten id-shifted copies of sf0.1 —
+
+* every key column shifts by copy_index * OFFSET (one power of 10
+  above the sf0.1 max, so copies never collide and FK joins stay
+  consistent: lineitem/orders/customer/supplier/part shift together);
+* document text for copies 1-9 gets a ' vK' suffix so near-dup LSH
+  buckets keep sf0.1-like sizes instead of 100x-ing pair counts with
+  exact clones;
+* region/nation (fixed dimensions) copy as-is; everything else keeps
+  its values so per-row semantics are untouched.
+
+Output: /root/repo/fixtures/sf1.0/{table}.parquet (single file each,
+gitignored — regenerate with `python tools/make_sf1.py`). Sweep with
+`python tools/parity_sweep.py /root/repo/fixtures/sf1.0`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "sf1.0")
+COPIES = 10
+
+# id offsets: one power of 10 above the sf0.1 max of each key family
+O_OFF = 1_000_000   # o_orderkey / l_orderkey   (max 149,999)
+C_OFF = 100_000     # c_custkey / o_custkey     (max 14,999)
+S_OFF = 10_000      # s_suppkey / l_suppkey     (max 999)
+P_OFF = 100_000     # p_partkey / l_partkey     (max 19,999)
+D_OFF = 10_000      # doc_id                    (max 4,999)
+V_OFF = 10_000      # vec_id                    (max 1,999)
+E_OFF = 1_000_000   # event_id                  (max 99,999)
+U_OFF = 10_000      # user_id                   (max 1,499)
+
+TABLES: dict[str, str | None] = {
+    "region": None,   # fixed dimension: copy once, unshifted
+    "nation": None,
+    "customer": f"c_custkey + k * {C_OFF} AS c_custkey, "
+                "c_name, c_nationkey, c_acctbal, c_mktsegment",
+    "supplier": f"s_suppkey + k * {S_OFF} AS s_suppkey, "
+                "s_name, s_nationkey, s_acctbal",
+    "part": f"p_partkey + k * {P_OFF} AS p_partkey, "
+            "p_name, p_brand, p_type, p_size, p_retailprice",
+    "orders": f"o_orderkey + k * {O_OFF} AS o_orderkey, "
+              f"o_custkey + k * {C_OFF} AS o_custkey, "
+              "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+    "lineitem": f"l_orderkey + k * {O_OFF} AS l_orderkey, "
+                f"l_partkey + k * {P_OFF} AS l_partkey, "
+                f"l_suppkey + k * {S_OFF} AS l_suppkey, "
+                "l_linenumber, l_quantity, l_extendedprice, l_discount, "
+                "l_tax, l_returnflag, l_linestatus, l_shipdate",
+    "events": f"event_id + k * {E_OFF} AS event_id, ts, "
+              f"user_id + k * {U_OFF} AS user_id, event_type, value, props",
+    "documents": f"doc_id + k * {D_OFF} AS doc_id, "
+                 "CASE WHEN k = 0 THEN text "
+                 "     ELSE text || ' v' || CAST(k AS VARCHAR) END AS text, "
+                 "lang, source, n_chars",
+    "embeddings": f"vec_id + k * {V_OFF} AS vec_id, embedding, label",
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for table, proj in TABLES.items():
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        out = os.path.join(DST, f"{table}.parquet")
+        if proj is None:
+            sql = f"COPY (SELECT * FROM {src}) TO '{out}' (FORMAT PARQUET)"
+        else:
+            sql = (
+                f"COPY (SELECT {proj} FROM {src}, range({COPIES}) r(k)) "
+                f"TO '{out}' (FORMAT PARQUET)"
+            )
+        con.execute(sql)
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{table}: {n} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()
