@@ -13,11 +13,15 @@ def test_materialize_modes_and_release(spark, monkeypatch):
     from gpu_database_spark.functions.materialize import materialize, release_all
 
     release_all(spark)
+    # release_all() frees only materialize()-OWNED blocks (ADVICE r7
+    # ownership fix), so earlier tests' foreign caches may legally
+    # remain persisted — assert relative to that baseline, not zero.
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = materialize(spark.range(100).selectExpr("id", "id * 2 AS v"))
     assert df.count() == 100
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= base + 1
     assert release_all(spark) >= 1
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
 
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "persist")
     df2 = materialize(spark.range(50))
