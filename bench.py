@@ -235,6 +235,23 @@ HEADLINE = [
     "timeseries_mom_yoy_growth",
     # round-8 additions
     "sim_ann_ivf_pq",
+    "stat_anova_oneway",
+    "stat_kruskal_wallis",
+    "sql_qualify_topn",
+    "agg_mean_families",
+    "timeseries_interpolate_linear",
+    "feat_scale_robust",
+    "ml_eval_ndcg",
+    "ml_eval_confusion_f1",
+    "ml_eval_logloss_brier",
+    "topk_heavy_hitters_2pass",
+    "dedup_passage_exact",
+    "graph_clustering_coefficient",
+    "timeseries_seasonal_decompose",
+    "dq_outlier_fences",
+    "text_compression_ratio",
+    "mm_audio_energy",
+    "stat_permutation_test",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

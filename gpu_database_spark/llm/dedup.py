@@ -1117,3 +1117,92 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_match",
         F.round(F.col("n_match") / float(N_HASHES), 6).alias("est_jaccard"),
     ).orderBy("new_doc", "matched_doc")
+
+
+# Exact passage dedup: fixed-width word windows. 10 words is the
+# classic "paragraph-ish" unit for word-soup fixtures; real corpora
+# use 50-100-token windows (Lee et al.'s suffix-array substring dedup
+# uses 50-token matches) — the plan is width-independent.
+PASSAGE_WORDS = 10
+
+
+@register(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                   AS pos
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, (pos - 1) // {PASSAGE_WORDS} AS chunk_idx,
+               string_agg(w, ' ' ORDER BY pos) AS chunk
+        FROM tok GROUP BY doc_id, (pos - 1) // {PASSAGE_WORDS}
+    ),
+    marked AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS occ
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT passage-level dedup (the fixed-window approximation of
+    Lee et al.'s suffix-array substring dedup): split every document
+    into consecutive 10-word passages, keep only the FIRST
+    occurrence of each exact passage corpus-wide (first = smallest
+    (doc_id, chunk_idx)), and report each document's kept/dropped
+    passage census — the operator that removes boilerplate repeated
+    ACROSS documents while leaving novel text intact.
+
+    Scale shape: passages are cut JVM-side with slice/transform over
+    the split array (no Python, no shuffle); the only wide exchange
+    hash-partitions passages by their TEXT for the first-occurrence
+    window — the same shuffle key a groupBy-dedup would use, skew-safe
+    because identical passages are exactly what the operator removes
+    (heavy keys shrink to rank-1 survivors; AQE splits any residual
+    giant). At real scale the passage string is replaced by its
+    128-bit hash for shuffle width — semantics unchanged modulo
+    collisions (~2^-64).
+
+    Reference tie-in: none in the reference CUDA KV store — core
+    LLM-corpus surface per the build brief."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(split(trim(text), "
+                    f"'\\\\s+')) - 1) div {PASSAGE_WORDS}), "
+                    f"i -> array_join(slice(split(trim(text), '\\\\s+'), "
+                    f"i * {PASSAGE_WORDS} + 1, {PASSAGE_WORDS}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    marked = chunks.select(
+        "doc_id", "chunk_idx", F.row_number().over(w).alias("occ")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+                .cast("long").alias("n_dup"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+                .cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -839,3 +839,336 @@ def ml_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term_sum") / F.col("npos").cast("double"), 6
         ).alias("avg_precision"),
     )
+
+
+# Fixed probability link for log-loss/Brier: p = clamp(round(score /
+# 60000, 4), 1e-4, 1 - 1e-4). Rounding p to 4dp FIRST bounds the
+# distinct inputs ln() ever sees to <= 10^4 values, so a last-ulp
+# libm-vs-java.Math difference cannot straddle an 8dp rounding
+# boundary anywhere in the corpus (the per-row terms are then summed
+# exactly via DECIMAL).
+_P_SQL = (
+    "least(greatest(round(o_totalprice / 60000.0, 4), 0.0001), 0.9999)"
+)
+
+
+@register(
+    "ml_eval_logloss_brier",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_LABEL_SQL} AS y, {_P_SQL} AS p
+        FROM orders
+    ),
+    terms AS (
+        SELECT y,
+               round(-(y * ln(p) + (1 - y) * ln(1 - p)), 8) AS ll_term,
+               round((p - y) * (p - y), 8) AS brier_term
+        FROM scored
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS npos,
+           round(CAST(SUM(CAST(ll_term AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS logloss,
+           round(CAST(SUM(CAST(brier_term AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS brier
+    FROM terms
+    """,
+)
+def ml_eval_logloss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log loss (cross-entropy) and Brier score of a probability
+    forecast against the binary label — the calibration-sensitive
+    companions to AUC (which only sees ranking): logloss =
+    -mean(y ln p + (1-y) ln(1-p)), brier = mean((p - y)^2).
+
+    Scale shape: pure map-side per-row terms + ONE exact-decimal
+    aggregation — no shuffle beyond the final single-row combine.
+    Cross-engine exactness: p is rounded to 4dp BEFORE the
+    transcendental (bounding ln's input domain to 10^4 distinct
+    doubles), each term is rounded at 8dp, and the mean is an exact
+    DECIMAL(38,10) sum with one final double division."""
+    scored = load_table(spark, sf_dir, "orders").select(
+        _label_col(),
+        F.least(
+            F.greatest(F.round(F.col("o_totalprice") / 60000.0, 4),
+                       F.lit(0.0001)),
+            F.lit(0.9999),
+        ).alias("p"),
+    )
+    yd = F.col("y").cast("double")
+    terms = scored.select(
+        "y",
+        F.round(
+            -(yd * F.log(F.col("p")) + (1 - yd) * F.log(1 - F.col("p"))), 8
+        ).alias("ll_term"),
+        F.round((F.col("p") - yd) * (F.col("p") - yd), 8).alias("brier_term"),
+    )
+    d38 = "decimal(38,10)"
+    return terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+        F.round(
+            F.sum(F.col("ll_term").cast(d38)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("logloss"),
+        F.round(
+            F.sum(F.col("brier_term").cast(d38)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+    )
+
+
+@register(
+    "ml_eval_confusion_f1",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_LABEL_SQL} AS y,
+               CASE WHEN o_totalprice >= 30000 THEN 1 ELSE 0 END AS yhat
+        FROM orders
+    ),
+    c AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(y * yhat) AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+               CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT n, tp, fp, fn, tn,
+           round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS accuracy,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+               AS precision_,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+               AS recall_,
+           round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE),
+                 6) AS f1,
+           round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+                 6) AS mcc
+    FROM c
+    """,
+)
+def ml_eval_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix at a fixed decision threshold (score >= 30000)
+    plus the derived accuracy / precision / recall / F1 / Matthews
+    correlation — the deployment-gate metrics once a corpus-quality
+    classifier's threshold is frozen.
+
+    Scale shape: ONE single-row aggregation of four exact integer
+    counts; every metric is a single division (F1 from the integer
+    identity 2tp/(2tp+fp+fn), never from rounded precision/recall).
+    MCC's four marginal factors are cast to DOUBLE before
+    multiplying — their BIGINT product overflows past n ~ 5e4^4 — in
+    the same textual order as the oracle, so it is bit-identical."""
+    scored = load_table(spark, sf_dir, "orders").select(
+        _label_col(),
+        F.when(F.col("o_totalprice") >= 30000, 1).otherwise(0).alias("yhat"),
+    )
+    c = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c_).cast("double") for c_ in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")).cast("double")
+                / F.col("n").cast("double"), 6).alias("accuracy"),
+        F.round(tp / (F.col("tp") + F.col("fp")).cast("double"), 6)
+            .alias("precision_"),
+        F.round(tp / (F.col("tp") + F.col("fn")).cast("double"), 6)
+            .alias("recall_"),
+        F.round((2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                6).alias("f1"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn")).cast("double")
+                * (F.col("tn") + F.col("fp")).cast("double")
+                * (F.col("tn") + F.col("fn")).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# NDCG cutoff: deep enough to cross several relevance grades on the
+# fixture, tiny vs the corpus — the top-k sets are driver-safe.
+NDCG_K = 100
+
+
+@register(
+    "ml_eval_ndcg",
+    oracle=f"""
+    WITH lab AS (
+        SELECT o_orderkey, o_totalprice AS score,
+               5 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS rel
+        FROM orders
+    ),
+    by_score AS (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey)
+                        AS rn
+        FROM lab
+    ),
+    by_rel AS (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, o_orderkey)
+                        AS rn
+        FROM lab
+    ),
+    dcg AS (
+        SELECT CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(rn + 1), 8)
+                             AS DECIMAL(38,10))) AS DOUBLE) AS dcg
+        FROM by_score WHERE rn <= {NDCG_K}
+    ),
+    idcg AS (
+        SELECT CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(rn + 1), 8)
+                             AS DECIMAL(38,10))) AS DOUBLE) AS idcg
+        FROM by_rel WHERE rn <= {NDCG_K}
+    )
+    SELECT {NDCG_K} AS k,
+           round(dcg.dcg, 6) AS dcg,
+           round(idcg.idcg, 6) AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@100 of the price score against graded priority relevance
+    (urgent=4 .. low=0): DCG = sum over the top-k by score of
+    (2^rel - 1)/log2(rank+1), normalized by the ideal ordering's DCG —
+    THE ranking metric when relevance is graded, not binary.
+
+    Scale shape: both rankings (by score, by relevance) go through
+    the histogram-bucket rank plan (functions/ranks.py) — never a
+    global sort; only rank <= k rows (a constant) survive to the gain
+    fold. Gain terms are rounded at 8dp (inputs to log2 are the <= k+1
+    integers, so cross-engine libm drift cannot straddle a boundary)
+    and summed exactly in DECIMAL(38,10)."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        (5 - F.substring("o_orderpriority", 1, 1).cast("int")).alias("rel"),
+    )
+    by_score = bucketed_row_number(
+        lab, "score", ["o_orderkey"], F.floor(F.col("score") / 2000.0),
+        rank_col="rn", ascending=False,
+    )
+    by_rel = bucketed_row_number(
+        lab, "rel", ["o_orderkey"], F.col("rel"),
+        rank_col="rn", ascending=False,
+    )
+
+    def fold(ranked: DataFrame, out: str) -> DataFrame:
+        term = F.round(
+            (F.pow(F.lit(2), F.col("rel")) - 1) / F.log2(F.col("rn") + 1), 8
+        )
+        return (
+            ranked.filter(F.col("rn") <= NDCG_K)
+            .agg(
+                F.sum(term.cast("decimal(38,10)")).cast("double").alias(out)
+            )
+        )
+
+    dcg = fold(by_score, "dcg")
+    idcg = fold(by_rel, "idcg")
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).alias("k"),
+            F.round(F.col("dcg"), 6).alias("dcg"),
+            F.round(F.col("idcg"), 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
+
+
+@register(
+    "feat_scale_robust",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS v, o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT seg, v,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY v, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY seg) AS n_g
+        FROM j
+    ),
+    q AS (
+        SELECT seg, n_g,
+               MAX(CASE WHEN rn = CAST(ceil(0.25 * n_g) AS BIGINT)
+                        THEN v END) AS q1,
+               MAX(CASE WHEN rn = CAST(ceil(0.50 * n_g) AS BIGINT)
+                        THEN v END) AS med,
+               MAX(CASE WHEN rn = CAST(ceil(0.75 * n_g) AS BIGINT)
+                        THEN v END) AS q3
+        FROM r GROUP BY seg, n_g
+    )
+    SELECT seg, CAST(n_g AS BIGINT) AS n, q1, med, q3,
+           round(q3 - q1, 6) AS iqr,
+           round((100000.0 - med) / (q3 - q1), 6) AS scaled_100k
+    FROM q ORDER BY seg
+    """,
+)
+def feat_scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scaler fit per segment: exact type-1 (lower order
+    statistic) Q1/median/Q3 of order value within each market segment,
+    the IQR, and the scaler applied to a fixed probe value
+    ((100000 - median) / IQR) — the outlier-insensitive alternative to
+    z-scoring for feature normalization.
+
+    Scale shape: ranks come from the GROUPED histogram-bucket rank
+    plan (functions/ranks.py:grouped_bucketed_row_number) — the heavy
+    window partitions by (segment, price-bucket), never sorting a
+    whole segment on one task; the quantile picks are exact order
+    statistics at ranks ceil(q*n) (0.25/0.5/0.75 are exact binary, so
+    ceil agrees across engines), selected by ONE aggregation. Values
+    pass through untouched (2dp doubles) — no arithmetic before the
+    final two rounded outputs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    r = grouped_bucketed_row_number(
+        j, ["seg"], "v", ["o_orderkey"], F.floor(F.col("v") / 2000.0),
+        rank_col="rn",
+    )
+    ng = j.groupBy("seg").agg(F.count(F.lit(1)).alias("n_g"))
+    r = r.join(F.broadcast(ng), "seg")
+
+    def at(q: float, out: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n_g")).cast("long"),
+                F.col("v"),
+            )
+        ).alias(out)
+
+    qs = r.groupBy("seg", "n_g").agg(
+        at(0.25, "q1"), at(0.50, "med"), at(0.75, "q3")
+    )
+    return qs.select(
+        "seg",
+        F.col("n_g").cast("long").alias("n"),
+        "q1",
+        "med",
+        "q3",
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+        F.round(
+            (F.lit(100000.0) - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+        ).alias("scaled_100k"),
+    ).orderBy("seg")

@@ -331,3 +331,69 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(40)
     )
+
+
+# Compression-ratio quality gate: documents whose deflate ratio is
+# below this are dominated by repeated structure (boilerplate, spam,
+# generator loops) — the Gopher-family "too compressible" signal.
+COMPRESS_FLAG_RATIO = 0.30
+
+
+@register("text_compression_ratio")  # rows-only: zlib is engine-local
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (deflate bytes / raw bytes per
+    document, zlib level 6): highly compressible text is repetitive
+    boilerplate; the per-source census reports the mean ratio and the
+    share below the flag threshold (0.30) — the corpus-filtering
+    signal CCNet/Gopher-style pipelines compute alongside stopword
+    and repetition gates (cf. text_repetition_filter's n-gram form).
+
+    Scale shape: ONE Arrow-vectorized pandas UDF computes the two
+    lengths per row (zlib has no JVM builtin — the legitimate
+    Pandas-UDF case); everything else is a map-side-combinable
+    groupBy. Per-doc ratios are rounded at 8dp and summed in exact
+    DECIMAL so the census is partitioning-independent; the UDF is
+    engine-local (no SQL oracle), gated by a serial zlib replica in
+    tests/test_round8_ops.py.
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    corpus-filtering layer per the build brief."""
+    import pandas  # noqa: F401 — resolves the UDF's postponed hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _deflate_ratio(texts: "pandas.Series") -> "pandas.Series":
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    _deflate_ratio.__annotations__ = {
+        "texts": pandas.Series, "return": pandas.Series
+    }
+    deflate_ratio = pandas_udf(_deflate_ratio, "double")
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.round(deflate_ratio(F.col("text")), 8).alias("ratio"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ratio"),
+            F.sum(
+                F.when(F.col("ratio") < COMPRESS_FLAG_RATIO, 1).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -637,3 +637,108 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM nn) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, 3)) AS k)
+    ),
+    dir_edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM dir_edges
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1 JOIN und e2 ON e1.v = e2.u JOIN und e3
+             ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_per_node AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+    ) GROUP BY node)
+    SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri_per_node.n_tri, 0) AS BIGINT) AS n_tri,
+           round(CAST(2 * COALESCE(tri_per_node.n_tri, 0) AS DOUBLE)
+                 / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coef
+    FROM deg LEFT JOIN tri_per_node USING (node)
+    WHERE deg.d >= 2 AND deg.node < 200
+    ORDER BY deg.node
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: coef_i = 2*tri_i /
+    (d_i*(d_i-1)) — how close each node's neighborhood is to a clique,
+    the standard community-structure diagnostic on a crawl/link graph
+    (complements graph_triangle_count's global census with the
+    per-node view).
+
+    Scale shape: same two vertex-keyed shuffle joins as the triangle
+    census (wedge join + closure join against the canonical u<v edge
+    set, materialized once); per-node triangle credits come from
+    exploding each closed triangle to its three corners — a unionAll
+    + one map-side-combinable groupBy, no extra join. Output is
+    restricted to a fixed node window (node < 200, degree >= 2) so
+    the driver-visible result is bounded at any corpus size.
+
+    Reference tie-in: none in the reference CUDA KV store — crawl
+    -graph curation surface per the build brief."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .filter((F.col("d") >= 2) & (F.col("node") < 200))
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                6,
+            ).alias("coef"),
+        )
+        .orderBy("node")
+    )

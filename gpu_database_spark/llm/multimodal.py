@@ -507,3 +507,123 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id1", "id2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio energy (round 8)
+
+AUDIO_WIN = 1024          # PCM frames per analysis window
+AUDIO_SILENCE = 0.05      # mean-|amplitude| threshold for "silent"
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("mean_energy", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def _pcm_samples(payload: bytes) -> tuple[list[float], str]:
+    """Normalized [-1,1] samples: REAL decode for RIFF/WAVE payloads
+    (stdlib wave, 8/16-bit PCM), else the payload bytes themselves
+    read as unsigned 8-bit PCM centered at 128 — a deterministic
+    stand-in that keeps the windowing/aggregation plumbing real for
+    non-audio fixture payloads (codec-audited, like _decode)."""
+    import io
+    import struct
+    import wave
+
+    data = bytes(payload)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sampwidth = w.getsampwidth()
+            frames = w.readframes(min(w.getnframes(), 65536))
+        if sampwidth == 2:
+            vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+            return [v / 32768.0 for v in vals], "wav"
+        if sampwidth == 1:
+            return [(b - 128) / 128.0 for b in frames], "wav"
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    return [(b - 128) / 128.0 for b in data[:65536]], "fake-pcm8"
+
+
+def audio_energy_windows(media: DataFrame) -> DataFrame:
+    """(media_id, n_windows, mean_energy, silence_ratio, codec) per
+    audio payload: mean |amplitude| per AUDIO_WIN-frame window, then
+    the per-media census (windows below AUDIO_SILENCE are silent)."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, codec = _pcm_samples(payload)
+                wins = [
+                    samples[i : i + AUDIO_WIN]
+                    for i in range(0, len(samples), AUDIO_WIN)
+                ]
+                energies = [
+                    sum(abs(s) for s in w) / len(w) for w in wins if w
+                ]
+                n_w = len(energies)
+                mean_e = round(sum(energies) / n_w, 8) if n_w else 0.0
+                sil = (
+                    round(
+                        sum(1 for e in energies if e < AUDIO_SILENCE) / n_w, 8
+                    )
+                    if n_w
+                    else 1.0
+                )
+                out.append((int(mid), n_w, mean_e, sil, codec))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_windows", "mean_energy",
+                    "silence_ratio", "codec",
+                ],
+            )
+
+    return media.mapInPandas(_run, AUDIO_ENERGY_SCHEMA)
+
+
+@register("mm_audio_energy")  # rows-only: PCM decode is engine-local
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy census: per audio payload, mean
+    |amplitude| over 1024-frame windows, the silent-window share, and
+    the per-codec rollup — the silence-trim / clipping pre-filter an
+    audio-pretraining loader runs before feature extraction.
+
+    Scale shape: ONE Arrow mapInPandas pass over the audio slice of
+    the binary table (decode has no JVM builtin — the legitimate
+    Pandas-UDF case; per-row state only, so partitioning is free),
+    then a map-side-combinable rollup. Real WAV payloads take the
+    stdlib ``wave`` path; fixture text payloads take a deterministic
+    8-bit-PCM stand-in, codec-audited per row like mm_extract_features
+    (tests/test_round8_ops.py drives real generated WAVs through the
+    same stage).
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    multimodal layer per the build brief."""
+    audio = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    feats = audio_energy_windows(audio)
+    return (
+        feats.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_windows").cast("long").alias("total_windows"),
+            F.round(
+                F.sum(F.col("mean_energy").cast("decimal(27,8)"))
+                .cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_energy"),
+            F.round(
+                F.sum(F.col("silence_ratio").cast("decimal(27,8)"))
+                .cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_silence_ratio"),
+        )
+        .orderBy("codec")
+    )

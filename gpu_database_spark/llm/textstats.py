@@ -462,8 +462,9 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok JOIN vocab USING (w)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(CAST(nll AS DECIMAL(27,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_nll
+           CAST((2 * CAST(SUM(CAST(nll AS DECIMAL(27,6))) * 1000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS mean_nll
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -481,8 +482,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     here); ONE groupBy(doc) folds per-token surprisals. Per-token
     -ln(c/t) is a fixed double op sequence on integer ratios —
     identical across engines; the per-doc sum goes through
-    DECIMAL(27,6) (compat.py) so accumulation order can't flip the
-    6dp rounding."""
+    DECIMAL(27,6) (compat.py). The mean is rounded to 6dp by INTEGER
+    arithmetic on the exact sum — (2u + n) div (2n) at micro scale —
+    never by round() on a double: a 6dp-decimal sum divided by a
+    small count lands EXACTLY on 6dp half-boundaries where Spark's
+    shortest-repr HALF_UP and DuckDB's floating round() disagree
+    (caught by the round-8 sf1.0 sweep)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
@@ -496,7 +501,18 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(dsum(nll) / F.count(F.lit(1)), 6).alias("mean_nll"),
+            F.sum(nll.cast("decimal(27,6)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr(
+                    "(2 * CAST(_s * 1000000 AS DECIMAL(38,0)) + n_tokens)"
+                    " div (2 * n_tokens)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("mean_nll"),
         )
         .orderBy("doc_id")
     )
@@ -918,3 +934,88 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     ).orderBy("source")
+
+
+# Heavy-hitter threshold: report every token with frequency > n/HH_PHI.
+# The pass-1 Misra-Gries capacity must exceed HH_PHI for the
+# superset guarantee (undercount <= n/HH_CAP < n/HH_PHI).
+HH_PHI = 200
+HH_CAP = 400
+
+
+@register(
+    "topk_heavy_hitters_2pass",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_tok FROM tok)
+    SELECT w, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY w
+    HAVING COUNT(*) * {HH_PHI} > (SELECT n_tok FROM n)
+    ORDER BY cnt DESC, w
+    """,
+)
+def topk_heavy_hitters_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent-token mining (all tokens with count > n/200)
+    via the two-pass Misra-Gries plan — the streaming-sketch answer to
+    'what are the corpus's dominant tokens?' WITHOUT ever shuffling
+    the full token stream on token:
+
+    * pass 1: each partition folds its tokens through a Misra-Gries
+      summary of capacity 400 (a dict of at most 400 counters; on
+      overflow all counters decrement — the classic space-saving
+      step). The merged candidate set PROVABLY contains every token
+      with global count > n/400: if a token's count were <= n_p/400
+      in every partition, its total would be <= n/400 (pigeonhole),
+      and MG's per-partition undercount is bounded by n_p/400.
+    * pass 2: exact counts for the <= 400*P candidate tokens only, via
+      a broadcast semi-join + one map-side-combinable groupBy, then
+      the true threshold (count*200 > n) filters false positives.
+
+    The result is therefore EXACTLY the naive GROUP-BY-ALL-TOKENS
+    answer (the oracle), but the only per-token shuffle is over the
+    candidate subset — at 100 TB the difference between shuffling
+    ~10^11 token rows and ~10^5 candidate rows. Pass 1 is an Arrow
+    mapInPandas fold (per-partition state, no builtin equivalent);
+    everything else is JVM-side.
+
+    Reference tie-in: generalizes the reference's count aggregate
+    (hashTable.cuh:157-163) to frequency mining."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                c = counts.get(w)
+                if c is not None:
+                    counts[w] = c + 1
+                elif len(counts) < HH_CAP:
+                    counts[w] = 1
+                else:
+                    dead = []
+                    for k in counts:
+                        if counts[k] == 1:
+                            dead.append(k)
+                        else:
+                            counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame({"w": list(counts.keys())})
+
+    candidates = tok.mapInPandas(mg_partition, "w string").distinct()
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    exact = (
+        tok.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_tok))
+        .filter(F.col("cnt") * HH_PHI > F.col("n_tok"))
+    )
+    return exact.select("w", "cnt").orderBy(F.col("cnt").desc(), "w")

@@ -863,3 +863,73 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mean_families",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    )
+    SELECT flag,
+           COUNT(*) AS n,
+           round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_arith,
+           round(exp(CAST(SUM(CAST(round(ln(q), 8) AS DECIMAL(38,10)))
+                          AS DOUBLE) / COUNT(*)), 6) AS mean_geom,
+           round(COUNT(*) / CAST(SUM(CAST(round(1.0 / q, 8)
+                                          AS DECIMAL(38,10))) AS DOUBLE),
+                 6) AS mean_harm,
+           round(sqrt(CAST(SUM(q * q) AS DOUBLE) / COUNT(*)), 6)
+               AS mean_quad
+    FROM t GROUP BY flag ORDER BY flag
+    """,
+)
+def agg_mean_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean mean family per group — arithmetic, geometric
+    (exp of mean log), harmonic (n over sum of reciprocals) and
+    quadratic (root mean square) of quantity by return flag: the
+    standard aggregate set for rate-like and multiplicative metrics
+    where the arithmetic mean is the wrong average.
+
+    Scale shape: ONE map-side-combinable groupBy; all four means come
+    from per-row terms folded in the same pass. Quantities are
+    integer-valued, so n / sum(q) / sum(q^2) are EXACT BIGINTs; the
+    transcendental terms (ln q, 1/q) have <= 50 distinct inputs, are
+    rounded at 8dp (cross-engine libm drift cannot straddle a
+    boundary) and summed exactly in DECIMAL(38,10).
+
+    Reference tie-in: generalizes the reference's single-statistic
+    count aggregate (hashTable.cuh:157-163) to the mean family."""
+    t = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    d38 = "decimal(38,10)"
+    return (
+        t.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6)
+                .alias("mean_arith"),
+            F.round(
+                F.exp(
+                    F.sum(F.round(F.log(F.col("q")), 8).cast(d38))
+                    .cast("double") / F.count(F.lit(1))
+                ), 6,
+            ).alias("mean_geom"),
+            F.round(
+                F.count(F.lit(1))
+                / F.sum(F.round(1.0 / F.col("q"), 8).cast(d38))
+                .cast("double"), 6,
+            ).alias("mean_harm"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("q") * F.col("q")).cast("double")
+                    / F.count(F.lit(1))
+                ), 6,
+            ).alias("mean_quad"),
+        )
+        .orderBy("flag")
+    )

@@ -1248,30 +1248,34 @@ def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
-               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-                 AS v
+               SUM(CAST(value AS DECIMAL(27,6))) AS s_h
         FROM events GROUP BY 1, 2
     ),
     stats AS (
         SELECT event_type,
-               CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-                 AS mu,
+               SUM(s_h) AS s_all,
                CAST(COUNT(*) AS BIGINT) AS n_hours
         FROM hourly GROUP BY event_type
     ),
     cusum AS (
+        -- n * S_t: the mean-deviation cusum scaled by n_hours stays
+        -- EXACT decimal (no division anywhere): n*sum(s_h..t) - t*S
         SELECT h.event_type, h.hour, s.n_hours,
-               SUM(CAST(h.v - s.mu AS DECIMAL(27,6)))
+               s.n_hours * SUM(h.s_h)
                  OVER (PARTITION BY h.event_type ORDER BY h.hour
-                       ROWS UNBOUNDED PRECEDING) AS s_t
+                       ROWS UNBOUNDED PRECEDING)
+               - ROW_NUMBER()
+                 OVER (PARTITION BY h.event_type ORDER BY h.hour)
+                 * s.s_all AS t_scaled
         FROM hourly h JOIN stats s USING (event_type)
     )
     SELECT event_type, hour AS cp_hour, n_hours,
-           round(CAST(abs_s AS DOUBLE), 6) AS max_abs_cusum
+           CAST((2 * CAST(ABS(t_scaled) * 1000000 AS HUGEINT) + n_hours)
+                // (2 * n_hours) AS DOUBLE) / 1000000.0 AS max_abs_cusum
     FROM (
-        SELECT event_type, hour, n_hours, ABS(s_t) AS abs_s,
+        SELECT event_type, hour, n_hours, t_scaled,
                ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY ABS(s_t) DESC, hour) AS rk
+                                  ORDER BY ABS(t_scaled) DESC, hour) AS rk
         FROM cusum
     )
     WHERE rk = 1 ORDER BY event_type
@@ -1288,23 +1292,19 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (100 TB of events -> |types| x |hours| rows); only that
     bounded series sees the per-type cumulative window and the argmax
     window — safe by construction, same argument as timeseries_acf.
-    Deviations accumulate as exact DECIMALs (order-fixed by the ORDER
-    BY, identical in both engines); everything after is arithmetic on
-    one row per type."""
+    Exactness: the cusum is carried as n*S_t = n*cumsum(s_h) - t*S —
+    pure DECIMAL integer algebra with NO division or double anywhere
+    before the argmax (the earlier mean-based form divided 6dp
+    decimals by counts, landing doubles exactly on 6dp half-boundaries
+    where the engines' round() semantics disagree — caught by the
+    round-8 sf1.0 sweep); the single reported magnitude |S_t| is
+    rounded to 6dp by integer (2u+n) div (2n) arithmetic."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("v")
-    )
+    ).agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("s_h"))
     stats = hourly.groupBy("event_type").agg(
-        (
-            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu"),
+        F.sum("s_h").alias("s_all"),
         F.count(F.lit(1)).alias("n_hours"),
     )
     wc = (
@@ -1312,15 +1312,17 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wt = Window.partitionBy("event_type").orderBy("hour")
     cusum = (
         hourly.join(F.broadcast(stats), "event_type")
         .withColumn(
-            "s_t",
-            F.sum((F.col("v") - F.col("mu")).cast("decimal(27,6)")).over(wc),
+            "t_scaled",
+            F.col("n_hours") * F.sum("s_h").over(wc)
+            - F.row_number().over(wt) * F.col("s_all"),
         )
     )
     wr = Window.partitionBy("event_type").orderBy(
-        F.abs("s_t").desc(), F.col("hour")
+        F.abs("t_scaled").desc(), F.col("hour")
     )
     return (
         cusum.withColumn("rk", F.row_number().over(wr))
@@ -1328,8 +1330,14 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("hour").alias("cp_hour"),
-            "n_hours",
-            F.round(F.abs("s_t").cast("double"), 6).alias("max_abs_cusum"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            (
+                F.expr(
+                    "(2 * CAST(abs(t_scaled) * 1000000 AS DECIMAL(38,0))"
+                    " + n_hours) div (2 * n_hours)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("max_abs_cusum"),
         )
         .orderBy("event_type")
     )
@@ -1389,3 +1397,231 @@ def timeseries_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     ).orderBy("yr", "mo")
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH known AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS rev
+        FROM orders WHERE o_orderkey % 8 = 0 GROUP BY 1
+    ),
+    cal AS (
+        SELECT CAST(unnest(generate_series(
+                   (SELECT MIN(day) FROM known),
+                   (SELECT MAX(day) FROM known),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    j AS (SELECT cal.day, known.rev FROM cal LEFT JOIN known USING (day)),
+    f AS (
+        SELECT day, rev,
+               last_value(rev IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN rev IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(rev IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN rev IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           rev IS NOT NULL AS is_known,
+           round(CASE WHEN rev IS NOT NULL THEN rev
+                 ELSE pv + (nv - pv)
+                      * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                         / CAST(date_diff('day', pd, nd) AS DOUBLE)) END,
+                 6) AS revenue
+    FROM f ORDER BY day
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a gappy daily series onto a dense
+    calendar: for each missing day, revenue = prev_known + (next_known
+    - prev_known) * elapsed/gap — the standard resampling step before
+    any fixed-step time-series model (complements timeseries_gapfill's
+    step-fill semantics with true linear semantics).
+
+    Scale shape: the fact table collapses to the KNOWN-day aggregate
+    (one map-side-combinable groupBy); the calendar spine is generated
+    from the aggregate's min/max (sequence + explode, never a driver
+    loop). The four carry-forward/backward windows (value and day,
+    each direction, via last/first IGNORE NULLS) run over the
+    CALENDAR-sized table — bounded by the date domain (~10^3-10^4
+    rows even at 100 TB of facts), not the data, so the unpartitioned
+    window is safe; for multi-entity interpolation the same windows
+    partition by entity key.
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    time-series layer the build brief adds."""
+    known = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    span = known.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    j = cal.join(known, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    f = j.select(
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("rev", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    return f.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").isNotNull().alias("is_known"),
+        F.round(
+            F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(interp),
+            6,
+        ).alias("revenue"),
+    ).orderBy("day")
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    dowm AS (
+        SELECT isodow(day) AS dow,
+               CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS dow_mean
+        FROM daily GROUP BY 1
+    ),
+    gm AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS g
+        FROM daily
+    ),
+    des AS (
+        SELECT daily.day, daily.rev,
+               dowm.dow_mean / gm.g AS idx,
+               daily.rev / (dowm.dow_mean / gm.g) AS deseason
+        FROM daily JOIN dowm ON isodow(daily.day) = dowm.dow
+             CROSS JOIN gm
+    ),
+    tr AS (
+        -- trend = round(window_sum/count, 6) via INTEGER (2u+c)//(2c)
+        -- arithmetic on the exact decimal sum: at 1e7 magnitudes,
+        -- round() on a double disagrees across engines ~0.1%/row
+        SELECT day, rev, idx, deseason,
+               CAST((2 * CAST(SUM(CAST(round(deseason, 2) AS DECIMAL(27,6)))
+                              OVER w * 1000000 AS HUGEINT)
+                     + COUNT(*) OVER w)
+                    // (2 * COUNT(*) OVER w) AS DOUBLE) / 1000000.0 AS trend
+        FROM des
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(rev, 6) AS revenue,
+           round(idx, 6) AS seasonal_idx,
+           trend,
+           round(deseason - trend, 2) AS residual
+    FROM tr ORDER BY day
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal decomposition of the daily revenue
+    series: weekday seasonal index (day-of-week mean over global
+    mean), deseasonalized series, centered 7-day moving-average trend,
+    and the residual — the classic pre-model decomposition
+    (complements timeseries_holt's recursive smoothing with the
+    window-algebra variant).
+
+    Scale shape: the fact table collapses to the daily aggregate
+    first (one map-side-combinable groupBy); the weekday index is a
+    7-row broadcast; the only windows run over the CALENDAR-sized
+    daily table (bounded by the date domain — partition by series key
+    for panel data). Cross-engine exactness: every mean is an exact
+    DECIMAL sum with one double division; the moving-average window
+    sums 2dp-rounded DECIMAL terms (associative — immune to DuckDB's
+    segment-tree vs Spark's sliding accumulation order; 2dp not 6dp
+    because rounding ~1e7-magnitude doubles at 6dp straddles
+    engine-divergent half-boundaries ~0.1%/row — sf0.1 sweep finding);
+    the trend is rounded by integer (2u+c) div (2c) arithmetic on the
+    exact window sum, and the residual reports at 2dp, where the
+    double round() is collision-safe at this magnitude.
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    time-series layer per the build brief."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    rev_dec = F.col("rev").cast("decimal(27,6)")
+    dowm = (
+        daily.groupBy((F.weekday("day") + 1).alias("dow"))
+        .agg(
+            (F.sum(rev_dec).cast("double") / F.count(F.lit(1)))
+            .alias("dow_mean")
+        )
+    )
+    gm = daily.agg(
+        (F.sum(rev_dec).cast("double") / F.count(F.lit(1))).alias("g")
+    )
+    des = (
+        daily.join(
+            F.broadcast(dowm), (F.weekday("day") + 1) == F.col("dow")
+        )
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "day",
+            "rev",
+            (F.col("dow_mean") / F.col("g")).alias("idx"),
+            (F.col("rev") / (F.col("dow_mean") / F.col("g")))
+                .alias("deseason"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = des.select(
+        "day",
+        "rev",
+        "idx",
+        "deseason",
+        F.sum(F.round(F.col("deseason"), 2).cast("decimal(27,6)"))
+            .over(w).alias("_ws"),
+        F.count(F.lit(1)).over(w).alias("_wc"),
+    ).withColumn(
+        # round(window_sum/count, 6) via integer (2u+c) div (2c) on the
+        # exact decimal — round() on a 1e7-magnitude double disagrees
+        # across engines ~0.1%/row (round-8 sf1.0/sf0.1 sweep finding)
+        "trend",
+        F.expr(
+            "(2 * CAST(_ws * 1000000 AS DECIMAL(38,0)) + _wc)"
+            " div (2 * _wc)"
+        ).cast("double")
+        / 1000000.0,
+    )
+    return tr.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rev"), 6).alias("revenue"),
+        F.round(F.col("idx"), 6).alias("seasonal_idx"),
+        "trend",
+        F.round(F.col("deseason") - F.col("trend"), 2).alias("residual"),
+    ).orderBy("day")

@@ -534,3 +534,100 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feed")
     )
+
+
+@register(
+    "dq_outlier_fences",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_g
+        FROM events
+    ),
+    q AS (
+        SELECT event_type, n_g,
+               MAX(CASE WHEN rn = CAST(ceil(0.25 * n_g) AS BIGINT)
+                        THEN value END) AS q1,
+               MAX(CASE WHEN rn = CAST(ceil(0.75 * n_g) AS BIGINT)
+                        THEN value END) AS q3
+        FROM r GROUP BY event_type, n_g
+    ),
+    fenced AS (
+        SELECT e.event_type, e.value, q.n_g, q.q1, q.q3,
+               q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+               q.q3 + 1.5 * (q.q3 - q.q1) AS hi
+        FROM events e JOIN q ON e.event_type = q.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(n_g) AS BIGINT) AS n,
+           MAX(q1) AS q1, MAX(q3) AS q3,
+           round(MAX(hi), 6) AS hi_fence,
+           CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(CASE WHEN value > hi THEN value END) AS max_outlier
+    FROM fenced GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact type-1 Q1/Q3,
+    fences at 1.5*IQR, and the count + extreme of the values outside —
+    the standard pre-aggregation data-quality gate for heavy-tailed
+    metrics (flags the rows a mean-based rollup would silently absorb).
+
+    Scale shape: quartiles come from the GROUPED histogram-bucket
+    rank plan (never a whole-group sort on the ~5-value type key);
+    the fence test is a broadcast join back (7-row quartile table) +
+    one conditional aggregation. Fence arithmetic is a single fixed
+    expression over untouched input doubles — bit-identical across
+    engines.
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    data-quality layer per the build brief."""
+    from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    r = grouped_bucketed_row_number(
+        e, ["event_type"], "value", ["event_id"], F.floor(F.col("value")),
+        rank_col="rn",
+    )
+    ng = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    r = r.join(F.broadcast(ng), "event_type")
+
+    def at(q: float, out: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n_g")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(out)
+
+    qs = r.groupBy("event_type", "n_g").agg(at(0.25, "q1"), at(0.75, "q3"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    fenced = e.join(F.broadcast(qs), "event_type").select(
+        "event_type", "value", "n_g", "q1", "q3",
+        lo.alias("lo"), hi.alias("hi"),
+    )
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.max("n_g").cast("long").alias("n"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.round(F.max("hi"), 6).alias("hi_fence"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max(F.when(F.col("value") > F.col("hi"), F.col("value")))
+                .alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )

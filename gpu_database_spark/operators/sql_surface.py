@@ -149,8 +149,9 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_udf_scalar",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(27,6))) AS DOUBLE) AS net_revenue
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+               AS net_revenue
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -172,8 +173,9 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag,
-               CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
-                             AS DECIMAL(27,6))) AS DOUBLE) AS net_revenue
+               CAST(CAST(SUM(CAST(net_price(l_extendedprice, l_discount)
+                                  AS DECIMAL(27,6))) AS STRING) AS DOUBLE)
+                   AS net_revenue
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
@@ -336,3 +338,40 @@ def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.transpose().orderBy("key")
+
+
+_QUALIFY_ORACLE = """
+SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY priority, rn
+"""
+
+
+@register("sql_qualify_topn", oracle=_QUALIFY_ORACLE)
+def sql_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause semantics (filter on a window result without a
+    subquery — DuckDB/BigQuery/Snowflake dialect sugar). Spark SQL has
+    no QUALIFY keyword, so the engine exposes the canonical rewrite:
+    the window moves into a derived table and QUALIFY becomes WHERE —
+    byte-identical results, and Catalyst turns the rank<=k filter
+    into a per-partition partial top-k (WindowGroupLimit), so the
+    100 TB plan never fully sorts any priority group.
+
+    Reference tie-in: no SQL surface in the reference CUDA KV store
+    (src/cuda/*.cuh); part of the modern-SQL dialect layer."""
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT priority, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        ORDER BY priority, rn
+        """
+    )

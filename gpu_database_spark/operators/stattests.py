@@ -1385,3 +1385,389 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@register(
+    "stat_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS grp, COUNT(*) AS n_j,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    t AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n, COUNT(*) AS k,
+               CAST(SUM(s1) AS DOUBLE) AS s1_all,
+               MAX(CASE WHEN grp = 'A' THEN CAST(s1 AS DOUBLE) END) AS s1a,
+               MAX(CASE WHEN grp = 'N' THEN CAST(s1 AS DOUBLE) END) AS s1n,
+               MAX(CASE WHEN grp = 'R' THEN CAST(s1 AS DOUBLE) END) AS s1r,
+               MAX(CASE WHEN grp = 'A' THEN CAST(s2 AS DOUBLE) END) AS s2a,
+               MAX(CASE WHEN grp = 'N' THEN CAST(s2 AS DOUBLE) END) AS s2n,
+               MAX(CASE WHEN grp = 'R' THEN CAST(s2 AS DOUBLE) END) AS s2r,
+               MAX(CASE WHEN grp = 'A' THEN CAST(n_j AS DOUBLE) END) AS na,
+               MAX(CASE WHEN grp = 'N' THEN CAST(n_j AS DOUBLE) END) AS nn,
+               MAX(CASE WHEN grp = 'R' THEN CAST(n_j AS DOUBLE) END) AS nr
+        FROM g
+    ),
+    f AS (
+        SELECT n, k, s1a, s1n, s1r, na, nn, nr,
+               (s1a * s1a / na + s1n * s1n / nn + s1r * s1r / nr)
+                   - s1_all * s1_all / CAST(n AS DOUBLE) AS ssb,
+               ((s2a - s1a * s1a / na) + (s2n - s1n * s1n / nn)
+                + (s2r - s1r * s1r / nr)) AS ssw
+        FROM t
+    )
+    SELECT n, k,
+           round(s1a / na, 6) AS mean_a,
+           round(s1n / nn, 6) AS mean_n,
+           round(s1r / nr, 6) AS mean_r,
+           round((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM f
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order quantity across return-flag groups:
+    F = (SSB/(k-1)) / (SSW/(n-k)) from the computational identities
+    SSW = sum_g (s2_g - s1_g^2/n_g), SSB = sum_g s1_g^2/n_g - S^2/n,
+    plus eta-squared (SSB / SST), the effect-size companion.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the fact
+    table to k=3 sufficient-statistic rows; everything after is
+    arithmetic on a pivoted single row. l_quantity is integer-valued,
+    so s1/s2 are EXACT BIGINTs (s2 <= 2500*n stays in BIGINT to
+    n ~ 3.7e15 rows — past 100 TB); the pivot fixes the textual fold
+    order (A, N, R) so the double arithmetic is bit-identical across
+    engines, and only O(1)-magnitude ratios (means, F, eta^2) survive
+    to the output — raw 1e13+ sums never do (they round unstably;
+    see stat_brown_forsythe's measured ulp note).
+
+    Reference tie-in: no statistics surface in the reference CUDA KV
+    store (src/cuda/hashTable.cuh); part of the drift-gate layer the
+    build brief adds."""
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_j"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+    )
+
+    def pick(col: str, grp: str) -> F.Column:
+        return F.max(
+            F.when(F.col("grp") == grp, F.col(col).cast("double"))
+        ).alias(f"{col}{grp.lower()}")
+
+    t = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s1").cast("double").alias("s1_all"),
+        pick("s1", "A"), pick("s1", "N"), pick("s1", "R"),
+        pick("s2", "A"), pick("s2", "N"), pick("s2", "R"),
+        pick("n_j", "A"), pick("n_j", "N"), pick("n_j", "R"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = (
+        F.col("s1a") * F.col("s1a") / F.col("n_ja")
+        + F.col("s1n") * F.col("s1n") / F.col("n_jn")
+        + F.col("s1r") * F.col("s1r") / F.col("n_jr")
+    ) - F.col("s1_all") * F.col("s1_all") / nd
+    ssw = (
+        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_ja"))
+        + (F.col("s2n") - F.col("s1n") * F.col("s1n") / F.col("n_jn"))
+        + (F.col("s2r") - F.col("s1r") * F.col("s1r") / F.col("n_jr"))
+    )
+    f = t.select(
+        "n", "k", "s1a", "s1n", "s1r", "n_ja", "n_jn", "n_jr",
+        ssb.alias("ssb"), ssw.alias("ssw"),
+    )
+    return f.select(
+        "n",
+        "k",
+        F.round(F.col("s1a") / F.col("n_ja"), 6).alias("mean_a"),
+        F.round(F.col("s1n") / F.col("n_jn"), 6).alias("mean_n"),
+        F.round(F.col("s1r") / F.col("n_jr"), 6).alias("mean_r"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS n_v,
+               COUNT(*) FILTER (WHERE l_returnflag = 'A') AS ca,
+               COUNT(*) FILTER (WHERE l_returnflag = 'N') AS cn,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS cr
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT v, n_v, ca, cn, cr,
+               2 * COALESCE(SUM(n_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n_v + 1 AS ar2,
+               n_v * n_v * n_v - n_v AS tie3
+        FROM hist
+    ),
+    s AS (
+        SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+               CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cn) AS BIGINT) AS n_n,
+               CAST(SUM(cr) AS BIGINT) AS n_r,
+               CAST(SUM(ca * ar2) AS BIGINT) AS r2a,
+               CAST(SUM(cn * ar2) AS BIGINT) AS r2n,
+               CAST(SUM(cr * ar2) AS BIGINT) AS r2r,
+               CAST(SUM(CAST(tie3 AS DECIMAL(38,0))) AS DOUBLE) AS ties
+        FROM r
+    )
+    SELECT n, n_a, n_n, n_r,
+           round(CAST(r2a AS DOUBLE) / (2 * CAST(n_a AS DOUBLE)), 6)
+               AS mean_rank_a,
+           round(CAST(r2n AS DOUBLE) / (2 * CAST(n_n AS DOUBLE)), 6)
+               AS mean_rank_n,
+           round(CAST(r2r AS DOUBLE) / (2 * CAST(n_r AS DOUBLE)), 6)
+               AS mean_rank_r,
+           round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * (CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE)
+                         / (4.0 * CAST(n_a AS DOUBLE))
+                     + CAST(r2n AS DOUBLE) * CAST(r2n AS DOUBLE)
+                         / (4.0 * CAST(n_n AS DOUBLE))
+                     + CAST(r2r AS DOUBLE) * CAST(r2r AS DOUBLE)
+                         / (4.0 * CAST(n_r AS DOUBLE)))
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                 6) AS h_stat
+    FROM s
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (the k-group Mann-Whitney): H =
+    12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1), tie-corrected by
+    C = 1 - sum(t^3 - t)/(n^3 - n), over quantity ranks across the
+    three return-flag groups — the nonparametric ANOVA a drift gate
+    uses when the metric is ordinal or heavy-tailed.
+
+    Scale shape: NO ranking pass over the fact table at all — the
+    value domain is small (<= 50 distinct quantities), so tie-averaged
+    ranks come in closed form from the value HISTOGRAM: doubled
+    tie-averaged rank ar2(v) = 2*cum_before(v) + n_v + 1 (exact
+    integer). The fact table collapses in one map-side-combinable
+    groupBy to a 50-row (value x group-count) table; the rank window
+    runs over those 50 rows only. Doubled rank sums are
+    BIGINT-exact to n ~ 2e9 (sum ~ n^2); the tie cube sum accumulates
+    in DECIMAL(38,0) (t^3 passes BIGINT at t ~ 2e6). Only
+    O(1)..O(n)-magnitude ratios survive to the output.
+
+    Reference tie-in: none in the reference CUDA KV store — LLM-era
+    drift-gate surface per the build brief."""
+    from pyspark.sql import Window
+
+    hist = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.col("l_returnflag").alias("grp"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_v"),
+            F.count(F.when(F.col("grp") == "A", 1)).alias("ca"),
+            F.count(F.when(F.col("grp") == "N", 1)).alias("cn"),
+            F.count(F.when(F.col("grp") == "R", 1)).alias("cr"),
+        )
+    )
+    # Window over the <=50-row value histogram — bounded by the value
+    # domain, not the data; a single task is correct here.
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = hist.select(
+        "v", "n_v", "ca", "cn", "cr",
+        (2 * F.coalesce(F.sum("n_v").over(w), F.lit(0)) + F.col("n_v") + 1)
+            .alias("ar2"),
+        (F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+            .alias("tie3"),
+    )
+    s = r.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cn").cast("long").alias("n_n"),
+        F.sum("cr").cast("long").alias("n_r"),
+        F.sum(F.col("ca") * F.col("ar2")).cast("long").alias("r2a"),
+        F.sum(F.col("cn") * F.col("ar2")).cast("long").alias("r2n"),
+        F.sum(F.col("cr") * F.col("ar2")).cast("long").alias("r2r"),
+        F.sum(F.col("tie3").cast("decimal(38,0)")).cast("double").alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    def rg(r2: str, ng: str) -> F.Column:
+        return (
+            F.col(r2).cast("double") * F.col(r2).cast("double")
+            / (4.0 * F.col(ng).cast("double"))
+        )
+    h_raw = (
+        12.0 / (nd * (nd + 1.0))
+        * (rg("r2a", "n_a") + rg("r2n", "n_n") + rg("r2r", "n_r"))
+        - 3.0 * (nd + 1.0)
+    )
+    c = 1.0 - F.col("ties") / (nd * nd * nd - nd)
+    return s.select(
+        "n", "n_a", "n_n", "n_r",
+        F.round(
+            F.col("r2a").cast("double") / (2 * F.col("n_a").cast("double")), 6
+        ).alias("mean_rank_a"),
+        F.round(
+            F.col("r2n").cast("double") / (2 * F.col("n_n").cast("double")), 6
+        ).alias("mean_rank_n"),
+        F.round(
+            F.col("r2r").cast("double") / (2 * F.col("n_r").cast("double")), 6
+        ).alias("mean_rank_r"),
+        F.round(h_raw / c, 6).alias("h_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo permutation test (round 8) — completes the resampling
+# family begun by stat_bootstrap_ci: same md5-window uniforms, same
+# one-pass wide-aggregation shape.
+
+_PERM_B = 32  # random reassignments
+
+
+def _perm_flag_sql(b: int, dialect: str) -> str:
+    """Replicate-b group reassignment: row joins the 'positive' arm
+    iff u(row, b) < p1 (the observed positive share, broadcast from
+    the scalar pre-pass) — proportion-preserving in expectation."""
+    return f"CASE WHEN {_boot_u_sql(b, dialect)} < p1 THEN 1 ELSE 0 END"
+
+
+def _perm_oracle() -> str:
+    flags = ", ".join(f"{_perm_flag_sql(b, 'duck')} AS g{b}" for b in range(_PERM_B))
+    diffs = " UNION ALL ".join(
+        f"SELECT {b} AS b,"
+        f" CAST(SUM(CASE WHEN g{b} = 1 THEN x END) AS DOUBLE)"
+        f"   / COUNT(CASE WHEN g{b} = 1 THEN 1 END)"
+        f" - CAST(SUM(CASE WHEN g{b} = 0 THEN x END) AS DOUBLE)"
+        f"   / COUNT(CASE WHEN g{b} = 0 THEN 1 END) AS diff FROM w"
+        for b in range(_PERM_B)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    p AS (
+        SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p1,
+               COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+        FROM base
+    ),
+    w AS (SELECT base.*, p.p1, {flags} FROM base CROSS JOIN p),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN x END) AS DOUBLE)
+                   / COUNT(CASE WHEN y = 1 THEN 1 END)
+               - CAST(SUM(CASE WHEN y = 0 THEN x END) AS DOUBLE)
+                   / COUNT(CASE WHEN y = 0 THEN 1 END) AS diff_obs
+        FROM base
+    ),
+    diffs AS ({diffs}),
+    tail AS (
+        SELECT CAST(SUM(CASE WHEN abs(diffs.diff) >= abs(obs.diff_obs)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM diffs CROSS JOIN obs
+    )
+    SELECT p.n, p.npos,
+           round(obs.diff_obs, 6) AS diff_obs,
+           tail.n_extreme,
+           round(CAST(1 + tail.n_extreme AS DOUBLE) / {_PERM_B + 1}.0, 6)
+               AS p_value
+    FROM p CROSS JOIN obs CROSS JOIN tail
+    """
+
+
+@register("stat_permutation_test", oracle=_perm_oracle())
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test for the mean difference between
+    labeled groups (urgent/high-priority orders vs the rest, metric =
+    order value): 32 deterministic md5-derived random reassignments
+    preserve the positive share in expectation; the two-sided p-value
+    is (1 + #extreme) / (B + 1) — the distribution-free alternative to
+    Welch's t when normality is off the table.
+
+    Scale shape: one O(1) scalar pre-pass (n, npos -> the reassignment
+    threshold, broadcast), then ONE wide aggregation computes all 32
+    replicate mean-differences AND the observed difference in a single
+    scan (the stat_bootstrap_ci shape: 6 md5 hashes per row yield 32
+    exact 20-bit uniforms — no modulo bias, no per-replicate pass).
+    Group sums are exact DECIMAL; each difference is two divisions in
+    fixed textual order, so the |diff| >= |diff_obs| comparisons are
+    bit-identical across engines.
+
+    Reference tie-in: the md5-derived uniform mirrors the reference's
+    deterministic device RNG role (src/cuda/cudarand.cuh); no
+    statistics surface exists there."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        _label_col(),
+    )
+    p = base.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("p1"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    w = base.crossJoin(F.broadcast(p))
+    aggs = []
+    for b in range(_PERM_B):
+        g = F.expr(_perm_flag_sql(b, "spark"))
+        aggs.append(F.sum(F.when(g == 1, F.col("x"))).alias(f"s{b}"))
+        aggs.append(F.count(F.when(g == 1, 1)).alias(f"c{b}"))
+    aggs.append(F.sum(F.when(F.col("y") == 1, F.col("x"))).alias("s_pos"))
+    aggs.append(F.count(F.when(F.col("y") == 1, 1)).alias("c_pos"))
+    aggs.append(F.sum(F.col("x")).alias("s_all"))
+    aggs.append(F.count(F.lit(1)).alias("c_all"))
+    wide = w.agg(*aggs)
+
+    def mean_diff(s: F.Column, c: F.Column) -> F.Column:
+        # positive-arm mean minus complement mean, fixed op order
+        return (
+            s.cast("double") / c
+            - (F.col("s_all") - s).cast("double") / (F.col("c_all") - c)
+        )
+
+    # The oracle states each replicate independently; here the same 32
+    # differences come off the one wide row (sum/count identities:
+    # complement sums = totals minus the positive arm).
+    diff_obs = mean_diff(F.col("s_pos"), F.col("c_pos"))
+    extreme = sum(
+        F.when(
+            F.abs(mean_diff(F.col(f"s{b}"), F.col(f"c{b}")))
+            >= F.abs(diff_obs),
+            1,
+        ).otherwise(0)
+        for b in range(_PERM_B)
+    )
+    return (
+        wide.crossJoin(F.broadcast(p.select("n", "npos")))
+        .select(
+            "n",
+            "npos",
+            F.round(diff_obs, 6).alias("diff_obs"),
+            extreme.cast("long").alias("n_extreme"),
+            F.round(
+                (1 + extreme).cast("double") / float(_PERM_B + 1), 6
+            ).alias("p_value"),
+        )
+    )

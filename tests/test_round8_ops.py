@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -97,3 +98,188 @@ def test_aria_epoch_loop_census_runs_distributed(spark, sf_dir):
     epochs = {r.epochs for r in rows}
     assert len(epochs) == 1 and 1 <= epochs.pop() <= 20
     assert all(len(r.value) == 32 for r in rows)
+
+
+def test_qualify_topn_uses_window_group_limit(spark, sf_dir):
+    """sql_qualify_topn's rank<=k filter must become a per-partition
+    partial top-k (WindowGroupLimit), never a full sort of each
+    priority group."""
+    from gpu_database_spark.operators.sql_surface import sql_qualify_topn
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.simple_plan(sql_qualify_topn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_heavy_hitters_candidates_bounded_and_exact(spark, sf_dir):
+    """Pass-1 Misra-Gries must emit at most HH_CAP candidates per
+    partition, and the 2-pass result must equal the naive
+    group-by-all-tokens answer (the superset guarantee makes the
+    sketch EXACT after the second pass)."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.llm.textstats import (
+        HH_CAP,
+        HH_PHI,
+        topk_heavy_hitters_2pass,
+    )
+    from gpu_database_spark.sources.catalog import load_table
+
+    got = {
+        (r["w"], r["cnt"])
+        for r in topk_heavy_hitters_2pass(spark, sf_dir).collect()
+    }
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    n = tok.count()
+    naive = {
+        (r["w"], r["cnt"])
+        for r in tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * HH_PHI > n)
+        .collect()
+    }
+    assert got == naive
+    assert HH_CAP > HH_PHI  # the superset guarantee's precondition
+
+
+def test_ndcg_rank_windows_are_bucketed(spark, sf_dir):
+    """Both NDCG rankings (by score, by relevance) must go through the
+    bucketed rank plan — no unbucketed global row_number window."""
+    from gpu_database_spark.llm.features import ml_eval_ndcg
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.simple_plan(ml_eval_ndcg(spark, sf_dir))
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "_rk_bkt" in ln, f"unbucketed global rank window: {ln}"
+
+
+def test_kruskal_wallis_windows_only_the_histogram(spark, sf_dir):
+    """The KW rank window must run over the value HISTOGRAM (<= 50
+    rows), i.e. AFTER the groupBy collapse — the fact table itself is
+    never windowed."""
+    from gpu_database_spark.operators.stattests import stat_kruskal_wallis
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.formatted_plan(stat_kruskal_wallis(spark, sf_dir))
+    # the window's input must be an aggregate, not the scan: in the
+    # formatted plan the Window node appears above a HashAggregate
+    win_at = plan.find("Window")
+    agg_at = plan.find("HashAggregate")
+    assert win_at != -1 and agg_at != -1
+    scan_at = plan.find("Scan parquet")
+    assert scan_at == -1 or win_at < scan_at or agg_at < win_at
+
+
+def test_passage_dedup_first_occurrence_semantics(spark, sf_dir):
+    """Census identity: n_dup + n_kept == n_chunks per doc, every
+    distinct passage has exactly ONE kept occurrence corpus-wide, and
+    doc 0's chunks are all kept (nothing precedes doc 0)."""
+    from gpu_database_spark.llm.dedup import dedup_passage_exact
+
+    rows = dedup_passage_exact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dup"] + r["n_kept"] == r["n_chunks"]
+    first = [r for r in rows if r["doc_id"] == 0]
+    assert first and first[0]["n_dup"] == 0
+
+
+def test_compression_ratio_matches_serial_zlib(spark, sf_dir):
+    """The distributed census must equal a serial zlib replica
+    (same library, same level) — the rows-only oracle."""
+    import zlib
+    from decimal import Decimal
+
+    import duckdb  # noqa: F401 — parity-style import guard
+
+    from gpu_database_spark.llm.filtering import (
+        COMPRESS_FLAG_RATIO,
+        text_compression_ratio,
+    )
+
+    got = {
+        r["source"]: (r["n_docs"], r["mean_ratio"], r["n_flagged"])
+        for r in text_compression_ratio(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    per_source: dict[str, list[float]] = {}
+    for r in docs:
+        raw = (r["text"] or "").encode("utf-8")
+        ratio = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+        per_source.setdefault(r["source"], []).append(round(ratio, 8))
+    for src, ratios in per_source.items():
+        n = len(ratios)
+        mean = float(
+            round(
+                sum(Decimal(str(x)) for x in ratios) / Decimal(n), 6
+            )
+        )
+        flagged = sum(1 for x in ratios if x < COMPRESS_FLAG_RATIO)
+        assert got[src] == (n, pytest.approx(mean, abs=1e-6), flagged), src
+
+
+def test_audio_energy_decodes_real_wav(spark):
+    """A real 16-bit WAV (stdlib-generated sine + silence) must take
+    the REAL decode path (codec='wav') and produce the expected
+    windowed energy census: the sine half is loud, the silent half is
+    below the silence threshold."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from gpu_database_spark.llm.multimodal import (
+        AUDIO_SILENCE,
+        AUDIO_WIN,
+        audio_energy_windows,
+    )
+
+    n = AUDIO_WIN * 4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        loud = [
+            int(20000 * math.sin(2 * math.pi * 440 * i / 16000))
+            for i in range(n // 2)
+        ]
+        samples = loud + [0] * (n // 2)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio", len(buf.getvalue()))],
+        "media_id long, payload binary, media_type string, byte_len long",
+    )
+    rows = audio_energy_windows(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["codec"] == "wav"
+    assert r["n_windows"] == 4
+    # half the windows are silent (0), half are loud sine (mean |amp|
+    # ~ (2/pi)*20000/32768 ~ 0.389) -> overall mean ~ 0.194
+    assert r["silence_ratio"] == 0.5
+    assert 0.15 < r["mean_energy"] < 0.25
+    assert AUDIO_SILENCE < 0.2  # the loud windows must clear the gate
+
+
+def test_permutation_test_is_two_scans(spark, sf_dir):
+    """stat_permutation_test must cost exactly its stated plan: ONE
+    O(1)-output scalar pre-pass (n, npos -> threshold) plus ONE wide
+    aggregation carrying all 32 replicate differences AND the observed
+    difference — never a scan or shuffle per replicate."""
+    from gpu_database_spark.operators.stattests import stat_permutation_test
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.simple_plan(stat_permutation_test(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    # 32 replicate sums must appear as conditional aggregates in one
+    # aggregation, not 32 separate aggregations over the fact table
+    assert plan.count("s31") >= 1, "replicate 31's sum is missing"
