@@ -252,6 +252,9 @@ HEADLINE = [
     "text_compression_ratio",
     "mm_audio_energy",
     "stat_permutation_test",
+    "cohort_stickiness",
+    "ml_feature_hashing",
+    "agg_approx_quantile_audit",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

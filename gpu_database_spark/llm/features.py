@@ -1172,3 +1172,89 @@ def feat_scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100000.0) - F.col("med")) / (F.col("q3") - F.col("q1")), 6
         ).alias("scaled_100k"),
     ).orderBy("seg")
+
+
+# Feature hashing: 2^10 buckets via the md5 window trick (same
+# deterministic-hash discipline as llm/sampling.py — reproducible on
+# any cluster, reproducible in the oracle).
+FH_BUCKETS = 1024
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, w,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                   % {FH_BUCKETS} AS slot
+        FROM tok
+    ),
+    vocab AS (SELECT DISTINCT w, slot FROM hashed),
+    coll AS (
+        SELECT slot, COUNT(*) AS n_terms FROM vocab GROUP BY slot
+    ),
+    doc AS (
+        SELECT doc_id, COUNT(DISTINCT slot) AS nnz, COUNT(*) AS n_tok
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vocab_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM coll) AS slots_used,
+           (SELECT CAST(MAX(n_terms) AS BIGINT) FROM coll)
+               AS worst_collisions,
+           (SELECT CAST(SUM(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END)
+                        AS BIGINT) FROM coll) AS terms_colliding,
+           (SELECT round(CAST(SUM(CAST(nnz AS DECIMAL(27,6))) AS DOUBLE)
+                         / COUNT(*), 6) FROM doc) AS avg_doc_nnz
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature audit: tokens hash into 1024 feature
+    slots (md5-derived — deterministic on any cluster AND in the
+    oracle, unlike murmur-based hashingTF); reports vocabulary size,
+    slots used, the worst slot's term count, how many distinct terms
+    collide, and mean per-doc sparsity — the pre-flight a pipeline
+    runs before freezing a hashed feature space.
+
+    Scale shape: explode once; collision stats come from the DISTINCT
+    (term, slot) projection (vocab-bounded — Zipf-small after the
+    distinct) and per-doc sparsity from one (doc, slot) distinct
+    aggregate; no join touches the token stream twice. The slot hash
+    is the same exact 60-bit md5-window arithmetic both engines
+    evaluate bit-identically.
+
+    Reference tie-in: the md5 slot hash mirrors the reference's hash
+    bucket mapping (src/cuda/hashTable.cuh:94-110) repurposed for
+    feature spaces."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+        % FH_BUCKETS
+    )
+    hashed = tok.select("doc_id", "w", slot.alias("slot"))
+    vocab = hashed.select("w", "slot").distinct()
+    coll = vocab.groupBy("slot").agg(F.count(F.lit(1)).alias("n_terms"))
+    doc = hashed.groupBy("doc_id").agg(
+        F.count_distinct("slot").alias("nnz")
+    )
+    vs = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    cs = coll.agg(
+        F.count(F.lit(1)).cast("long").alias("slots_used"),
+        F.max("n_terms").cast("long").alias("worst_collisions"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms")).otherwise(0))
+            .cast("long").alias("terms_colliding"),
+    )
+    ds = doc.agg(
+        F.round(
+            F.sum(F.col("nnz").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_doc_nnz")
+    )
+    return vs.crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(ds))

@@ -933,3 +933,84 @@ def agg_mean_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# approx_percentile accuracy knob: rank error is bounded by
+# n / APPROX_Q_ACCURACY (Greenwald-Khanna guarantee).
+APPROX_Q_ACCURACY = 10_000
+APPROX_QS = (0.5, 0.9, 0.99)
+
+
+@register("agg_approx_quantile_audit")  # rows-only: sketch is engine-local
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-vs-exact quantile audit: Spark's approx_percentile
+    (Greenwald-Khanna sketch, the 100 TB path) scored against the
+    EXACT order statistics from the bucketed rank plan — per quantile:
+    both values, the absolute error, and whether the sketch respected
+    its rank-error guarantee (exact values at ranks ±n/accuracy must
+    bracket the estimate). The audit a pipeline runs once per metric
+    before trusting the sketch in production rollups.
+
+    Scale shape: the sketch is one map-side-combinable aggregate; the
+    exact side is the histogram-bucket rank plan (no global sort);
+    the bracket check joins three O(1) rank lookups. Rows-only: the
+    sketch's exact output is engine-specific (DuckDB's approximate
+    quantile is a different t-digest); the GUARANTEE, not the value,
+    is the contract — asserted here and in tests/test_round8_ops.py."""
+    from gpu_database_spark.functions.ranks import bucketed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    n_df = li.agg(F.count(F.lit(1)).alias("n"))
+    approx = li.agg(
+        F.percentile_approx(
+            "v", list(APPROX_QS), APPROX_Q_ACCURACY
+        ).alias("apx")
+    )
+    r = bucketed_row_number(
+        li, "v", ["l_orderkey", "l_linenumber"],
+        F.floor(F.col("v") / 2000.0), rank_col="rn",
+    ).join(F.broadcast(n_df), how="cross")
+    picks = []
+    for i, q in enumerate(APPROX_QS):
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        tol = (F.col("n") / APPROX_Q_ACCURACY).cast("long") + 1
+        picks.append(
+            F.max(F.when(F.col("rn") == rank, F.col("v"))).alias(f"x{i}")
+        )
+        picks.append(
+            F.max(
+                F.when(F.col("rn") == F.greatest(rank - tol, F.lit(1)),
+                       F.col("v"))
+            ).alias(f"lo{i}")
+        )
+        picks.append(
+            F.max(
+                F.when(F.col("rn") == F.least(rank + tol, F.col("n")),
+                       F.col("v"))
+            ).alias(f"hi{i}")
+        )
+    exact = r.groupBy().agg(*picks)
+    wide = exact.crossJoin(F.broadcast(approx)).crossJoin(F.broadcast(n_df))
+    rows = []
+    for i, q in enumerate(APPROX_QS):
+        a = F.element_at(F.col("apx"), i + 1)
+        rows.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.col(f"x{i}").alias("exact"),
+                a.alias("approx"),
+                F.round(F.abs(a - F.col(f"x{i}")), 6).alias("abs_err"),
+                ((a >= F.col(f"lo{i}")) & (a <= F.col(f"hi{i}")))
+                    .alias("within_guarantee"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"), "n")
+        .select(
+            "s.q", "s.exact", "s.approx", "s.abs_err",
+            "s.within_guarantee", F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("q")
+    )

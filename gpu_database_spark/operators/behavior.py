@@ -1625,3 +1625,74 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         "trend",
         F.round(F.col("deseason") - F.col("trend"), 2).alias("residual"),
     ).orderBy("day")
+
+
+@register(
+    "cohort_stickiness",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               epoch_ns(ts) // 86400000000000 AS day,
+               (epoch_ns(ts) // 86400000000000) // 30 AS month30
+        FROM events
+    ),
+    dau AS (
+        SELECT month30, day, COUNT(DISTINCT user_id) AS dau
+        FROM base GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT month30, COUNT(DISTINCT user_id) AS mau
+        FROM base GROUP BY 1
+    )
+    SELECT d.month30,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_sum,
+           CAST(MAX(m.mau) AS BIGINT) AS mau,
+           round(CAST(SUM(d.dau) AS DOUBLE)
+                 / (COUNT(*) * MAX(m.mau)), 6) AS stickiness
+    FROM dau d JOIN mau m USING (month30)
+    GROUP BY d.month30 ORDER BY d.month30
+    """,
+)
+def cohort_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per 30-day window: mean daily active users
+    over monthly active users — THE engagement-density ratio product
+    analytics tracks next to retention (1.0 = every monthly user
+    active every day).
+
+    Scale shape: two COUNT(DISTINCT user) aggregations over epoch-day
+    integer keys (Spark plans distinct-aggregates as two-phase
+    expand+agg, map-side combinable); the join and ratio run over the
+    |months| x |days| collapse. Integer epoch-ns day arithmetic is
+    exact in both engines; the one ratio is integers-to-double.
+
+    Reference tie-in: none in the reference CUDA KV store — event
+    analytics per the build brief."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    base = e.select(
+        "user_id",
+        day.alias("day"),
+        F.expr("(ts_ns div 86400000000000) div 30").alias("month30"),
+    )
+    dau = base.groupBy("month30", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = base.groupBy("month30").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month30")
+        .groupBy("month30")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").cast("long").alias("dau_sum"),
+            F.max("mau").cast("long").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double")
+                / (F.count(F.lit(1)) * F.max("mau")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month30")
+    )

@@ -283,3 +283,16 @@ def test_permutation_test_is_two_scans(spark, sf_dir):
     # 32 replicate sums must appear as conditional aggregates in one
     # aggregation, not 32 separate aggregations over the fact table
     assert plan.count("s31") >= 1, "replicate 31's sum is missing"
+
+
+def test_approx_quantile_audit_guarantee_holds(spark, sf_dir):
+    """The GK sketch must sit inside the exact rank bracket at every
+    audited quantile — the contract the rows-only query reports."""
+    from gpu_database_spark.operators.aggregates import (
+        agg_approx_quantile_audit,
+    )
+
+    rows = agg_approx_quantile_audit(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r["within_guarantee"] for r in rows)
+    assert all(r["exact"] is not None and r["approx"] is not None for r in rows)
