@@ -695,8 +695,9 @@ SPAN_WORDS = 8  # exact-substring span width (word 8-grams)
            COUNT(*) AS n_spans,
            CAST(SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_spans,
-           round(CAST(SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS dup_ratio
+           CAST((2 * SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END)
+                     * 1000000 + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS dup_ratio
     FROM sp s JOIN sd d USING (span)
     GROUP BY s.doc_id
     HAVING SUM(CASE WHEN d.n_docs_span >= 2 THEN 1 ELSE 0 END) > 0
@@ -747,7 +748,17 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             dup.cast("long").alias("n_dup_spans"),
-            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+            # integer (2u+c) div (2c) rounding: small-integer-count
+            # ratios (e.g. k/128) land exactly on 6dp half-boundaries
+            # where the engines' round() semantics disagree
+            (
+                F.expr(
+                    "(2 * CAST(SUM(CASE WHEN n_docs_span >= 2 THEN 1"
+                    " ELSE 0 END) AS DECIMAL(38,0)) * 1000000 + COUNT(*))"
+                    " div (2 * COUNT(*))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("dup_ratio"),
         )
         .filter(F.col("n_dup_spans") > 0)
         .orderBy("doc_id")

@@ -509,8 +509,9 @@ N_CENTROIDS = 4  # seed centroids for the IVF train step (vec_id < 4)
     )
     SELECT cid AS centroid_id,
            COUNT(*) AS n_assigned,
-           round(CAST(SUM(CAST(sim AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_sim
+           CAST((2 * CAST(SUM(CAST(sim AS DECIMAL(27,6))) * 1000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS avg_sim
     FROM best WHERE rk = 1
     GROUP BY cid ORDER BY cid
     """,
@@ -543,10 +544,15 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy(F.col("cid").alias("centroid_id"))
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
-            F.round(
-                F.sum(F.col("sim").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # integer (2u+c) div (2c) rounding — sum/count quotients
+            # land exactly on 6dp half-boundaries where the engines'
+            # round() semantics disagree (round-8 sweep class)
+            (
+                F.expr(
+                    "(2 * CAST(SUM(CAST(sim AS DECIMAL(27,6))) * 1000000"
+                    " AS DECIMAL(38,0)) + COUNT(*)) div (2 * COUNT(*))"
+                ).cast("double")
+                / 1000000.0
             ).alias("avg_sim"),
         )
         .orderBy("centroid_id")

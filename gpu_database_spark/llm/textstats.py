@@ -685,8 +685,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN uni u ON o.w1 = u.w1
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           round(CAST(SUM(CAST(s AS DECIMAL(27,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_surprisal
+           CAST((2 * CAST(SUM(CAST(s AS DECIMAL(27,6))) * 1000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS mean_surprisal
     FROM scored GROUP BY doc_id
     ORDER BY mean_surprisal DESC, doc_id
     LIMIT 10
@@ -753,10 +754,15 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("s").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # integer (2u+c) div (2c) rounding — sum/count quotients
+            # land exactly on 6dp half-boundaries where the engines'
+            # round() semantics disagree (round-8 sweep class)
+            (
+                F.expr(
+                    "(2 * CAST(SUM(CAST(s AS DECIMAL(27,6))) * 1000000"
+                    " AS DECIMAL(38,0)) + COUNT(*)) div (2 * COUNT(*))"
+                ).cast("double")
+                / 1000000.0
             ).alias("mean_surprisal"),
         )
         .orderBy(F.desc("mean_surprisal"), "doc_id")

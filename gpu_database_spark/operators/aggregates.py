@@ -875,7 +875,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT flag,
            COUNT(*) AS n,
-           round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_arith,
+           CAST((2 * CAST(SUM(q) AS HUGEINT) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_arith,
            round(exp(CAST(SUM(CAST(round(ln(q), 8) AS DECIMAL(38,10)))
                           AS DOUBLE) / COUNT(*)), 6) AS mean_geom,
            round(COUNT(*) / CAST(SUM(CAST(round(1.0 / q, 8)
@@ -911,8 +912,16 @@ def agg_mean_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("flag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6)
-                .alias("mean_arith"),
+            # integer (2u+c) div (2c) rounding: integer-sum/count
+            # quotients land exactly on 6dp half-boundaries where the
+            # engines' round() semantics disagree
+            (
+                F.expr(
+                    "(2 * CAST(SUM(q) AS DECIMAL(38,0)) * 1000000"
+                    " + COUNT(*)) div (2 * COUNT(*))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("mean_arith"),
             F.round(
                 F.exp(
                     F.sum(F.round(F.log(F.col("q")), 8).cast(d38))

@@ -388,7 +388,9 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_type = 'purchase' AND last_view_ns IS NOT NULL
     )
     SELECT hours_to_convert, COUNT(*) AS n_purchases,
-           round({dsum_sql('value')} / COUNT(*), 6) AS avg_value
+           CAST((2 * CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS avg_value
     FROM conv GROUP BY 1 ORDER BY 1
     """,
 )
@@ -432,9 +434,21 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv.groupBy("hours_to_convert")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(dsum(F.col("value")) / F.count(F.lit(1)), 6).alias(
-                "avg_value"
-            ),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("_s"),
+        )
+        .select(
+            "hours_to_convert",
+            "n_purchases",
+            # round(mean, 6) via integer (2u+c) div (2c) on the exact
+            # decimal — 2dp values / counts land exactly on 6dp half
+            # boundaries where the engines' round() disagree
+            (
+                F.expr(
+                    "(2 * CAST(_s * 1000000 AS DECIMAL(38,0))"
+                    " + n_purchases) div (2 * n_purchases)"
+                ).cast("double")
+                / 1000000.0
+            ).alias("avg_value"),
         )
         .orderBy("hours_to_convert")
     )
