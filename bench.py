@@ -255,6 +255,7 @@ HEADLINE = [
     "cohort_stickiness",
     "ml_feature_hashing",
     "agg_approx_quantile_audit",
+    "dedup_lsh_recall_audit",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

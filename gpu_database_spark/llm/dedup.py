@@ -1217,3 +1217,145 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Recall-audit panel: a fixed doc-id window keeps the exact-truth side
+# bounded at ANY corpus size (ground truth at 100 TB is only ever
+# measurable on a sample).
+AUDIT_PANEL_MAX = 200
+# J >= 0.5 decided as the INTEGER inequality 3m >= |A|+|B| — no float.
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})
+        WHERE doc_id < {AUDIT_PANEL_MAX}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 3 * i.m >= sa.n + sb.n
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+        WHERE a.doc_id < {AUDIT_PANEL_MAX} AND c.doc_id < {AUDIT_PANEL_MAX}
+    ),
+    s AS (
+        SELECT
+          (SELECT COUNT(*) FROM documents
+           WHERE doc_id < {AUDIT_PANEL_MAX}) AS n_panel,
+          (SELECT COUNT(*) FROM truth) AS n_true,
+          (SELECT COUNT(*) FROM cand) AS n_candidates,
+          (SELECT COUNT(*) FROM truth t JOIN cand c
+           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+    )
+    SELECT CAST(n_panel AS BIGINT) AS n_panel,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE CAST((2 * n_hits * 1000000 + n_true)
+                          // (2 * n_true) AS DOUBLE) / 1000000.0 END
+               AS recall,
+           CASE WHEN n_candidates = 0 THEN NULL
+                ELSE CAST((2 * n_hits * 1000000 + n_candidates)
+                          // (2 * n_candidates) AS DOUBLE) / 1000000.0 END
+               AS precision_
+    FROM s
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the banded-LSH candidate generator
+    against EXACT Jaccard ground truth on a fixed doc-id panel — the
+    dedup-side twin of sim_ann_recall_report: before trusting 4x2-band
+    minhash LSH to find near-dups at 100 TB, measure what fraction of
+    true J>=0.5 pairs its band collisions actually surface (theory:
+    P(candidate) = 1-(1-J^2)^4, ~0.68 at J=0.5, ~1 at J>=0.8).
+
+    Scale shape: ground truth is only computable on a sample — the
+    panel (doc_id < 200) bounds the exact shingle-join side at ANY
+    corpus size, and per-doc minhash signatures depend only on the doc,
+    so panel-restricted banding equals the full-corpus index filtered
+    to the panel. The J >= 0.5 truth test is the INTEGER inequality
+    3*|intersection| >= |A|+|B| (no float anywhere), and recall/
+    precision quantize via integer (2u+c) div (2c) — the whole audit
+    is exact integer arithmetic until two final double divisions.
+
+    Reference tie-in: none in the reference CUDA KV store — index
+    deployment gates per the build brief."""
+    d = load_table(spark, sf_dir, "documents")
+    panel = d.filter(F.col("doc_id") < AUDIT_PANEL_MAX)
+    sh = shingles(panel).distinct().transform(materialize)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .filter(3 * F.col("m") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+    )
+    cand = lsh_candidate_pairs(panel)
+    n_panel = panel.agg(F.count(F.lit(1)).alias("n_panel"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    wide = (
+        n_panel.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+    )
+    return wide.select(
+        F.col("n_panel").cast("long").alias("n_panel"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.when(
+            F.col("n_true") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.expr(
+                "(2 * CAST(n_hits AS DECIMAL(38,0)) * 1000000 + n_true)"
+                " div (2 * n_true)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.expr(
+                "(2 * CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " + n_candidates) div (2 * n_candidates)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("precision_"),
+    )
