@@ -256,6 +256,7 @@ HEADLINE = [
     "ml_feature_hashing",
     "agg_approx_quantile_audit",
     "dedup_lsh_recall_audit",
+    "timeseries_rolling_zscore",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -1710,3 +1710,97 @@ def cohort_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month30")
     )
+
+
+# Rolling z-score window: 24 trailing hours, flag |z| > 2; only full
+# windows are scored (the first 23 hours of a series are warm-up).
+ZS_WINDOW = 24
+ZS_FLAG = 2.0
+
+
+@register(
+    "timeseries_rolling_zscore",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, hour, v,
+               COUNT(*) OVER w AS n_w,
+               CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) AS s,
+               CAST(CAST(SUM(CAST(v * v AS DECIMAL(38,4))) OVER w
+                         AS VARCHAR) AS DOUBLE) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN {ZS_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT event_type, hour,
+               CAST(v AS DOUBLE) AS vd,
+               (CAST(v AS DOUBLE) - s / n_w)
+                   / sqrt((q - s * s / n_w) / (n_w - 1)) AS z
+        FROM win WHERE n_w = {ZS_WINDOW}
+    )
+    SELECT event_type, hour, round(vd, 2) AS hourly_value,
+           round(z, 4) AS zscore
+    FROM scored WHERE abs(z) > {ZS_FLAG}
+    ORDER BY event_type, hour
+    """,
+)
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each hour's value scored against
+    the trailing 24-hour mean/stddev of ITS OWN series, flag |z| > 2 —
+    the windowed (regime-aware) counterpart to events_anomaly_mad's
+    global gate; only full windows score (no warm-up noise).
+
+    Scale shape: the raw stream collapses FIRST to the (type, hour)
+    aggregate; the rolling windows run over that bounded series
+    (|types| x |hours|), partitioned by type. Exactness: hourly sums
+    and the windowed sum/sum-of-squares are exact DECIMALs (v is
+    2dp-exact so v*v at scale 4 is exact; frame accumulation of
+    decimals is associative — segment-tree vs sliding order can't
+    drift), converted once via the string hop (the windowed q reaches
+    ~1e15 at sf1.0 — past both engines' correctly-rounded direct-cast
+    range), then one fixed-order double formula; z rounds at 4dp at
+    O(1) magnitude, far from any half-boundary hazard.
+
+    Reference tie-in: none in the reference CUDA KV store — the
+    monitoring layer per the build brief."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(ZS_WINDOW - 1), 0)
+    )
+    win = hourly.select(
+        "event_type",
+        "hour",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum("v").over(w).cast("string").cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+            .over(w).cast("string").cast("double").alias("q"),
+    )
+    vd = F.col("v").cast("double")
+    z = (vd - F.col("s") / F.col("n_w")) / F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n_w"))
+        / (F.col("n_w") - 1)
+    )
+    return (
+        win.filter(F.col("n_w") == ZS_WINDOW)
+        .withColumn("_z", z)
+        .filter(F.abs("_z") > ZS_FLAG)  # pre-round, same as the oracle
+        .select(
+            "event_type",
+            "hour",
+            F.round(vd, 2).alias("hourly_value"),
+            F.round(F.col("_z"), 4).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )
