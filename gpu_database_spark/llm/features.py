@@ -1014,12 +1014,12 @@ NDCG_K = 100
         FROM orders
     ),
     by_score AS (
-        SELECT rel, ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey)
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey DESC)
                         AS rn
         FROM lab
     ),
     by_rel AS (
-        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, o_orderkey)
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, o_orderkey DESC)
                         AS rn
         FROM lab
     ),

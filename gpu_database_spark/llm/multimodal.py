@@ -526,26 +526,48 @@ AUDIO_ENERGY_SCHEMA = StructType(
 
 
 def _pcm_samples(payload: bytes) -> tuple[list[float], str]:
-    """Normalized [-1,1] samples: REAL decode for RIFF/WAVE payloads
-    (stdlib wave, 8/16-bit PCM), else the payload bytes themselves
-    read as unsigned 8-bit PCM centered at 128 — a deterministic
-    stand-in that keeps the windowing/aggregation plumbing real for
-    non-audio fixture payloads (codec-audited, like _decode)."""
+    """Normalized [-1,1] MONO samples: REAL decode for RIFF/WAVE
+    payloads (stdlib wave, 8/16-bit PCM; multi-channel downmixed by
+    per-frame channel mean, codec tagged ``wav-chN``), else the
+    payload bytes themselves read as unsigned 8-bit PCM centered at
+    128 — a deterministic stand-in that keeps the windowing/
+    aggregation plumbing real for non-audio fixture payloads
+    (codec-audited, like _decode).
+
+    Robustness (ADVICE r8): one exotic payload must NEVER fail the
+    whole mapInPandas job — unsupported sample widths return zero
+    samples tagged ``wav-unsupported-wN`` and malformed RIFF returns
+    ``wav-corrupt``; the per-codec rollup surfaces both for triage."""
     import io
     import struct
     import wave
 
     data = bytes(payload)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(data), "rb") as w:
-            sampwidth = w.getsampwidth()
-            frames = w.readframes(min(w.getnframes(), 65536))
+        try:
+            with wave.open(io.BytesIO(data), "rb") as w:
+                sampwidth = w.getsampwidth()
+                nch = max(w.getnchannels(), 1)
+                frames = w.readframes(min(w.getnframes(), 65536))
+        except (wave.Error, EOFError):
+            return [], "wav-corrupt"
         if sampwidth == 2:
-            vals = struct.unpack(f"<{len(frames) // 2}h", frames)
-            return [v / 32768.0 for v in vals], "wav"
-        if sampwidth == 1:
-            return [(b - 128) / 128.0 for b in frames], "wav"
-        raise ValueError(f"unsupported sample width {sampwidth}")
+            vals = [
+                v / 32768.0
+                for v in struct.unpack(f"<{len(frames) // 2}h", frames)
+            ]
+        elif sampwidth == 1:
+            vals = [(b - 128) / 128.0 for b in frames]
+        else:
+            return [], f"wav-unsupported-w{sampwidth}"
+        if nch > 1:
+            # interleaved frames -> mono by per-frame channel mean
+            whole = len(vals) - len(vals) % nch
+            vals = [
+                sum(vals[i : i + nch]) / nch for i in range(0, whole, nch)
+            ]
+            return vals, f"wav-ch{nch}"
+        return vals, "wav"
     return [(b - 128) / 128.0 for b in data[:65536]], "fake-pcm8"
 
 

@@ -509,8 +509,10 @@ N_CENTROIDS = 4  # seed centroids for the IVF train step (vec_id < 4)
     )
     SELECT cid AS centroid_id,
            COUNT(*) AS n_assigned,
-           CAST((2 * CAST(SUM(CAST(sim AS DECIMAL(27,6))) * 1000000
-                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+           CAST(CASE WHEN SUM(CAST(sim AS DECIMAL(27,6))) < 0
+                     THEN -1 ELSE 1 END
+                * ((2 * ABS(CAST(SUM(CAST(sim AS DECIMAL(27,6))) * 1000000
+                                 AS HUGEINT)) + COUNT(*)) // (2 * COUNT(*)))
                 AS DOUBLE) / 1000000.0 AS avg_sim
     FROM best WHERE rk = 1
     GROUP BY cid ORDER BY cid
@@ -546,11 +548,19 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assigned"),
             # integer (2u+c) div (2c) rounding — sum/count quotients
             # land exactly on 6dp half-boundaries where the engines'
-            # round() semantics disagree (round-8 sweep class)
+            # round() semantics disagree (round-8 sweep class).
+            # Cosine sums can be NEGATIVE, and the half-up identity
+            # only holds for u >= 0 (DuckDB // floors toward -inf,
+            # Spark div truncates toward 0) — so apply it to |sum|
+            # and reattach the sign (half-away-from-zero, identical
+            # in both engines).
             (
                 F.expr(
-                    "(2 * CAST(SUM(CAST(sim AS DECIMAL(27,6))) * 1000000"
-                    " AS DECIMAL(38,0)) + COUNT(*)) div (2 * COUNT(*))"
+                    "CASE WHEN SUM(CAST(sim AS DECIMAL(27,6))) < 0"
+                    " THEN -1 ELSE 1 END"
+                    " * ((2 * ABS(CAST(SUM(CAST(sim AS DECIMAL(27,6)))"
+                    " * 1000000 AS DECIMAL(38,0))) + COUNT(*))"
+                    " div (2 * COUNT(*)))"
                 ).cast("double")
                 / 1000000.0
             ).alias("avg_sim"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpu_database_spark.functions.compat import dsum, dsum_sql
+from gpu_database_spark.functions.compat import davg, davg_sql, dsum, dsum_sql
 from gpu_database_spark.functions.materialize import materialize
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
@@ -1415,11 +1415,10 @@ def timeseries_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_interpolate_linear",
-    oracle="""
+    oracle=f"""
     WITH known AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-                   AS rev
+               {dsum_sql('o_totalprice')} AS rev
         FROM orders WHERE o_orderkey % 8 = 0 GROUP BY 1
     ),
     cal AS (
@@ -1445,11 +1444,23 @@ def timeseries_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
            rev IS NOT NULL AS is_known,
-           round(CASE WHEN rev IS NOT NULL THEN rev
-                 ELSE pv + (nv - pv)
-                      * (CAST(date_diff('day', pd, day) AS DOUBLE)
-                         / CAST(date_diff('day', pd, nd) AS DOUBLE)) END,
-                 6) AS revenue
+           -- interpolated value via exact integer micro-unit
+           -- arithmetic: N = pv_micro*(gap-k) + nv_micro*k >= 0,
+           -- revenue = half-up(N/gap) by (2N+gap) // (2*gap) —
+           -- double round() at 6dp on ~1e7 magnitudes straddles
+           -- engine-divergent half-boundaries (ADVICE r8)
+           CASE WHEN rev IS NOT NULL THEN round(rev, 6)
+                ELSE CAST((2 * (CAST(CAST(pv AS DECIMAL(27,6)) * 1000000
+                                     AS HUGEINT)
+                                * (date_diff('day', pd, nd)
+                                   - date_diff('day', pd, day))
+                              + CAST(CAST(nv AS DECIMAL(27,6)) * 1000000
+                                     AS HUGEINT)
+                                * date_diff('day', pd, day))
+                           + date_diff('day', pd, nd))
+                          // (2 * date_diff('day', pd, nd))
+                          AS DOUBLE) / 1000000.0
+           END AS revenue
     FROM f ORDER BY day
     """,
 )
@@ -1498,38 +1509,42 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first("rev", ignorenulls=True).over(wn).alias("nv"),
         F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
     )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        F.datediff(F.col("day"), F.col("pd")).cast("double")
-        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    # Exact integer micro-unit interpolation, mirroring the oracle:
+    # pv/nv are cent-exact doubles, so CAST to DECIMAL(27,6)*1e6 is an
+    # exact integer; N = pv_micro*(gap-k) + nv_micro*k >= 0 and the
+    # (2N+gap) div (2*gap) quotient is the half-up 6dp value — immune
+    # to the double-round() half-boundary divergence class (ADVICE r8).
+    interp = F.expr(
+        "CAST((2 * (CAST(CAST(pv AS DECIMAL(27,6)) * 1000000"
+        " AS DECIMAL(38,0)) * (datediff(nd, pd) - datediff(day, pd))"
+        " + CAST(CAST(nv AS DECIMAL(27,6)) * 1000000 AS DECIMAL(38,0))"
+        " * datediff(day, pd)) + datediff(nd, pd))"
+        " div (2 * datediff(nd, pd)) AS DOUBLE) / 1000000.0"
     )
     return f.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("rev").isNotNull().alias("is_known"),
-        F.round(
-            F.when(F.col("rev").isNotNull(), F.col("rev")).otherwise(interp),
-            6,
-        ).alias("revenue"),
+        F.when(F.col("rev").isNotNull(), F.round(F.col("rev"), 6))
+        .otherwise(interp)
+        .alias("revenue"),
     ).orderBy("day")
 
 
 @register(
     "timeseries_seasonal_decompose",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-                   AS rev
+               {dsum_sql('o_totalprice')} AS rev
         FROM orders GROUP BY 1
     ),
     dowm AS (
         SELECT isodow(day) AS dow,
-               CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-                   AS dow_mean
+               {davg_sql('rev')} AS dow_mean
         FROM daily GROUP BY 1
     ),
     gm AS (
-        SELECT CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-                   AS g
+        SELECT {davg_sql('rev')} AS g
         FROM daily
     ),
     des AS (
@@ -1588,17 +1603,11 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(dsum(F.col("o_totalprice")).alias("rev"))
     )
-    rev_dec = F.col("rev").cast("decimal(27,6)")
     dowm = (
         daily.groupBy((F.weekday("day") + 1).alias("dow"))
-        .agg(
-            (F.sum(rev_dec).cast("double") / F.count(F.lit(1)))
-            .alias("dow_mean")
-        )
+        .agg(davg(F.col("rev")).alias("dow_mean"))
     )
-    gm = daily.agg(
-        (F.sum(rev_dec).cast("double") / F.count(F.lit(1))).alias("g")
-    )
+    gm = daily.agg(davg(F.col("rev")).alias("g"))
     des = (
         daily.join(
             F.broadcast(dowm), (F.weekday("day") + 1) == F.col("dow")

@@ -1780,3 +1780,117 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FRESH plan; re-executing the cached analyzed plan costs ~0.4s.
     _WIDE_CACHE[key] = out
     return out
+
+
+@register(
+    "stat_jarque_bera",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(c AS HUGEINT)) AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR)
+                    AS DOUBLE) AS s2,
+               CAST(CAST(SUM(CAST(c AS HUGEINT) * c * c) AS VARCHAR)
+                    AS DOUBLE) AS s3,
+               CAST(CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS VARCHAR)
+                    AS DOUBLE) AS s4
+        FROM c
+    ),
+    m AS (
+        SELECT n, s1 / n AS m1, s2 / n - (s1 / n) * (s1 / n) AS v,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(m1 / 100, 6) AS mean,
+           round(sqrt(v) / 100, 6) AS stddev_pop,
+           round(m3 / (v * sqrt(v)), 6) AS skewness,
+           round(m4 / (v * v), 6) AS kurtosis,
+           round(CAST(n AS DOUBLE) / 6
+                 * ((m3 / (v * sqrt(v))) * (m3 / (v * sqrt(v)))
+                 + (m4 / (v * v) - 3) * (m4 / (v * v) - 3) / 4), 6)
+               AS jb_stat
+    FROM m
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the event value distribution:
+    sample skewness and kurtosis from the first four moments, and
+    JB = n/6 * (skew^2 + (kurt-3)^2 / 4) — the one-pass normality
+    gate a drift monitor runs before trusting z-score thresholds
+    (complements stat_ks_test's distribution-vs-distribution check
+    with a distribution-vs-Gaussian check).
+
+    Scale shape: ONE map-side-combinable aggregation collapses 100 TB
+    to five scalars (n, S1..S4); the closed-form moment combination is
+    driver-free arithmetic on that single row. Cross-engine exactness:
+    values are cent-integers (2dp fixture), so S1..S4 accumulate
+    EXACTLY in DECIMAL(38,0)/HUGEINT (per-term c^4 <= 5.8e18 at the
+    fixture's 490.02 max; at 100 TB row counts the exact-integer sums
+    approach 1e38 — production swaps to double moments, this query
+    buys bit-equality for the gate); each exact sum converts once via
+    the correctly-rounded VARCHAR hop (compat.py), and the final
+    formulas are identical IEEE op trees in both engines (sqrt, not
+    pow — sqrt is correctly rounded, libm pow is not)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS STRING) AS DOUBLE)"
+        ).alias("s1"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("s2"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("s3"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c * c) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("s4"),
+    )
+    m = s.select(
+        "n",
+        F.expr("s1 / n").alias("m1"),
+        F.expr("s2 / n - (s1 / n) * (s1 / n)").alias("v"),
+        F.expr(
+            "s3 / n - 3 * (s1 / n) * (s2 / n)"
+            " + 2 * (s1 / n) * (s1 / n) * (s1 / n)"
+        ).alias("m3"),
+        F.expr(
+            "s4 / n - 4 * (s1 / n) * (s3 / n)"
+            " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+            " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)"
+        ).alias("m4"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr("m1 / 100"), 6).alias("mean"),
+        F.round(F.expr("sqrt(v) / 100"), 6).alias("stddev_pop"),
+        F.round(F.expr("m3 / (v * sqrt(v))"), 6).alias("skewness"),
+        F.round(F.expr("m4 / (v * v)"), 6).alias("kurtosis"),
+        F.round(
+            # CAST(n AS DOUBLE) / 6, NOT n / 6.0: Spark parses the
+            # 6.0 literal as DECIMAL(2,1), making n/6.0 a DECIMAL
+            # division ROUNDED at 6 digits (166.666667) where DuckDB's
+            # 6.0 is a double — a 2e-9 relative divergence that breaks
+            # the hash match.
+            F.expr(
+                "CAST(n AS DOUBLE) / 6"
+                " * ((m3 / (v * sqrt(v))) * (m3 / (v * sqrt(v)))"
+                " + (m4 / (v * v) - 3) * (m4 / (v * v) - 3) / 4)"
+            ),
+            6,
+        ).alias("jb_stat"),
+    )

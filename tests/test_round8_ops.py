@@ -270,6 +270,67 @@ def test_audio_energy_decodes_real_wav(spark):
     assert AUDIO_SILENCE < 0.2  # the loud windows must clear the gate
 
 
+def test_audio_energy_exotic_wavs_never_fail_the_job(spark):
+    """One exotic payload must NEVER fail the whole mapInPandas job
+    (ADVICE r8): a stereo WAV downmixes to mono per-frame means
+    (codec='wav-ch2'), a 24-bit WAV degrades to a zero-sample
+    'wav-unsupported-w3' row, and a truncated RIFF header degrades to
+    'wav-corrupt' — all three in ONE batch alongside a good mono WAV."""
+    import io
+    import struct
+    import wave
+
+    from gpu_database_spark.llm.multimodal import (
+        AUDIO_WIN,
+        audio_energy_windows,
+        _pcm_samples,
+    )
+
+    def make_wav(nch: int, width: int, frames: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(16000)
+            if width == 2:
+                w.writeframes(struct.pack(f"<{len(frames)}h", *frames))
+            else:  # raw bytes for 1- and 3-byte widths
+                w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    n = AUDIO_WIN * 2
+    mono = make_wav(1, 2, [1000] * n)
+    # stereo: L=+16384, R=-16384 -> per-frame mean exactly 0.0
+    stereo = make_wav(2, 2, [16384, -16384] * n)
+    wav24 = make_wav(1, 3, [0, 0, 64] * 16)
+    corrupt = b"RIFF\x10\x00\x00\x00WAVEjunk"
+
+    # unit-level: the decoder itself
+    s, codec = _pcm_samples(stereo)
+    assert codec == "wav-ch2" and len(s) == n
+    assert all(abs(v) < 1e-12 for v in s)  # L/R cancel exactly
+    assert _pcm_samples(wav24) == ([], "wav-unsupported-w3")
+    assert _pcm_samples(corrupt) == ([], "wav-corrupt")
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mono), "audio", len(mono)),
+            (2, bytearray(stereo), "audio", len(stereo)),
+            (3, bytearray(wav24), "audio", len(wav24)),
+            (4, bytearray(corrupt), "audio", len(corrupt)),
+        ],
+        "media_id long, payload binary, media_type string, byte_len long",
+    )
+    rows = {r["media_id"]: r for r in audio_energy_windows(media).collect()}
+    assert len(rows) == 4
+    assert rows[1]["codec"] == "wav" and rows[1]["n_windows"] == 2
+    assert rows[2]["codec"] == "wav-ch2" and rows[2]["n_windows"] == 2
+    assert rows[2]["silence_ratio"] == 1.0  # downmixed to exact zeros
+    assert rows[3]["codec"] == "wav-unsupported-w3"
+    assert rows[3]["n_windows"] == 0 and rows[3]["silence_ratio"] == 1.0
+    assert rows[4]["codec"] == "wav-corrupt" and rows[4]["n_windows"] == 0
+
+
 def test_permutation_test_is_two_scans(spark, sf_dir):
     """stat_permutation_test must cost exactly its stated plan: ONE
     O(1)-output scalar pre-pass (n, npos -> threshold) plus ONE wide
