@@ -1258,3 +1258,190 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_doc_nnz")
     )
     return vs.crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(ds))
+
+
+# MRR/recall@k evaluation: rank customers per nation by account
+# balance (descending, custkey-desc tiebreak matching the bucketed
+# rank's total order); "relevant" = balance above this threshold.
+MRR_K = 10
+MRR_REL_BAL = 5000.0
+
+
+@register(
+    "ml_eval_mrr",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_nationkey AS grp,
+               CASE WHEN c_acctbal > {MRR_REL_BAL} THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC,
+                                           c_custkey DESC) AS rn
+        FROM customer
+    ),
+    per_grp AS (
+        SELECT grp,
+               SUM(rel) AS n_rel,
+               SUM(CASE WHEN rn <= {MRR_K} THEN rel ELSE 0 END) AS hits,
+               MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+        FROM ranked GROUP BY grp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST((2 * CAST(SUM(CAST(round(1.0 / first_rel, 8)
+                                   AS DECIMAL(27,8))) * 100000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 100000000.0 AS mrr,
+           CAST((2 * CAST(SUM(CAST(round(CAST(hits AS DOUBLE) / n_rel, 8)
+                                   AS DECIMAL(27,8))) * 100000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 100000000.0 AS recall_at_k,
+           CAST((2 * CAST(SUM(CAST(round(CAST(hits AS DOUBLE) / {MRR_K},
+                                         8) AS DECIMAL(27,8))) * 100000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 100000000.0 AS precision_at_k
+    FROM per_grp WHERE n_rel > 0
+    """,
+)
+def ml_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped retrieval metrics at k=MRR_K: mean reciprocal rank of
+    the first relevant item, macro recall@k and precision@k — the
+    standard evaluation triple for the candidate-ranking stage of a
+    retrieval pipeline (one "query" per nation, candidates ranked by
+    account balance, relevance = balance above threshold).
+
+    Scale shape: ranks come from the per-group histogram-bucket rank
+    plan (functions/ranks.py) — the heavy window partitions by
+    (group, bucket), so even a handful of groups spreads across the
+    cluster; the metric fold is two tiny groupBys (groups, then one
+    global row). Per-group reciprocal ranks and ratios are rounded at
+    8dp, and the three means are half-up micro-unit quotients via the
+    (2u+c) div (2c) identity (u >= 0 here) — both engines hash-match
+    bit for bit."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("grp"),
+        F.col("c_acctbal").alias("bal"),
+        "c_custkey",
+        F.when(F.col("c_acctbal") > MRR_REL_BAL, 1).otherwise(0).alias("rel"),
+    )
+    ranked = grouped_bucketed_row_number(
+        cust,
+        ["grp"],
+        "bal",
+        ["c_custkey"],
+        F.floor(F.col("bal") / 500.0),
+        rank_col="rn",
+        ascending=False,
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.when(F.col("rn") <= MRR_K, F.col("rel")).otherwise(0)).alias(
+            "hits"
+        ),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+
+    def mean8(term: str, out: str) -> F.Column:
+        # half-up mean of 8dp-rounded terms via (2u+c) div (2c); all
+        # terms here are ratios in [0, 1] so u >= 0 holds
+        return (
+            F.expr(
+                f"(2 * CAST(SUM(CAST({term} AS DECIMAL(27,8)))"
+                f" * 100000000 AS DECIMAL(38,0)) + COUNT(*))"
+                f" div (2 * COUNT(*))"
+            ).cast("double")
+            / 100000000.0
+        ).alias(out)
+
+    return per_grp.filter(F.col("n_rel") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        mean8("round(1.0 / first_rel, 8)", "mrr"),
+        mean8("round(CAST(hits AS DOUBLE) / n_rel, 8)", "recall_at_k"),
+        mean8(f"round(CAST(hits AS DOUBLE) / {MRR_K}, 8)", "precision_at_k"),
+    )
+
+
+@register(
+    "ml_eval_regression",
+    oracle="""
+    WITH p AS (
+        SELECT l_extendedprice * (1 - l_discount) * (1 + l_tax) AS y,
+               l_extendedprice AS yhat
+        FROM lineitem
+    ),
+    t AS (
+        SELECT y, yhat, y - yhat AS res, y / 1000 AS yk FROM p
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(res * res AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sr2,
+               CAST(CAST(SUM(CAST(abs(res) AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sa,
+               CAST(CAST(SUM(CAST(abs(res) / y AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sape,
+               CAST(CAST(SUM(CAST(yk AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS syk,
+               CAST(CAST(SUM(CAST(yk * yk AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS syk2
+        FROM t
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(sqrt(sr2 / n), 6) AS rmse,
+           round(sa / n, 6) AS mae,
+           round(100 * sape / n, 6) AS mape_pct,
+           round(1 - (sr2 / 1000000) / (syk2 - syk * syk / n), 8) AS r2
+    FROM s
+    """,
+)
+def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-model evaluation in ONE pass: RMSE, MAE, MAPE and
+    R^2 of the pre-discount price as a predictor of the final charged
+    amount — the metric quartet every regression scorecard reports
+    (complements the classification metrics ml_eval_auc /
+    ml_eval_confusion_f1 and the ranking metrics ml_eval_ndcg /
+    ml_eval_mrr).
+
+    Scale shape: one map-side-combinable aggregation collapses 100 TB
+    to six scalars; the metric formulas are arithmetic on that single
+    row. Cross-engine exactness: residual terms (|res| <= ~1e4, res^2
+    <= ~1e8) and APE ratios are within the DECIMAL(27,6) per-term
+    exactness bound, and the R^2 variance pass works in KILOdollars
+    (yk = y/1000, yk^2 <= ~1e4) because a raw y^2 term (~1e10) would
+    straddle the double->DECIMAL shortest-representation bound
+    (compat.py); R^2 is scale-invariant so sr2 rescales by 1e6 in the
+    final formula. Exact sums convert once via the correctly-rounded
+    VARCHAR hop; final formulas are identical IEEE op trees."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+        ).alias("y"),
+        F.col("l_extendedprice").alias("yhat"),
+    ).select(
+        "y",
+        (F.col("y") - F.col("yhat")).alias("res"),
+        F.expr("y / 1000").alias("yk"),
+    )
+
+    def vsum(term: str, out: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM(CAST({term} AS DECIMAL(27,6))) AS STRING)"
+            f" AS DOUBLE)"
+        ).alias(out)
+
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        vsum("res * res", "sr2"),
+        vsum("abs(res)", "sa"),
+        vsum("abs(res) / y", "sape"),
+        vsum("yk", "syk"),
+        vsum("yk * yk", "syk2"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr("sqrt(sr2 / n)"), 6).alias("rmse"),
+        F.round(F.expr("sa / n"), 6).alias("mae"),
+        F.round(F.expr("100 * sape / n"), 6).alias("mape_pct"),
+        F.round(
+            F.expr("1 - (sr2 / 1000000) / (syk2 - syk * syk / n)"), 8
+        ).alias("r2"),
+    )

@@ -742,3 +742,104 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM nn) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    indeg AS (SELECT dst, COUNT(*) AS id FROM edges GROUP BY dst),
+    pairs AS (
+        SELECT o.od AS x, i.id AS y
+        FROM edges e JOIN outdeg o USING (src) JOIN indeg i USING (dst)
+    ),
+    s AS (
+        SELECT COUNT(*) AS m,
+               CAST(CAST(SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR)
+                    AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR)
+                    AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR)
+                    AS DOUBLE) AS syy
+        FROM pairs
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           round(sx / m, 6) AS mean_src_outdeg,
+           round(sy / m, 6) AS mean_dst_indeg,
+           round((m * sxy - sx * sy)
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity of the synthetic link graph: the
+    Pearson correlation, over edges, between the source's out-degree
+    and the destination's in-degree — positive means hubs link to
+    hubs (assortative mixing), negative means hubs link to the
+    periphery; the one scalar that tells a crawler-ranking pipeline
+    whether in-link authority concentrates or disperses (Newman 2002,
+    computed on the same md5-derived graph as graph_pagerank).
+
+    Scale shape: two degree groupBys over the edge table, one fan-in
+    join back to edges (both sides pre-aggregated, vocabulary-sized),
+    and ONE map-side-combinable moment aggregation to six scalars —
+    no iteration, no driver loop. Degrees are small integers, so all
+    five sums accumulate EXACTLY in DECIMAL(38,0)/HUGEINT, convert
+    once via the correctly-rounded VARCHAR hop (compat.py), and the
+    closed-form Pearson is one identical IEEE op tree in both engines
+    (sqrt per factor, never pow)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("id"))
+    pairs = (
+        edges.join(outdeg, "src")
+        .join(indeg, "dst")
+        .select(F.col("od").alias("x"), F.col("id").alias("y"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS STRING) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS STRING) AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.round(F.expr("sx / m"), 6).alias("mean_src_outdeg"),
+        F.round(F.expr("sy / m"), 6).alias("mean_dst_indeg"),
+        F.round(
+            F.expr(
+                "(m * sxy - sx * sy)"
+                " / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy))"
+            ),
+            6,
+        ).alias("assortativity"),
+    )

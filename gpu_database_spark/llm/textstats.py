@@ -1025,3 +1025,184 @@ def topk_heavy_hitters_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HH_PHI > F.col("n_tok"))
     )
     return exact.select("w", "cnt").orderBy(F.col("cnt").desc(), "w")
+
+
+# PMI collocations: minimum bigram count to score (rare pairs have
+# unstable PMI), and the report size.
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+    lm AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+    rm AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY 1),
+    tot AS (SELECT SUM(c12) AS b FROM big)
+    SELECT big.w1, big.w2, CAST(big.c12 AS BIGINT) AS c12,
+           round(log2(CAST(big.c12 AS DOUBLE) * (SELECT b FROM tot)
+                      / (CAST(lm.c1 AS DOUBLE) * rm.c2)), 6) AS pmi
+    FROM big JOIN lm USING (w1) JOIN rm USING (w2)
+    WHERE big.c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top
+    bigrams whose observed count most exceeds the independence
+    expectation of their marginals — PMI = log2(c12 * B / (c1 * c2))
+    with a minimum-count support filter. THE classic phrase detector a
+    tokenizer-training pipeline runs to decide merge candidates
+    (complements text_bigram_surprisal's per-document scoring with a
+    corpus-level vocabulary view).
+
+    Scale shape: bigram occurrences explode once (narrow map); counts,
+    the two marginals, and the total are partial-aggregating groupBys
+    over the BIGRAM TABLE (vocabulary-sized, not corpus-sized); the
+    scoring join fans in by vocabulary key and the support filter cuts
+    the long tail before the top-k. The PMI ratio is one IEEE op tree
+    on exact integer counts — both engines hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = (
+        d.select(F.split(F.trim(F.lower("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    big = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .transform(materialize)
+    )
+    lm = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rm = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = big.agg(F.sum("c12").alias("b"))
+    return (
+        big.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log2(
+                    F.col("c12").cast("double") * F.col("b")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT CAST(substr(source, 4) AS INTEGER) % 2 = 0 AS grp_a,
+               unnest(string_split(trim(lower(text)), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w,
+               SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS cb
+        FROM tok GROUP BY w
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+    terms AS (
+        SELECT CAST(ca AS DOUBLE) / (SELECT na FROM tot) AS p,
+               CAST(cb AS DOUBLE) / (SELECT nb FROM tot) AS q
+        FROM counts
+    ),
+    folded AS (
+        SELECT COUNT(*) AS vocab_union,
+               CAST(CAST(SUM(CAST(round(CASE WHEN p > 0 THEN
+                              p * log2(p / ((p + q) / 2)) ELSE 0 END, 12)
+                          AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS sp,
+               CAST(CAST(SUM(CAST(round(CASE WHEN q > 0 THEN
+                              q * log2(q / ((p + q) / 2)) ELSE 0 END, 12)
+                          AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS sq
+        FROM terms
+    )
+    SELECT CAST(vocab_union AS BIGINT) AS vocab_union,
+           CAST((SELECT na FROM tot) AS BIGINT) AS n_tokens_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_tokens_b,
+           round(0.5 * sp + 0.5 * sq, 6) AS js_divergence
+    FROM folded
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two source cohorts (even- vs odd-numbered sources) — the symmetric,
+    bounded [0,1]-bit corpus-drift metric a data-mixing pipeline
+    watches when a new crawl snapshot lands (complements
+    dq_distribution_drift_psi's binned-numeric PSI with a
+    full-vocabulary distributional distance).
+
+    Scale shape: one token explode, ONE groupBy(word) carrying both
+    cohort counts as conditional sums (no join between cohorts), and a
+    scalar fold — wordcount topology end to end. Per-word JSD terms
+    round at 12dp and accumulate exactly in DECIMAL(27,18) (terms are
+    <= p <= 1, so 15 significant digits — inside the cross-engine
+    double->DECIMAL exactness bound); the two exact sums convert once
+    via the correctly-rounded VARCHAR hop. Zero-count words contribute
+    exactly 0 to their cohort's sum by construction (0*log term
+    guarded), matching the JSD convention."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).alias("grp_a"),
+        F.explode(F.split(F.trim(F.lower("text")), " ")).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca").cast("double") / F.col("na")).alias("p"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("q"),
+        "na",
+        "nb",
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(round(CASE WHEN p > 0 THEN"
+            " p * log2(p / ((p + q) / 2)) ELSE 0 END, 12)"
+            " AS DECIMAL(27,18))) AS STRING) AS DOUBLE)"
+        ).alias("sp"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(round(CASE WHEN q > 0 THEN"
+            " q * log2(q / ((p + q) / 2)) ELSE 0 END, 12)"
+            " AS DECIMAL(27,18))) AS STRING) AS DOUBLE)"
+        ).alias("sq"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return folded.select(
+        "vocab_union",
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        F.round(F.expr("0.5 * sp + 0.5 * sq"), 6).alias("js_divergence"),
+    )

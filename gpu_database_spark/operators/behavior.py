@@ -1813,3 +1813,290 @@ def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "timeseries_pacf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_ns(ts) // 3600000000000 AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    mt AS (
+        SELECT event_type,
+               CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                   AS m,
+               COUNT(*) AS n
+        FROM hourly GROUP BY 1
+    ),
+    lagged AS (
+        SELECT h.event_type, h.v, mt.m, mt.n,
+               LAG(v, 1) OVER w AS v1,
+               LAG(v, 2) OVER w AS v2,
+               LAG(v, 3) OVER w AS v3
+        FROM hourly h JOIN mt USING (event_type)
+        WINDOW w AS (PARTITION BY h.event_type ORDER BY hour)
+    ),
+    g AS (
+        SELECT event_type, MAX(n) AS n,
+               CAST(SUM(CAST((v - m) * (v - m) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS s0,
+               CAST(SUM(CAST((v - m) * (v1 - m) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST((v - m) * (v2 - m) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST((v - m) * (v3 - m) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS s3
+        FROM lagged GROUP BY 1
+    ),
+    r AS (
+        SELECT event_type, n,
+               s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3
+        FROM g
+    ),
+    dl AS (
+        SELECT event_type, n, r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        FROM r
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           round(r1, 6) AS acf1,
+           round(r2, 6) AS acf2,
+           round(r3, 6) AS acf3,
+           round(r1, 6) AS pacf1,
+           round(phi22, 6) AS pacf2,
+           round((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+                 / ((1 - r1 * r1) * (1 - phi22 * phi22)), 6) AS pacf3
+    FROM dl ORDER BY event_type
+    """,
+)
+def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the hourly mean event value at lags
+    1-3 per event type via the Durbin-Levinson recursion on the
+    autocovariance sequence — the AR-order diagnostic read next to
+    timeseries_acf: an AR(p) series shows PACF cutting off after lag
+    p while the ACF tails; pacf2/pacf3 near zero say lag-1 dynamics
+    explain the memory.
+
+    Scale shape: the raw stream collapses FIRST via the same (type,
+    hour) groupBy as timeseries_acf (100 TB -> a few thousand rows);
+    the mean join, the ONE 3-lag window, and the covariance fold all
+    run over that bounded series. Autocovariance terms (deviation
+    products, <= ~1e4 here) accumulate via the DECIMAL(27,6) exact-sum
+    discipline; r_k = S_k / S_0 (the /n normalizations cancel) and the
+    level-2/3 recursion are identical IEEE op trees in both engines.
+    Lags with no overlap rows yield NULL in both engines (SUM over
+    empty), so short series degrade identically."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    mt = hourly.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.join(F.broadcast(mt), "event_type").select(
+        "event_type",
+        "v",
+        "m",
+        "n",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+
+    def cov(col: str, out: str) -> F.Column:
+        return (
+            F.sum(
+                (
+                    (F.col("v") - F.col("m")) * (F.col(col) - F.col("m"))
+                ).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias(out)
+        )
+
+    g = lagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("s0"),
+        cov("v1", "s1"),
+        cov("v2", "s2"),
+        cov("v3", "s3"),
+    )
+    r = g.select(
+        "event_type",
+        "n",
+        F.expr("s1 / s0").alias("r1"),
+        F.expr("s2 / s0").alias("r2"),
+        F.expr("s3 / s0").alias("r3"),
+    )
+    dl = r.withColumn("phi22", F.expr("(r2 - r1 * r1) / (1 - r1 * r1)"))
+    return dl.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round("r1", 6).alias("acf1"),
+        F.round("r2", 6).alias("acf2"),
+        F.round("r3", 6).alias("acf3"),
+        F.round("r1", 6).alias("pacf1"),
+        F.round("phi22", 6).alias("pacf2"),
+        F.round(
+            F.expr(
+                "(r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)"
+                " / ((1 - r1 * r1) * (1 - phi22 * phi22))"
+            ),
+            6,
+        ).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+# Kaplan-Meier censoring horizon: a user whose last activity is within
+# this many days of the dataset's end is CENSORED (still alive), not
+# churned.
+KM_CENSOR_DAYS = 14
+
+
+@register(
+    "cohort_survival_km",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(epoch_ns(ts) // 86400000000000) AS first_day,
+               MAX(epoch_ns(ts) // 86400000000000) AS last_day
+        FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(last_day) AS max_day FROM per_user),
+    life AS (
+        SELECT last_day - first_day + 1 AS t,
+               CASE WHEN last_day <= (SELECT max_day FROM horizon)
+                                     - {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_user
+    ),
+    by_t AS (
+        SELECT t, SUM(churned) AS d,
+               SUM(1 - churned) AS c, COUNT(*) AS leave
+        FROM life GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, c,
+               (SELECT COUNT(*) FROM life)
+               - COALESCE(SUM(leave) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM by_t
+    ),
+    km AS (
+        SELECT t, d, c, n_risk,
+               CAST(SUM(CAST(CASE WHEN d > 0 AND d < n_risk THEN
+                        round(ln(1 - CAST(d AS DOUBLE) / n_risk), 8)
+                        ELSE 0 END AS DECIMAL(27,8))) OVER (ORDER BY t)
+                    AS DOUBLE) AS logsum,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS died_out
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN died_out = 1 THEN 0.0
+                ELSE round(exp(logsum), 6) END AS survival
+    FROM km ORDER BY t_days
+    """,
+)
+def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity lifetimes: per
+    user, lifetime = days between first and last event; a user is a
+    churn EVENT if their last activity predates the dataset horizon by
+    more than KM_CENSOR_DAYS days, otherwise right-CENSORED. S(t) is
+    the product-limit estimator over distinct lifetimes — the
+    retention curve that handles still-active users correctly, where
+    cohort_retention's fixed windows cannot.
+
+    Scale shape: the stream collapses FIRST to one row per user (one
+    map-side-combinable groupBy), then to one row per DISTINCT
+    lifetime (bounded by the day domain, ~1e3-1e4 rows at any data
+    size) — the at-risk prefix count, the log-product window, and the
+    census all run over that tiny table, so the unpartitioned windows
+    are safe by construction. The product-limit factor chain is an
+    exact prefix sum of 8dp-rounded log terms in DECIMAL(27,8)
+    (order-independent, associative) with ONE exp at the end; the
+    d = n_risk extinction row (log 0) is handled by an explicit
+    died-out flag, identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr("MIN(ts_ns div 86400000000000)").alias("first_day"),
+        F.expr("MAX(ts_ns div 86400000000000)").alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("max_day"))
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_day") - F.col("first_day") + 1).alias("t"),
+        F.when(
+            F.col("last_day") <= F.col("max_day") - KM_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    by_t = life.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+        F.count(F.lit(1)).alias("leave"),
+    )
+    total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    wp = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = by_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leave").over(wp), F.lit(0))
+        ).alias("n_risk"),
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(
+            F.expr(
+                "CAST(CASE WHEN d > 0 AND d < n_risk THEN"
+                " round(ln(1 - CAST(d AS DOUBLE) / n_risk), 8)"
+                " ELSE 0 END AS DECIMAL(27,8))"
+            )
+        )
+        .over(wc)
+        .cast("double")
+        .alias("logsum"),
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(wc)
+        .alias("died_out"),
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("logsum"), 6))
+        .alias("survival"),
+    ).orderBy("t_days")
