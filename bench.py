@@ -257,6 +257,15 @@ HEADLINE = [
     "agg_approx_quantile_audit",
     "dedup_lsh_recall_audit",
     "timeseries_rolling_zscore",
+    # round-9 additions
+    "stat_jarque_bera",
+    "ml_eval_mrr",
+    "ml_eval_regression",
+    "text_collocations_pmi",
+    "text_js_divergence",
+    "graph_degree_assortativity",
+    "timeseries_pacf",
+    "cohort_survival_km",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

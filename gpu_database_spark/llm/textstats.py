@@ -1206,3 +1206,78 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_tokens_b"),
         F.round(F.expr("0.5 * sp + 0.5 * sq"), 6).alias("js_divergence"),
     )
+
+
+# Burstiness: minimum corpus frequency to score (rare words have
+# degenerate variance-to-mean), and the report size.
+BURST_MIN_TOTAL = 50
+BURST_TOP = 30
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT w, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    per_word AS (
+        SELECT w, COUNT(*) AS df,
+               SUM(c) AS tot,
+               SUM(c * c) AS s2
+        FROM per_doc GROUP BY w
+    )
+    SELECT w, CAST(df AS BIGINT) AS doc_freq,
+           CAST(tot AS BIGINT) AS total_count,
+           round(CAST(s2 AS DOUBLE) / tot
+                 - CAST(tot AS DOUBLE) / (SELECT n_docs FROM nd), 6)
+               AS burstiness
+    FROM per_word WHERE tot >= {BURST_MIN_TOTAL}
+    ORDER BY burstiness DESC, w LIMIT {BURST_TOP}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of corpus vocabulary: the
+    variance-to-mean ratio of a word's per-document count (documents
+    without the word counted as zeros, handled algebraically) —
+    topical content words occur in BURSTS (VMR >> their frequency
+    predicts) while function words spread evenly; the signal a
+    keyword/stopword splitter and a dedup shingle-picker both want.
+    VMR reduces to s2/tot - tot/N via the zero-inclusive population
+    identity, so absent documents are never materialized.
+
+    Scale shape: one token explode, one (word, doc) groupBy, one word
+    groupBy — wordcount topology, all partial-aggregating; the
+    support filter cuts the tail before the top-k. Counts are exact
+    integers; the two final divisions are identical IEEE op trees."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), " ")).alias("w")
+    )
+    per_doc = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_word = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return (
+        per_word.filter(F.col("tot") >= BURST_MIN_TOTAL)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("tot").cast("long").alias("total_count"),
+            F.round(
+                F.col("s2").cast("double") / F.col("tot")
+                - F.col("tot").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "w")
+        .limit(BURST_TOP)
+    )

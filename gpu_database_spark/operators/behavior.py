@@ -2100,3 +2100,63 @@ def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("logsum"), 6))
         .alias("survival"),
     ).orderBy("t_days")
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT (epoch_ns(ts)
+                - LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ns(ts), event_id))
+               // 1000000000 AS gap_s
+        FROM events
+    ),
+    ok AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT length(CAST(gap_s AS VARCHAR)) AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST((2 * CAST(SUM(CAST(gap_s AS HUGEINT)) * 1000000
+                          AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS mean_gap_s
+    FROM ok GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution of per-user event streams:
+    whole-second gaps between consecutive events of the same user,
+    bucketed by decimal order of magnitude (digit count — an exact
+    integer bucket both engines compute identically, dodging the
+    floor(log) libm boundary hazard), with per-bucket census and
+    half-up exact mean. The burst-vs-idle shape a sessionizer reads
+    to pick its inactivity threshold (complements
+    sessionize_lag_cumsum, which ASSUMES a threshold).
+
+    Scale shape: ONE lag window partitioned by high-cardinality
+    user_id (never by event_type), integer nanosecond arithmetic, and
+    a ~10-group census; gap sums are exact integers so the mean's
+    (2u+c) div (2c) half-up quotient is exact (u >= 0)."""
+    e = load_table(spark, sf_dir, "events")
+    gaps = e.select(
+        F.expr("(ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id"
+               " ORDER BY ts_ns, event_id)) div 1000000000").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy(
+            F.length(F.col("gap_s").cast("string")).alias("magnitude")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            (
+                F.expr(
+                    "(2 * CAST(SUM(CAST(gap_s AS DECIMAL(38,0))) * 1000000"
+                    " AS DECIMAL(38,0)) + COUNT(*)) div (2 * COUNT(*))"
+                ).cast("double")
+                / 1000000.0
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("magnitude")
+    )
