@@ -441,14 +441,64 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITE
     return labels
 
 
-@register("graph_label_propagation")  # rows-only: iterative fixpoint, no SQL oracle
+def _lpa_oracle_sql() -> str:
+    """Generate the fixed-round LPA oracle: LPA_ITERS chained CTEs,
+    each one round of the exact integer vote/argmax update — no
+    recursion needed because the round count is a constant, and no
+    floats anywhere, so the oracle is bit-exact by construction."""
+    rounds = []
+    for k in range(1, LPA_ITERS + 1):
+        rounds.append(f"""
+    l{k} AS (
+        SELECT id, lbl FROM (
+            SELECT v.id, v.lbl,
+                   ROW_NUMBER() OVER (PARTITION BY v.id
+                                      ORDER BY v.c DESC, v.lbl) AS rk
+            FROM (
+                SELECT id, lbl, COUNT(*) AS c FROM (
+                    SELECT u.src AS id, p.lbl
+                    FROM und u JOIN l{k - 1} p ON u.dst = p.id
+                    UNION ALL SELECT id, lbl FROM l{k - 1}
+                ) GROUP BY id, lbl
+            ) v
+        ) WHERE rk = 1
+    )""")
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM nn) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges
+        )
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM docs),
+    {",".join(rounds)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{LPA_ITERS}
+    GROUP BY lbl ORDER BY size DESC, community LIMIT 20
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle_sql())
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community census of the synthetic link graph by deterministic
     synchronous LPA (LPA_ITERS=6 rounds): top-20 communities by size —
     the crawl-side clustering that groups mutually-linking sites
     before per-community sampling caps (a training-data pipeline caps
     any one community's share). tests/test_graphrank.py checks the
-    full label assignment against a serial Python replica."""
+    full label assignment against a serial Python replica; the DuckDB
+    oracle (round-9 upgrade from rows-only) states the SAME fixed
+    6-round integer vote/argmax update as chained CTEs — every label
+    is exact integer arithmetic, so the hash match is structural."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
@@ -513,14 +563,70 @@ def hits(nodes: DataFrame, edges: DataFrame, n_iters: int = HITS_ITERS) -> DataF
     )
 
 
-@register("graph_hits_authority")  # rows-only: iterative fixpoint, no SQL oracle
+def _hits_oracle_sql() -> str:
+    """Generate the fixed-round HITS oracle: HITS_ITERS chained CTE
+    pairs, each one authority<-hub then hub<-NEW-authority update with
+    sum normalization — no recursion needed for a constant round
+    count. Float sums are order-dependent in the last bits, but the
+    8dp output rounding sits ~8 orders of magnitude above the
+    accumulated drift (same argument as the pagerank oracle's 6dp)."""
+    rounds = []
+    for k in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+    ar{k} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(p.h) AS s
+        FROM edges e JOIN h{k - 1} p ON e.src = p.id GROUP BY e.dst
+    ),
+    at{k} AS MATERIALIZED (SELECT SUM(s) AS t FROM ar{k}),
+    a{k} AS MATERIALIZED (
+        SELECT d.doc_id AS id,
+               COALESCE(ar.s, CAST(0 AS DOUBLE))
+                   / (SELECT t FROM at{k}) AS a
+        FROM docs d LEFT JOIN ar{k} ar ON d.doc_id = ar.id
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT e.src AS id, SUM(p.a) AS s
+        FROM edges e JOIN a{k} p ON e.dst = p.id GROUP BY e.src
+    ),
+    ht{k} AS MATERIALIZED (SELECT SUM(s) AS t FROM hr{k}),
+    h{k} AS MATERIALIZED (
+        SELECT d.doc_id AS id,
+               COALESCE(hr.s, CAST(0 AS DOUBLE))
+                   / (SELECT t FROM ht{k}) AS h
+        FROM docs d LEFT JOIN hr{k} hr ON d.doc_id = hr.id
+    )""")
+    return f"""
+    WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+    nn AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM nn) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {N_LINKS})) AS k)
+    ),
+    edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    a0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1 AS DOUBLE) AS a FROM docs),
+    h0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1 AS DOUBLE) AS h FROM docs),
+    {",".join(rounds)}
+    SELECT a{HITS_ITERS}.id,
+           round(a{HITS_ITERS}.a, 8) AS authority,
+           round(h{HITS_ITERS}.h, 8) AS hub
+    FROM a{HITS_ITERS} JOIN h{HITS_ITERS} USING (id)
+    ORDER BY round(a{HITS_ITERS}.a, 8) DESC, id LIMIT 20
+    """
+
+
+@register("graph_hits_authority", oracle=_hits_oracle_sql())
 def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 authorities of the synthetic link graph by HITS — the
     complement of PageRank's single-score model: authorities are pages
     many good HUBS point at (the curation signal for 'reference'
     content vs 'directory' content). Scores rounded to 8dp (float
     accumulation order differs across layouts; the numpy replica in
-    tests/test_graphrank.py agrees to ~1e-12 relative)."""
+    tests/test_graphrank.py agrees to ~1e-12 relative). The DuckDB
+    oracle (round-9 upgrade from rows-only) states the same fixed
+    8-round normalized mutual recursion as chained CTEs."""
     d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     scores = hits(d, synth_edges(d.select(F.col("id").alias("doc_id"))))
     return (

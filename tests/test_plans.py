@@ -308,3 +308,60 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jarque_bera_is_single_pass(spark, sf_dir):
+    """All four moment sums of stat_jarque_bera must come from ONE scan
+    and one partial+final aggregate — a per-moment rescan would read
+    the fact table four times."""
+    from gpu_database_spark.operators.stattests import stat_jarque_bera
+
+    plan = inspect.simple_plan(stat_jarque_bera(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_regression_eval_is_single_pass(spark, sf_dir):
+    """ml_eval_regression's six sufficient statistics in one scan +
+    one partial+final aggregate."""
+    from gpu_database_spark.llm.features import ml_eval_regression
+
+    plan = inspect.simple_plan(ml_eval_regression(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_functional_deps_single_scan_stack(spark, sf_dir):
+    """dq_functional_deps must fan its five candidate pairs out of ONE
+    pruned scan (stack generator), never five unioned scans."""
+    from gpu_database_spark.operators.dataquality import dq_functional_deps
+
+    plan = inspect.simple_plan(dq_functional_deps(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_mrr_never_sorts_globally(spark, sf_dir):
+    """ml_eval_mrr's ranks must come from the grouped bucketed plan:
+    the rank window partitions by (group, bucket), so no window may
+    sort an un-partitioned whole input."""
+    from gpu_database_spark.llm.features import ml_eval_mrr
+
+    plan = inspect.formatted_plan(ml_eval_mrr(spark, sf_dir))
+    # every Sort below a Window carries a partition key (the grouped
+    # bucket) — a global rank would show a RangePartitioning exchange
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_interarrival_partitions_by_user(spark, sf_dir):
+    """events_interarrival's lag window must partition by the
+    high-cardinality user_id, never by event_type or globally."""
+    from gpu_database_spark.operators.behavior import events_interarrival
+
+    plan = inspect.formatted_plan(events_interarrival(spark, sf_dir))
+    low = plan.lower()
+    assert "hashpartitioning(user_id" in low, plan
+    # the only range partitioning allowed is the final ~10-row output
+    # sort on the magnitude bucket — never on the event stream itself
+    assert "rangepartitioning(ts" not in low, plan
+    assert "rangepartitioning(gap" not in low, plan
+    assert "windowspecdefinition(user_id" in low, plan
