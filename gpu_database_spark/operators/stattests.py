@@ -1894,3 +1894,96 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jb_stat"),
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, stated as
+# literals so both engines use the identical constants (no inverse-CDF
+# in either engine's SQL surface).
+_Z_ALPHA = "1.959963985"
+_Z_BETA = "0.841621234"
+_MDE_LIFTS = (0.01, 0.02, 0.05, 0.10)  # relative lifts to size
+
+
+@register(
+    "stat_power_sample_size",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT COUNT(*) AS n_units,
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) AS p
+        FROM conv
+    ),
+    lifts AS (SELECT unnest([{", ".join(str(x) for x in _MDE_LIFTS)}])
+                  AS lift)
+    SELECT lift,
+           CAST(n_units AS BIGINT) AS n_units,
+           round(p, 6) AS baseline_rate,
+           round(p * (1 + lift), 6) AS target_rate,
+           CAST(ceil(
+               ({_Z_ALPHA} * sqrt(2 * p * (1 - p))
+                + {_Z_BETA} * sqrt(p * (1 - p)
+                                   + (p * (1 + lift))
+                                     * (1 - p * (1 + lift))))
+               * ({_Z_ALPHA} * sqrt(2 * p * (1 - p))
+                  + {_Z_BETA} * sqrt(p * (1 - p)
+                                     + (p * (1 + lift))
+                                       * (1 - p * (1 + lift))))
+               / ((p * lift) * (p * lift))) AS BIGINT)
+               AS n_per_arm
+    FROM base CROSS JOIN lifts ORDER BY lift
+    """,
+)
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment sizing from the observed baseline: per-USER-DAY
+    conversion rate p (a rate comfortably inside (0,1) at every
+    fixture scale — per-user conversion saturates at 1.0 here), then
+    for each candidate relative lift the required per-arm sample size
+    at alpha=0.05 (two-sided) and 80% power via the standard
+    two-proportion formula — the pre-experiment calculator every
+    product team runs against the metric stat_proportions_ab later
+    tests.
+
+    Scale shape: one (user, day) collapse (map-side-combinable max) +
+    one scalar aggregate; the 4-row lift grid is a broadcast cross
+    join. The z quantiles are shared LITERAL constants (neither
+    engine exposes an inverse normal CDF); sqrt/ceil are correctly
+    rounded, and the squared factor is written as an explicit product
+    (never pow) so both engines run the identical IEEE op tree."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.groupBy(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c")
+    )
+    base = conv.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("p"),
+    )
+    lifts = spark.createDataFrame(
+        [(x,) for x in _MDE_LIFTS], "lift double"
+    )
+    factor = (
+        f"({_Z_ALPHA} * sqrt(2 * p * (1 - p))"
+        f" + {_Z_BETA} * sqrt(p * (1 - p)"
+        f" + (p * (1 + lift)) * (1 - p * (1 + lift))))"
+    )
+    return (
+        base.crossJoin(F.broadcast(lifts))
+        .select(
+            "lift",
+            F.col("n_units").cast("long").alias("n_units"),
+            F.round("p", 6).alias("baseline_rate"),
+            F.round(F.expr("p * (1 + lift)"), 6).alias("target_rate"),
+            F.expr(
+                f"CAST(ceil({factor} * {factor}"
+                f" / ((p * lift) * (p * lift))) AS BIGINT)"
+            ).alias("n_per_arm"),
+        )
+        .orderBy("lift")
+    )
