@@ -266,6 +266,11 @@ HEADLINE = [
     "graph_degree_assortativity",
     "timeseries_pacf",
     "cohort_survival_km",
+    "timeseries_inflight_concurrency",
+    "stat_power_sample_size",
+    "dq_functional_deps",
+    "text_burstiness",
+    "events_interarrival",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round
