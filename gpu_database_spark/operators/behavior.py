@@ -2243,3 +2243,100 @@ def timeseries_inflight_concurrency(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("in_flight"), "day")
         .limit(25)
     )
+
+
+MARKOV_POWER_ITERS = 30  # fixed power-iteration rounds to the stationary pi
+
+
+def _markov_stationary_oracle() -> str:
+    """Generated fixed-round power-iteration oracle over the <=
+    |types|^2 transition matrix (chained CTEs, same shape as the
+    graph_hits_authority oracle; MATERIALIZED so DuckDB evaluates
+    each round once)."""
+    rounds = []
+    for k in range(1, MARKOV_POWER_ITERS + 1):
+        rounds.append(f"""
+    pi{k} AS MATERIALIZED (
+        SELECT s.state, COALESCE(x.v, CAST(0 AS DOUBLE)) AS pi
+        FROM states s LEFT JOIN (
+            SELECT t.nxt AS state, SUM(p.pi * t.p) AS v
+            FROM pi{k - 1} p JOIN t ON t.cur = p.state GROUP BY 1
+        ) x ON s.state = x.state
+    )""")
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT cur, nxt, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    t AS MATERIALIZED (
+        SELECT cur, nxt,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur) AS p
+        FROM c
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT cur AS state FROM c),
+    pi0 AS MATERIALIZED (
+        SELECT state,
+               CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM states) AS pi
+        FROM states
+    ),
+    {",".join(rounds)}
+    SELECT f.state, round(f.pi, 8) AS stationary_p,
+           CAST(o.n_out AS BIGINT) AS n_transitions_out
+    FROM pi{MARKOV_POWER_ITERS} f
+    JOIN (SELECT cur AS state, SUM(n) AS n_out FROM c GROUP BY 1) o
+        USING (state)
+    ORDER BY f.state
+    """
+
+
+@register(
+    "markov_stationary_distribution", oracle=_markov_stationary_oracle()
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    long-run fraction of time the per-user behavior process spends in
+    each state, by MARKOV_POWER_ITERS rounds of pi' = pi P over the
+    transition matrix markov_event_transitions estimates — the
+    equilibrium census a capacity model or session simulator samples
+    from.
+
+    Scale shape: the 100 TB stream collapses through ONE lead window
+    (partitioned by high-cardinality user_id) to a <= |types|^2 = 25
+    row matrix; the power iteration then runs DRIVER-SIDE over that
+    bounded collected matrix (the embed_pca_power pattern — a 25-row
+    collect is a model, not a data path) and returns |types| rows.
+    Parity: per-round sums are 5-term float folds whose association
+    order differs between engines, but 30 rounds converge to the
+    fixpoint to ~1e-14, eight orders below the 8dp output rounding
+    (the graph_hits_authority argument)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    rows = c.collect()  # bounded: <= |types|^2 rows — model, not data
+    out_tot: dict[str, int] = {}
+    for r in rows:
+        out_tot[r.cur] = out_tot.get(r.cur, 0) + r.n
+    trans = [(r.cur, r.nxt, r.n / out_tot[r.cur]) for r in rows]
+    states = sorted(out_tot)
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(MARKOV_POWER_ITERS):
+        new = {s: 0.0 for s in states}
+        for cur, nxt, p in trans:
+            new[nxt] += pi[cur] * p
+        pi = new
+    out = [
+        (s, round(pi[s], 8), out_tot[s]) for s in states
+    ]
+    return spark.createDataFrame(
+        out, "state string, stationary_p double, n_transitions_out long"
+    ).orderBy("state")
