@@ -391,3 +391,35 @@ def test_power_sample_size_monotone_and_formula(spark, sf_dir):
     assert r0.n_per_arm == pytest.approx(
         math.ceil(f * f / ((p * r0.lift) ** 2)), abs=2
     )
+
+
+def test_markov_stationary_matches_eigenvector(spark, sf_dir):
+    """The 30-round power iteration must agree with the dominant left
+    eigenvector of the transition matrix (numpy eig, normalized to
+    sum 1) — and with the long-run flow balance pi = pi P."""
+    import numpy as np
+
+    from gpu_database_spark.operators.behavior import (
+        markov_stationary_distribution,
+    )
+
+    rows = markov_stationary_distribution(spark, sf_dir).collect()
+    states = [r.state for r in rows]
+    pi = np.array([r.stationary_p for r in rows])
+    assert pi.sum() == pytest.approx(1.0, abs=1e-6)
+
+    # rebuild P from the same fixture through the sibling query
+    from gpu_database_spark.operators.behavior import markov_event_transitions
+
+    t = markov_event_transitions(spark, sf_dir).collect()
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for r in t:
+        P[idx[r.cur], idx[r.nxt]] = r.p
+    # dominant left eigenvector
+    vals, vecs = np.linalg.eig(P.T)
+    v = np.real(vecs[:, np.argmax(np.real(vals))])
+    v = v / v.sum()
+    assert np.abs(pi - v).max() < 1e-5
+    # fixpoint property
+    assert np.abs(pi @ P - pi).max() < 1e-5
