@@ -271,6 +271,7 @@ HEADLINE = [
     "dq_functional_deps",
     "text_burstiness",
     "events_interarrival",
+    "markov_stationary_distribution",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round
