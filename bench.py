@@ -272,6 +272,7 @@ HEADLINE = [
     "text_burstiness",
     "events_interarrival",
     "markov_stationary_distribution",
+    "embed_drift_report",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

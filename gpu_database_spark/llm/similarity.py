@@ -1027,3 +1027,124 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(ivf).unionByName(pq).unionByName(ivf_pq).orderBy("method")
     )
+
+
+@register(
+    "embed_drift_report",
+    oracle="""
+    WITH tagged AS (
+        SELECT vec_id % 2 = 0 AS grp_a,
+               CAST(e.val AS DOUBLE) AS v, e.dim
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(embedding) AS val,
+                             generate_subscripts(embedding, 1) AS dim) e
+    ),
+    dims AS (
+        SELECT dim,
+               CAST(CAST(SUM(CASE WHEN grp_a THEN
+                        CAST(v AS DECIMAL(27,12)) END) AS VARCHAR)
+                    AS DOUBLE)
+                   / SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS ma,
+               CAST(CAST(SUM(CASE WHEN NOT grp_a THEN
+                        CAST(v AS DECIMAL(27,12)) END) AS VARCHAR)
+                    AS DOUBLE)
+                   / SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS mb
+        FROM tagged GROUP BY dim
+    ),
+    mom AS (
+        SELECT CAST(CAST(SUM(CAST(round(ma * mb, 18)
+                     AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS sab,
+               CAST(CAST(SUM(CAST(round(ma * ma, 18)
+                     AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS saa,
+               CAST(CAST(SUM(CAST(round(mb * mb, 18)
+                     AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS sbb,
+               CAST(CAST(SUM(CAST(round((ma - mb) * (ma - mb), 18)
+                     AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE) AS sdd
+        FROM dims
+    ),
+    ns AS (
+        SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings
+    )
+    SELECT ns.n_a, ns.n_b,
+           round(mom.sab / (sqrt(mom.saa) * sqrt(mom.sbb)), 6)
+               AS centroid_cosine,
+           round(sqrt(mom.sdd), 6) AS centroid_l2_dist
+    FROM mom CROSS JOIN ns
+    """,
+)
+def embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus cohorts (even vs odd
+    vec_id, standing in for consecutive snapshot ingests): cosine
+    similarity and L2 distance between the cohort CENTROIDS — the
+    cheap early-warning a retrieval/dedup pipeline checks before
+    trusting that yesterday's IVF centroids and LSH thresholds still
+    fit today's corpus (complements dq_distribution_drift_psi's
+    scalar PSI and text_js_divergence's vocabulary drift with the
+    embedding-space view).
+
+    Scale shape: ONE posexplode + ONE (dim)-grouped aggregation
+    carrying both cohorts as conditional sums (128 groups at d=64 —
+    map-side combinable, no cohort join); the centroid moments fold
+    64 rows. Exactness: float32 components cast to DECIMAL(27,12)
+    (12dp keeps the term inside the cross-engine shortest-repr
+    bound at |v|<1), per-dim means through the VARCHAR hop, and the
+    four centroid moments sum 18dp-rounded products of identical
+    doubles — both engines hash-match."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        (F.col("vec_id") % 2 == 0).alias("grp_a"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "grp_a",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("v"),
+    )
+    dims = tagged.groupBy("dim").agg(
+        (
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN grp_a THEN"
+                " CAST(v AS DECIMAL(27,12)) END) AS STRING) AS DOUBLE)"
+            )
+            / F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+        ).alias("ma"),
+        (
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN NOT grp_a THEN"
+                " CAST(v AS DECIMAL(27,12)) END) AS STRING) AS DOUBLE)"
+            )
+            / F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+        ).alias("mb"),
+    )
+
+    def msum(term: str, out: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM(CAST(round({term}, 18) AS DECIMAL(27,18)))"
+            f" AS STRING) AS DOUBLE)"
+        ).alias(out)
+
+    mom = dims.agg(
+        msum("ma * mb", "sab"),
+        msum("ma * ma", "saa"),
+        msum("mb * mb", "sbb"),
+        msum("(ma - mb) * (ma - mb)", "sdd"),
+    )
+    ns = e.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return mom.crossJoin(F.broadcast(ns)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.expr("sab / (sqrt(saa) * sqrt(sbb))"), 6
+        ).alias("centroid_cosine"),
+        F.round(F.expr("sqrt(sdd)"), 6).alias("centroid_l2_dist"),
+    )
