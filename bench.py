@@ -273,6 +273,8 @@ HEADLINE = [
     "events_interarrival",
     "markov_stationary_distribution",
     "embed_drift_report",
+    "stat_friedman_test",
+    "sample_neyman_allocation",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -425,3 +425,95 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+NEYMAN_TARGET = 10_000  # total sample budget to allocate across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS nh,
+               CAST(CAST(SUM(CAST(n_chars AS HUGEINT)) AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                         AS VARCHAR) AS DOUBLE) AS s2
+        FROM documents GROUP BY source
+    ),
+    sig AS (
+        SELECT source, nh,
+               sqrt(s2 / nh - (s1 / nh) * (s1 / nh)) AS sigma
+        FROM s
+    ),
+    tot AS (
+        SELECT CAST(CAST(SUM(CAST(round(nh * sigma, 6)
+                     AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS w
+        FROM sig
+    )
+    SELECT source,
+           CAST(nh AS BIGINT) AS n_docs,
+           round(sigma, 6) AS sigma_chars,
+           CAST(round({NEYMAN_TARGET} * round(nh * sigma, 6)
+                      / (SELECT w FROM tot)) AS BIGINT) AS alloc_n,
+           round(round(nh * sigma, 6) / (SELECT w FROM tot), 6)
+               AS alloc_frac
+    FROM sig ORDER BY source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a fixed
+    sample budget across document sources proportionally to
+    N_h * sigma_h (stratum size x within-stratum std of document
+    length) — the design that minimizes the variance of the estimated
+    corpus mean at a fixed budget; high-variance sources earn more
+    than proportional share. The pre-step a curation pipeline runs
+    before sample_stratified_hash draws the actual sample.
+
+    Scale shape: ONE map-side-combinable groupBy collapses 100 TB to
+    |sources| rows of exact integer moments (n_chars is an integer, so
+    S1/S2 accumulate exactly in DECIMAL(38,0)/HUGEINT and convert via
+    the correctly-rounded VARCHAR hop); sigma and the allocation are
+    arithmetic over that tiny table, with the N_h*sigma_h weights
+    quantized at 6dp before the exact total so both engines divide the
+    identical numerator and denominator."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("s1"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars)"
+            " AS STRING) AS DOUBLE)"
+        ).alias("s2"),
+    )
+    sig = s.select(
+        "source",
+        "nh",
+        F.expr("sqrt(s2 / nh - (s1 / nh) * (s1 / nh))").alias("sigma"),
+    )
+    tot = sig.agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(round(nh * sigma, 6) AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("w")
+    )
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("nh").cast("long").alias("n_docs"),
+            F.round("sigma", 6).alias("sigma_chars"),
+            F.expr(
+                f"CAST(round({NEYMAN_TARGET} * round(nh * sigma, 6) / w)"
+                " AS BIGINT)"
+            ).alias("alloc_n"),
+            F.round(
+                F.expr("round(nh * sigma, 6) / w"), 6
+            ).alias("alloc_frac"),
+        )
+        .orderBy("source")
+    )

@@ -1987,3 +1987,107 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lift")
     )
+
+
+@register(
+    "stat_friedman_test",
+    oracle="""
+    WITH cell AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    full_blocks AS (
+        SELECT user_id FROM cell GROUP BY user_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM cell)
+    ),
+    ranked AS (
+        SELECT c.user_id, c.event_type,
+               2 * RANK() OVER (PARTITION BY c.user_id ORDER BY c.v)
+                 + COUNT(*) OVER (PARTITION BY c.user_id, c.v) - 1
+                   AS dr
+        FROM cell c JOIN full_blocks USING (user_id)
+    ),
+    sums AS (
+        SELECT event_type, SUM(dr) AS drsum FROM ranked GROUP BY 1
+    ),
+    dims AS (
+        SELECT (SELECT COUNT(*) FROM full_blocks) AS n,
+               (SELECT COUNT(*) FROM sums) AS k
+    )
+    SELECT CAST(d.n AS BIGINT) AS n_blocks,
+           CAST(d.k AS BIGINT) AS k_treatments,
+           round(12.0 / (d.n * d.k * (d.k + 1))
+                 * SUM((CAST(s.drsum AS DOUBLE) / 2)
+                       * (CAST(s.drsum AS DOUBLE) / 2))
+                 - 3.0 * d.n * (d.k + 1), 6) AS friedman_chi2,
+           CAST(d.k - 1 AS BIGINT) AS dof
+    FROM sums s CROSS JOIN dims d
+    GROUP BY d.n, d.k
+    """,
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for repeated measures: does any event type
+    systematically run higher values than the others, judged WITHIN
+    each user (blocks = users with all treatments, treatments = event
+    types, observation = the user's mean value per type)? The
+    non-parametric two-way companion to stat_kruskal_wallis: each
+    block is ranked internally, so per-user level differences cancel.
+
+    Scale shape: the stream collapses FIRST to |users| x |types|
+    cells (one map-side-combinable groupBy); ranking then partitions
+    by the HIGH-CARDINALITY user_id over k rows per partition — never
+    a global or low-cardinality sort; the treatment fold is k rows.
+    Tie-averaged ranks stay integral via doubling (2*rank + ties - 1
+    = twice the average rank — the repo's doubled-rank discipline);
+    the chi-squared fold divides back by 2 inside an identical IEEE
+    op tree in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    n_types = cell.select("event_type").distinct().count()
+    full_blocks = (
+        cell.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .filter(F.col("kk") == n_types)
+        .select("user_id")
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("user_id").orderBy("v")
+    wt = W.partitionBy("user_id", "v")
+    ranked = (
+        cell.join(full_blocks, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            (
+                2 * F.rank().over(wr)
+                + F.count(F.lit(1)).over(wt)
+                - 1
+            ).alias("dr"),
+        )
+    )
+    sums = ranked.groupBy("event_type").agg(F.sum("dr").alias("drsum"))
+    n_blocks = full_blocks.count()
+    return (
+        sums.agg(
+            F.lit(n_blocks).cast("long").alias("n_blocks"),
+            F.count(F.lit(1)).cast("long").alias("k_treatments"),
+            F.round(
+                F.expr(
+                    f"12.0 / ({n_blocks} * COUNT(*) * (COUNT(*) + 1))"
+                    " * SUM((CAST(drsum AS DOUBLE) / 2)"
+                    " * (CAST(drsum AS DOUBLE) / 2))"
+                    f" - 3.0 * {n_blocks} * (COUNT(*) + 1)"
+                ),
+                6,
+            ).alias("friedman_chi2"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        )
+    )
