@@ -68,3 +68,52 @@ def test_oracle_dtypes_are_pandas_hashable(duck, name):
         "and hash-mismatch the Spark result even when values are "
         "identical — CAST sums to BIGINT / stringify lists in the SQL"
     )
+
+
+def test_signed_halfup_div_identity_cross_engine(spark):
+    """Regression guard for the ADVICE-r8 signed-quotient class: the
+    (2u+c) div (2c) half-up identity applied to |u| with the sign
+    reattached must equal half-away-from-zero rounding of u/c in BOTH
+    engines, including negative sums, zero, and exact half-boundaries
+    (where DuckDB's floor-// and Spark's truncate-div diverge on the
+    UNGUARDED form)."""
+    import duckdb
+
+    # micro-unit numerators spanning signs and exact halves: u/c at
+    # c=8 gives .5-boundary quotients; 1e6 scaling mirrors prod use
+    cases = [(u, c) for u in (-1000001, -500000, -4, -3, 0, 3, 4, 500000, 999999)
+             for c in (1, 2, 7, 8)]
+
+    def py_half_away(u: int, c: int) -> int:
+        q, r = divmod(abs(u), c)
+        v = q + (1 if 2 * r >= c else 0)
+        return -v if u < 0 else v
+
+    con = duckdb.connect()
+    for u, c in cases:
+        expect = py_half_away(u, c)
+        got_d = con.execute(
+            f"SELECT CASE WHEN {u} < 0 THEN -1 ELSE 1 END"
+            f" * ((2 * ABS(CAST({u} AS HUGEINT)) + {c}) // (2 * {c}))"
+        ).fetchone()[0]
+        assert int(got_d) == expect, (u, c, got_d, expect)
+    rows = spark.sql(
+        "SELECT u, c, CASE WHEN u < 0 THEN -1 ELSE 1 END"
+        " * ((2 * ABS(CAST(u AS DECIMAL(38,0))) + c) div (2 * c)) AS v"
+        " FROM VALUES "
+        + ", ".join(f"({u}, {c})" for u, c in cases)
+        + " AS t(u, c)"
+    ).collect()
+    for r in rows:
+        assert int(r.v) == py_half_away(r.u, r.c), (r.u, r.c, r.v)
+
+    # and the UNGUARDED form must be shown to diverge on a negative
+    # half-boundary — documenting why the guard exists
+    u, c = -2, 3  # (2u+c)/(2c) = -1/6: floor -> -1, truncate -> 0
+    duck_unguarded = con.execute(
+        f"SELECT (2 * CAST({u} AS HUGEINT) + {c}) // (2 * {c})"
+    ).fetchone()[0]
+    spark_unguarded = spark.sql(
+        f"SELECT (2 * CAST({u} AS DECIMAL(38,0)) + {c}) div (2 * {c}) AS v"
+    ).collect()[0].v
+    assert int(duck_unguarded) != int(spark_unguarded)
