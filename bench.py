@@ -275,6 +275,7 @@ HEADLINE = [
     "embed_drift_report",
     "stat_friedman_test",
     "sample_neyman_allocation",
+    "ml_eval_fairness",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

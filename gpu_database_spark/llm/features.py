@@ -1445,3 +1445,91 @@ def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1 - (sr2 / 1000000) / (syk2 - syk * syk / n)"), 8
         ).alias("r2"),
     )
+
+
+# Fairness audit: frozen decision threshold on the price score (the
+# ~q75 of the fixture distribution — a constant, so every engine and
+# every scale applies the identical decision rule).
+FAIR_THRESHOLD = 375000.0
+
+
+@register(
+    "ml_eval_fairness",
+    oracle=f"""
+    WITH scored AS (
+        SELECT c.c_mktsegment AS grp,
+               {_LABEL_SQL} AS y,
+               CASE WHEN o.o_totalprice > {FAIR_THRESHOLD}
+                    THEN 1 ELSE 0 END AS yhat
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT grp,
+               COUNT(*) AS n,
+               SUM(y) AS pos,
+               SUM(yhat) AS ppos,
+               SUM(y * yhat) AS tp,
+               SUM((1 - y) * yhat) AS fp
+        FROM scored GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n,
+           CAST((2 * CAST(pos AS HUGEINT) * 1000000 + n) // (2 * n)
+                AS DOUBLE) / 1000000.0 AS base_rate,
+           CAST((2 * CAST(ppos AS HUGEINT) * 1000000 + n) // (2 * n)
+                AS DOUBLE) / 1000000.0 AS pred_pos_rate,
+           CAST((2 * CAST(tp AS HUGEINT) * 1000000 + pos) // (2 * pos)
+                AS DOUBLE) / 1000000.0 AS tpr,
+           CAST((2 * CAST(fp AS HUGEINT) * 1000000 + (n - pos))
+                // (2 * (n - pos)) AS DOUBLE) / 1000000.0 AS fpr
+    FROM g ORDER BY grp
+    """,
+)
+def ml_eval_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a thresholded score across customer
+    segments: per group, the predicted-positive rate (demographic
+    parity), true-positive rate and false-positive rate (equalized
+    odds) and the base rate — the report a model-governance review
+    reads before shipping a curation/decision threshold (complements
+    ml_eval_auc_grouped's ranking view with the DECISION view; gaps
+    between rows ARE the fairness metrics).
+
+    Scale shape: one fact join (customer side broadcastable), ONE
+    map-side-combinable groupBy to |segments| rows of five integer
+    counts, arithmetic on that tiny table. Every rate is an exact
+    half-up micro-unit quotient via the (2u+c) div (2c) identity
+    (u >= 0 counts), so both engines hash-match bit for bit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scored = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("grp"),
+        _label_col().alias("y"),
+        F.when(F.col("o_totalprice") > FAIR_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("yhat"),
+    )
+    g = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("yhat").alias("ppos"),
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).alias("fp"),
+    )
+
+    def rate(num: str, den: str, out: str) -> F.Column:
+        return (
+            F.expr(
+                f"(2 * CAST({num} AS DECIMAL(38,0)) * 1000000 + {den})"
+                f" div (2 * {den})"
+            ).cast("double")
+            / 1000000.0
+        ).alias(out)
+
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        rate("pos", "n", "base_rate"),
+        rate("ppos", "n", "pred_pos_rate"),
+        rate("tp", "pos", "tpr"),
+        rate("fp", "(n - pos)", "fpr"),
+    ).orderBy("grp")
