@@ -276,6 +276,8 @@ HEADLINE = [
     "stat_friedman_test",
     "sample_neyman_allocation",
     "ml_eval_fairness",
+    "text_langid_confusion",
+    "stat_tost_equivalence",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -1281,3 +1281,93 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), "w")
         .limit(BURST_TOP)
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split(' ' || text || ' ', ' the ')) - 1
+                 + len(string_split(' ' || text || ' ', ' a ')) - 1
+                 + len(string_split(' ' || text || ' ', ' and ')) - 1 AS s_en,
+               len(string_split(' ' || text || ' ', ' der ')) - 1
+                 + len(string_split(' ' || text || ' ', ' und ')) - 1
+                 + len(string_split(' ' || text || ' ', ' die ')) - 1 AS s_de,
+               len(string_split(' ' || text || ' ', ' le ')) - 1
+                 + len(string_split(' ' || text || ' ', ' la ')) - 1
+                 + len(string_split(' ' || text || ' ', ' et ')) - 1 AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS actual,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS predicted
+        FROM scored
+    ),
+    cells AS (
+        SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+           CAST((2 * CAST(n AS HUGEINT) * 1000000
+                 + SUM(n) OVER (PARTITION BY actual))
+                // (2 * SUM(n) OVER (PARTITION BY actual))
+                AS DOUBLE) / 1000000.0 AS share_of_actual
+    FROM cells ORDER BY actual, predicted
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix over the WHOLE corpus: the
+    stopword-score classifier text_lang_id demonstrates per-document,
+    evaluated against the ground-truth lang label — (actual,
+    predicted, count, row-share). The accuracy census a pipeline
+    checks before trusting the cheap classifier to route documents at
+    100 TB (per-class recall sits on the diagonal).
+
+    Scale shape: scan-fused per-document scoring (string arithmetic,
+    no explode), ONE groupBy to <= |langs|^2 cells, and a
+    row-normalizing window over that tiny table. Counts are exact
+    integers; shares are exact half-up micro-unit quotients."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def score(words: list[str]) -> Column:
+        s = word_hits(F.col("text"), words[0])
+        for w in words[1:]:
+            s = s + word_hits(F.col("text"), w)
+        return s
+
+    scored = d.select(
+        F.col("lang").alias("actual"),
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["de"]).alias("s_de"),
+        score(LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    cells = scored.select("actual", pred.alias("predicted")).groupBy(
+        "actual", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    wrow = W.partitionBy("actual")
+    return cells.select(
+        "actual",
+        "predicted",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.expr(
+                "(2 * CAST(n AS DECIMAL(38,0)) * 1000000"
+                " + SUM(n) OVER (PARTITION BY actual))"
+                " div (2 * SUM(n) OVER (PARTITION BY actual))"
+            ).cast("double")
+            / 1000000.0
+        ).alias("share_of_actual"),
+    ).orderBy("actual", "predicted")

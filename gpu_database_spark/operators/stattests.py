@@ -2091,3 +2091,109 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
         )
     )
+
+
+# TOST equivalence margin (absolute, same units as event value) and
+# the large-sample one-sided 5% normal critical value, shared literals.
+_TOST_DELTA = "2.0"
+_TOST_Z = "1.644854"
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                             THEN value ELSE 0 END AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'view'
+                             THEN value * value ELSE 0 END
+                             AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS q1,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                             THEN value * value ELSE 0 END
+                             AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS q2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    v AS (
+        SELECT n1, n2, s1 / n1 - s2 / n2 AS diff,
+               sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                    + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS se
+        FROM s
+    )
+    SELECT n1, n2,
+           round(diff, 6) AS mean_diff,
+           round(se, 6) AS std_err,
+           round((diff + {_TOST_DELTA}) / se, 6) AS t_lower,
+           round(({_TOST_DELTA} - diff) / se, 6) AS t_upper,
+           ((diff + {_TOST_DELTA}) / se > {_TOST_Z}
+            AND ({_TOST_DELTA} - diff) / se > {_TOST_Z}) AS equivalent
+    FROM v
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two one-sided tests (TOST) for EQUIVALENCE of view vs purchase
+    mean values within an absolute margin of +-2.0: the inverse
+    question of stat_welch_ttest — "can we claim the means are
+    practically the SAME?", which a non-significant difference test
+    can never answer. Equivalent iff both one-sided statistics clear
+    the one-sided 5% normal critical value (shared literal; neither
+    engine has an inverse t CDF, and the fixture n makes z ~= t).
+
+    Scale shape: the same ONE-pass conditional sufficient statistics
+    as stat_welch_ttest (map-side-combinable, six scalars); the TOST
+    fold is arithmetic on one row with identical IEEE op trees."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def csum(cond: str, term: str, out: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM(CAST(CASE WHEN event_type = '{cond}'"
+            f" THEN {term} ELSE 0 END AS DECIMAL(27,6))) AS STRING)"
+            f" AS DOUBLE)"
+        ).alias(out)
+
+    s = e.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n2"),
+        csum("view", "value", "s1"),
+        csum("purchase", "value", "s2"),
+        csum("view", "value * value", "q1"),
+        csum("purchase", "value * value", "q2"),
+    )
+    v = s.select(
+        "n1",
+        "n2",
+        F.expr("s1 / n1 - s2 / n2").alias("diff"),
+        F.expr(
+            "sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1"
+            " + (q2 - s2 * s2 / n2) / (n2 - 1) / n2)"
+        ).alias("se"),
+    )
+    return v.select(
+        "n1",
+        "n2",
+        F.round("diff", 6).alias("mean_diff"),
+        F.round("se", 6).alias("std_err"),
+        F.round(F.expr(f"(diff + {_TOST_DELTA}) / se"), 6).alias("t_lower"),
+        F.round(F.expr(f"({_TOST_DELTA} - diff) / se"), 6).alias("t_upper"),
+        F.expr(
+            f"(diff + {_TOST_DELTA}) / se > {_TOST_Z}"
+            f" AND ({_TOST_DELTA} - diff) / se > {_TOST_Z}"
+        ).alias("equivalent"),
+    )
