@@ -550,10 +550,12 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             # land exactly on 6dp half-boundaries where the engines'
             # round() semantics disagree (round-8 sweep class).
             # Cosine sums can be NEGATIVE, and the half-up identity
-            # only holds for u >= 0 (DuckDB // floors toward -inf,
-            # Spark div truncates toward 0) — so apply it to |sum|
-            # and reattach the sign (half-away-from-zero, identical
-            # in both engines).
+            # only holds for u >= 0 — an unguarded negative quotient
+            # is not the half-up value, and integer-division behavior
+            # on negative operands is engine/version-dependent (floor
+            # vs truncate) — so apply it to |sum| and reattach the
+            # sign (half-away-from-zero, identical in both engines;
+            # guarded cross-engine in tests/test_driver_canon.py).
             (
                 F.expr(
                     "CASE WHEN SUM(CAST(sim AS DECIMAL(27,6))) < 0"

@@ -74,9 +74,12 @@ def test_signed_halfup_div_identity_cross_engine(spark):
     """Regression guard for the ADVICE-r8 signed-quotient class: the
     (2u+c) div (2c) half-up identity applied to |u| with the sign
     reattached must equal half-away-from-zero rounding of u/c in BOTH
-    engines, including negative sums, zero, and exact half-boundaries
-    (where DuckDB's floor-// and Spark's truncate-div diverge on the
-    UNGUARDED form)."""
+    engines, including negative sums, zero, and exact half-boundaries.
+    The guard matters twice over: the identity itself only holds for
+    u >= 0 (an unguarded negative quotient is NOT the half-up value),
+    and integer-division semantics for negative operands are engine-
+    and version-dependent (floor vs truncate — this DuckDB build
+    truncates like Spark, but the docs reserve floor semantics)."""
     import duckdb
 
     # micro-unit numerators spanning signs and exact halves: u/c at
@@ -107,13 +110,17 @@ def test_signed_halfup_div_identity_cross_engine(spark):
     for r in rows:
         assert int(r.v) == py_half_away(r.u, r.c), (r.u, r.c, r.v)
 
-    # and the UNGUARDED form must be shown to diverge on a negative
-    # half-boundary — documenting why the guard exists
-    u, c = -2, 3  # (2u+c)/(2c) = -1/6: floor -> -1, truncate -> 0
+    # and the UNGUARDED form must be shown to break the ROUNDING
+    # SEMANTICS on a negative sum — documenting why the guard exists:
+    # u=-3, c=2 -> u/c = -1.5, half-away = -2, but (2u+c) div (2c)
+    # = -4 div 4 = -1 in both engines (and would be -1 vs -1 or -1 vs
+    # 0 depending on each engine's floor-vs-truncate choice)
+    u, c = -3, 2
     duck_unguarded = con.execute(
         f"SELECT (2 * CAST({u} AS HUGEINT) + {c}) // (2 * {c})"
     ).fetchone()[0]
     spark_unguarded = spark.sql(
         f"SELECT (2 * CAST({u} AS DECIMAL(38,0)) + {c}) div (2 * {c}) AS v"
     ).collect()[0].v
-    assert int(duck_unguarded) != int(spark_unguarded)
+    assert int(duck_unguarded) != py_half_away(u, c)
+    assert int(spark_unguarded) != py_half_away(u, c)
