@@ -278,6 +278,7 @@ HEADLINE = [
     "ml_eval_fairness",
     "text_langid_confusion",
     "stat_tost_equivalence",
+    "er_golden_record",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

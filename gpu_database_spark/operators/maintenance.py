@@ -1014,3 +1014,162 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_share"),
     ).orderBy("size_bucket")
+
+
+@register(
+    "er_golden_record",
+    oracle="""
+    WITH RECURSIVE
+    blocked AS (
+        SELECT p_partkey, p_name, p_brand, p_type,
+               split_part(p_name, ' ', 2) || '|' || p_brand AS block_key
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS a, b.p_partkey AS b
+        FROM blocked a JOIN blocked b
+          ON a.block_key = b.block_key AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    walk(id, comp) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    comp AS (
+        SELECT id, MIN(comp) AS cluster_id FROM walk GROUP BY id
+    ),
+    members AS (
+        SELECT c.cluster_id, p.p_partkey, p.p_name, p.p_brand, p.p_type
+        FROM comp c JOIN part p ON c.id = p.p_partkey
+    ),
+    sized AS (
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM members GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ),
+    brand_mode AS (
+        SELECT cluster_id, p_brand FROM (
+            SELECT cluster_id, p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY COUNT(*) DESC, p_brand)
+                       AS rk
+            FROM members GROUP BY cluster_id, p_brand
+        ) WHERE rk = 1
+    ),
+    type_mode AS (
+        SELECT cluster_id, p_type FROM (
+            SELECT cluster_id, p_type,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY COUNT(*) DESC, p_type)
+                       AS rk
+            FROM members GROUP BY cluster_id, p_type
+        ) WHERE rk = 1
+    ),
+    rep AS (
+        SELECT m.cluster_id, m.p_name
+        FROM members m WHERE m.p_partkey = m.cluster_id
+    )
+    SELECT s.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+           r.p_name AS golden_name,
+           bm.p_brand AS canonical_brand,
+           tm.p_type AS canonical_type
+    FROM sized s
+    JOIN rep r USING (cluster_id)
+    JOIN brand_mode bm USING (cluster_id)
+    JOIN type_mode tm USING (cluster_id)
+    ORDER BY cluster_id LIMIT 100
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution MERGE step: fuzzy-match pairs (the
+    er_fuzzy_match edge rule — same compound block, Levenshtein <= 3)
+    become clusters via min-label connected components, and each
+    multi-member cluster elects a GOLDEN RECORD — the min-key
+    member's name plus most-frequent brand/type (smallest-value tie
+    break) — the master-data survivorship step downstream of
+    candidate scoring.
+
+    Scale shape: pair generation is block-bounded (never all-pairs);
+    components run the standard distributed min-label loop
+    (llm/dedup.py:connected_components, lineage checkpointed per
+    round); attribute election is two (cluster, value) groupBys with
+    an argmax window over cluster-sized groups. Oracle: the identical
+    edge rule, a recursive-CTE reachability walk (fixture-scale only
+    — the Spark loop is the 100 TB path), and the same election
+    windows; everything is integer/string-exact, so the hash match is
+    structural."""
+    from gpu_database_spark.llm.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        F.concat(
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.lit("|"),
+            F.col("p_brand"),
+        ).alias("block_key"),
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    a = p.repartition(n_parts, "block_key").alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_partkey").alias("a"), F.col("b.p_partkey").alias("b")
+        )
+    )
+    nodes = p.select(F.col("p_partkey").alias("id"))
+    comp = connected_components(nodes, pairs)
+    members = comp.join(
+        p, comp.id == p.p_partkey
+    ).select(
+        F.col("component").alias("cluster_id"),
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+    )
+    sized = (
+        members.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+    def mode_of(col: str, out: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("cluster_id").orderBy(
+            F.desc("c"), F.col(col)
+        )
+        return (
+            members.groupBy("cluster_id", col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cluster_id", F.col(col).alias(out))
+        )
+
+    rep = members.filter(
+        F.col("p_partkey") == F.col("cluster_id")
+    ).select("cluster_id", F.col("p_name").alias("golden_name"))
+    return (
+        sized.join(rep, "cluster_id")
+        .join(mode_of("p_brand", "canonical_brand"), "cluster_id")
+        .join(mode_of("p_type", "canonical_type"), "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "golden_name",
+            "canonical_brand",
+            "canonical_type",
+        )
+        .orderBy("cluster_id")
+        .limit(100)
+    )
