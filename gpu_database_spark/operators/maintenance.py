@@ -1092,15 +1092,27 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     break) — the master-data survivorship step downstream of
     candidate scoring.
 
-    Scale shape: pair generation is block-bounded (never all-pairs);
-    components run the standard distributed min-label loop
-    (llm/dedup.py:connected_components, lineage checkpointed per
-    round); attribute election is two (cluster, value) groupBys with
-    an argmax window over cluster-sized groups. Oracle: the identical
-    edge rule, a recursive-CTE reachability walk (fixture-scale only
-    — the Spark loop is the 100 TB path), and the same election
-    windows; everything is integer/string-exact, so the hash match is
-    structural."""
+    Scale shape: pair generation is block-bounded AND clone-collapsed
+    — exact-duplicate names chain consecutively (|group|-1 edges, not
+    the |group|^2/2 clique) and the Levenshtein stage compares only
+    DISTINCT names per block via their min-key representatives; the
+    edge set differs from the naive all-pairs rule but is
+    CONNECTIVITY-PRESERVING, so the components (and therefore every
+    output row) are identical. This is what survives a
+    duplicate-heavy corpus: on the 10x-replicated sf1.0 fixture the
+    naive pair join is ~100x larger and took the whole stage down
+    under memory pressure (measured, round 9); the collapsed form
+    runs it comfortably. Components run the standard distributed
+    min-label loop (llm/dedup.py:connected_components, lineage
+    checkpointed per round); attribute election is two (cluster,
+    value) groupBys with an argmax window over cluster-sized groups.
+    Oracle: the naive quadratic edge rule and a recursive-CTE
+    reachability walk (fixture-scale only — the Spark loop is the
+    100 TB path); components are the same by the connectivity
+    argument, and everything downstream is integer/string-exact, so
+    the hash match is structural."""
+    from pyspark.sql import Window as W
+
     from gpu_database_spark.llm.dedup import connected_components
 
     p = load_table(spark, sf_dir, "part").select(
@@ -1111,20 +1123,36 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand"),
         ).alias("block_key"),
     )
+    # clone chains: identical (block, name) members connect in a line
+    wchain = W.partitionBy("block_key", "p_name").orderBy("p_partkey")
+    chain = (
+        p.select(
+            "block_key",
+            "p_name",
+            "p_partkey",
+            F.lag("p_partkey").over(wchain).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("p_partkey").alias("b"))
+    )
+    # cross-name candidates: DISTINCT names only, via min-key reps
+    reps = p.groupBy("block_key", "p_name").agg(
+        F.min("p_partkey").alias("rep")
+    )
     n_parts = spark.sparkContext.defaultParallelism
-    a = p.repartition(n_parts, "block_key").alias("a")
-    b = p.alias("b")
-    pairs = (
+    a = reps.repartition(n_parts, "block_key").alias("a")
+    b = reps.alias("b")
+    cross = (
         a.join(
             b,
             (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.rep") < F.col("b.rep"))
+            & (F.col("a.p_name") != F.col("b.p_name")),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
-        .select(
-            F.col("a.p_partkey").alias("a"), F.col("b.p_partkey").alias("b")
-        )
+        .select(F.col("a.rep").alias("a"), F.col("b.rep").alias("b"))
     )
+    pairs = chain.unionAll(cross)
     nodes = p.select(F.col("p_partkey").alias("id"))
     comp = connected_components(nodes, pairs)
     members = comp.join(
