@@ -1093,26 +1093,27 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate scoring.
 
     Scale shape: pair generation is block-bounded AND clone-collapsed
-    — exact-duplicate names chain consecutively (|group|-1 edges, not
-    the |group|^2/2 clique) and the Levenshtein stage compares only
-    DISTINCT names per block via their min-key representatives; the
-    edge set differs from the naive all-pairs rule but is
-    CONNECTIVITY-PRESERVING, so the components (and therefore every
-    output row) are identical. This is what survives a
-    duplicate-heavy corpus: on the 10x-replicated sf1.0 fixture the
-    naive pair join is ~100x larger and took the whole stage down
-    under memory pressure (measured, round 9); the collapsed form
-    runs it comfortably. Components run the standard distributed
-    min-label loop (llm/dedup.py:connected_components, lineage
-    checkpointed per round); attribute election is two (cluster,
-    value) groupBys with an argmax window over cluster-sized groups.
+    — exact-duplicate names attach to their group's min-key
+    representative as a STAR (|group|-1 edges, not the |group|^2/2
+    clique, and diameter 2 so the min-label loop still converges in
+    a few rounds — a chain would need |group| rounds) and the
+    Levenshtein stage compares only DISTINCT names per block via
+    those representatives; the edge set differs from the naive
+    all-pairs rule but is CONNECTIVITY-PRESERVING, so the components
+    (and therefore every output row) are identical. This is what
+    survives a duplicate-heavy corpus: on the 10x-replicated sf1.0
+    fixture the naive pair join is ~100x larger and took the whole
+    stage down under memory pressure (measured, round 9); the
+    collapsed form runs it comfortably. Components run the standard
+    distributed min-label loop (llm/dedup.py:connected_components,
+    lineage checkpointed per round); attribute election is two
+    (cluster, value) groupBys with an argmax window over
+    cluster-sized groups.
     Oracle: the naive quadratic edge rule and a recursive-CTE
     reachability walk (fixture-scale only — the Spark loop is the
     100 TB path); components are the same by the connectivity
     argument, and everything downstream is integer/string-exact, so
     the hash match is structural."""
-    from pyspark.sql import Window as W
-
     from gpu_database_spark.llm.dedup import connected_components
 
     p = load_table(spark, sf_dir, "part").select(
@@ -1123,21 +1124,17 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand"),
         ).alias("block_key"),
     )
-    # clone chains: identical (block, name) members connect in a line
-    wchain = W.partitionBy("block_key", "p_name").orderBy("p_partkey")
-    chain = (
-        p.select(
-            "block_key",
-            "p_name",
-            "p_partkey",
-            F.lag("p_partkey").over(wchain).alias("prev"),
-        )
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("a"), F.col("p_partkey").alias("b"))
-    )
     # cross-name candidates: DISTINCT names only, via min-key reps
     reps = p.groupBy("block_key", "p_name").agg(
         F.min("p_partkey").alias("rep")
+    )
+    # clone stars: every exact-duplicate member attaches to its
+    # group's rep directly (diameter 2, so label propagation stays
+    # O(few) rounds regardless of clone count)
+    star = (
+        p.join(reps, ["block_key", "p_name"])
+        .filter(F.col("p_partkey") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("p_partkey").alias("b"))
     )
     n_parts = spark.sparkContext.defaultParallelism
     a = reps.repartition(n_parts, "block_key").alias("a")
@@ -1152,7 +1149,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
         .select(F.col("a.rep").alias("a"), F.col("b.rep").alias("b"))
     )
-    pairs = chain.unionAll(cross)
+    pairs = star.unionAll(cross)
     nodes = p.select(F.col("p_partkey").alias("id"))
     comp = connected_components(nodes, pairs)
     members = comp.join(
