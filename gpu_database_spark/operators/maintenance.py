@@ -1016,6 +1016,57 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("size_bucket")
 
 
+def er_collapsed_pairs(p: DataFrame, n_parts: int) -> DataFrame:
+    """Clone-collapsed candidate pairs for the ER component step.
+
+    Input: (p_partkey, p_name, block_key). Output: (a, b) edges whose
+    connected components EQUAL those of the naive quadratic rule
+    "same block AND levenshtein(name_a, name_b) <= 3" — with linear,
+    not quadratic, growth in exact duplicates:
+
+    * clone stars — every member of an identical (block, name) group
+      attaches directly to the group's min-key representative
+      (|g|-1 edges, diameter 2; a chain has the same edge count but
+      diameter |g|, which makes the min-label loop pay one join round
+      per clone — measured 57s vs 13s at sf1.0);
+    * rep cross-pairs — the Levenshtein join runs only between
+      DISTINCT names per block, via those representatives.
+
+    Connectivity proof sketch: within a clone group the star connects
+    exactly what the naive clique connects (lev = 0 <= 3); across
+    names X != Y the naive rule connects every x in X to every y in Y
+    iff lev(X, Y) <= 3, and here x — rep(X) — rep(Y) — y is a path
+    under exactly the same condition. The tested invariant
+    (tests/test_maintenance.py) replays both rules on a clone-
+    amplified frame and asserts identical components.
+    """
+    reps = p.groupBy("block_key", "p_name").agg(
+        F.min("p_partkey").alias("rep")
+    )
+    star = (
+        p.join(reps, ["block_key", "p_name"])
+        .filter(F.col("p_partkey") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("p_partkey").alias("b"))
+    )
+    # Spread blocks across tasks BEFORE the O(distinct^2) stage; AQE
+    # would coalesce a bare repartition of a small rep table back to
+    # one partition, hence the explicit numPartitions (same reasoning
+    # as er_fuzzy_match above).
+    a = reps.repartition(n_parts, "block_key").alias("a")
+    b = reps.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            & (F.col("a.p_name") != F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.rep").alias("a"), F.col("b.rep").alias("b"))
+    )
+    return star.unionAll(cross)
+
+
 @register(
     "er_golden_record",
     oracle="""
@@ -1124,32 +1175,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand"),
         ).alias("block_key"),
     )
-    # cross-name candidates: DISTINCT names only, via min-key reps
-    reps = p.groupBy("block_key", "p_name").agg(
-        F.min("p_partkey").alias("rep")
-    )
-    # clone stars: every exact-duplicate member attaches to its
-    # group's rep directly (diameter 2, so label propagation stays
-    # O(few) rounds regardless of clone count)
-    star = (
-        p.join(reps, ["block_key", "p_name"])
-        .filter(F.col("p_partkey") != F.col("rep"))
-        .select(F.col("rep").alias("a"), F.col("p_partkey").alias("b"))
-    )
-    n_parts = spark.sparkContext.defaultParallelism
-    a = reps.repartition(n_parts, "block_key").alias("a")
-    b = reps.alias("b")
-    cross = (
-        a.join(
-            b,
-            (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.rep") < F.col("b.rep"))
-            & (F.col("a.p_name") != F.col("b.p_name")),
-        )
-        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
-        .select(F.col("a.rep").alias("a"), F.col("b.rep").alias("b"))
-    )
-    pairs = star.unionAll(cross)
+    pairs = er_collapsed_pairs(p, spark.sparkContext.defaultParallelism)
     nodes = p.select(F.col("p_partkey").alias("id"))
     comp = connected_components(nodes, pairs)
     members = comp.join(

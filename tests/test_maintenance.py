@@ -140,3 +140,94 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _er_blocked(spark, sf_dir, clones: int):
+    """part sample with `clones` extra exact-duplicate copies per row
+    (key-shifted), blocked the way er_golden_record blocks."""
+    base = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_brand")
+        .limit(500)
+    )
+    amplified = base
+    for i in range(1, clones + 1):
+        amplified = amplified.unionAll(
+            base.select(
+                (F.col("p_partkey") + F.lit(10_000_000 * i)).alias(
+                    "p_partkey"
+                ),
+                "p_name",
+                "p_brand",
+            )
+        )
+    return amplified.select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.lit("|"),
+            F.col("p_brand"),
+        ).alias("block_key"),
+    )
+
+
+def _naive_pairs(p):
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_partkey").alias("a"), F.col("b.p_partkey").alias("b")
+        )
+    )
+
+
+def test_er_clone_collapse_components_match_naive(spark, sf_dir):
+    """The collapsed edge set (clone stars + distinct-name rep pairs)
+    must yield EXACTLY the components of the naive quadratic rule on
+    a duplicate-heavy frame — the connectivity-preservation claim
+    er_golden_record's scale story rests on. Min-label components are
+    canonical (label = min reachable id), so equal connectivity means
+    equal (id, component) rows."""
+    from gpu_database_spark.llm.dedup import connected_components
+
+    p = _er_blocked(spark, sf_dir, clones=3)
+    nodes = p.select(F.col("p_partkey").alias("id"))
+    got = connected_components(
+        nodes, maintenance.er_collapsed_pairs(p, 8)
+    )
+    want = connected_components(nodes, _naive_pairs(p))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_er_collapsed_pairs_linear_in_clones(spark, sf_dir):
+    """Exact duplicates must grow the collapsed pair set linearly
+    while the naive clique rule grows it quadratically — the sf1.0
+    failure mode. With 3 extra clone copies every naive clique is
+    >= 4x4 on the clone axis; the collapsed form adds |g|-1 star
+    edges instead."""
+    p1 = _er_blocked(spark, sf_dir, clones=0)
+    p4 = _er_blocked(spark, sf_dir, clones=3)
+    n = p1.count()
+    collapsed1 = maintenance.er_collapsed_pairs(p1, 8).count()
+    collapsed4 = maintenance.er_collapsed_pairs(p4, 8).count()
+    naive1 = _naive_pairs(p1).count()
+    naive4 = _naive_pairs(p4).count()
+    # linear, EXACTLY: 4x-ing every (block, name) group of size g
+    # adds 4g-1 - (g-1) = 3g star edges and zero rep cross-pairs
+    # (clones introduce no new distinct names)
+    assert collapsed4 == collapsed1 + 3 * n, (collapsed1, collapsed4, n)
+    # quadratic: the naive clique pays C(4g,2) - C(g,2) >= 6g per
+    # group (2x the star growth at g=1, worse for bigger groups) PLUS
+    # a 16x blow-up on every cross-name pair
+    assert naive4 - naive1 >= 2 * (collapsed4 - collapsed1) + 15 * naive1, (
+        naive1,
+        naive4,
+        collapsed1,
+        collapsed4,
+    )
