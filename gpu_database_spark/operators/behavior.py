@@ -18,6 +18,8 @@ analytics surface SURVEY.md §2B declares around it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2332,10 +2334,21 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     for _ in range(MARKOV_POWER_ITERS):
         new = {s: 0.0 for s in states}
         for cur, nxt, p in trans:
-            new[nxt] += pi[cur] * p
+            # Absorbing targets (nxt never appears as a source) drop
+            # their mass, mirroring the oracle's LEFT JOIN onto the
+            # source-keyed states CTE — guard instead of KeyError.
+            if nxt in new:
+                new[nxt] += pi[cur] * p
         pi = new
+
+    def _round_half_up(x: float, dp: int = 8) -> float:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's — match the oracle at the 8dp half boundary.
+        scale = 10.0 ** dp
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
     out = [
-        (s, round(pi[s], 8), out_tot[s]) for s in states
+        (s, _round_half_up(pi[s]), out_tot[s]) for s in states
     ]
     return spark.createDataFrame(
         out, "state string, stationary_p double, n_transitions_out long"

@@ -2018,10 +2018,10 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(d.n AS BIGINT) AS n_blocks,
            CAST(d.k AS BIGINT) AS k_treatments,
-           round(12.0 / (d.n * d.k * (d.k + 1))
+           round(CAST(12 AS DOUBLE) / (d.n * d.k * (d.k + 1))
                  * SUM((CAST(s.drsum AS DOUBLE) / 2)
                        * (CAST(s.drsum AS DOUBLE) / 2))
-                 - 3.0 * d.n * (d.k + 1), 6) AS friedman_chi2,
+                 - CAST(3 AS DOUBLE) * d.n * (d.k + 1), 6) AS friedman_chi2,
            CAST(d.k - 1 AS BIGINT) AS dof
     FROM sums s CROSS JOIN dims d
     GROUP BY d.n, d.k
@@ -2075,16 +2075,30 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = ranked.groupBy("event_type").agg(F.sum("dr").alias("drsum"))
     n_blocks = full_blocks.count()
+    if n_blocks == 0:
+        # No user holds every treatment: the oracle's GROUP BY over an
+        # empty sums CTE yields zero rows, while a Spark global agg
+        # would yield one (0, 0, null, -1) row AND divide by zero —
+        # short-circuit to the same empty relation.
+        return spark.createDataFrame(
+            [],
+            "n_blocks long, k_treatments long,"
+            " friedman_chi2 double, dof long",
+        )
     return (
         sums.agg(
             F.lit(n_blocks).cast("long").alias("n_blocks"),
             F.count(F.lit(1)).cast("long").alias("k_treatments"),
             F.round(
                 F.expr(
-                    f"12.0 / ({n_blocks} * COUNT(*) * (COUNT(*) + 1))"
+                    # CAST(12 AS DOUBLE): a bare 12.0 literal parses as
+                    # DECIMAL(3,1) in both engines but with divergent
+                    # quotient scales (the stat_jarque_bera note) —
+                    # force the identical IEEE double op tree instead.
+                    f"CAST(12 AS DOUBLE) / ({n_blocks} * COUNT(*) * (COUNT(*) + 1))"
                     " * SUM((CAST(drsum AS DOUBLE) / 2)"
                     " * (CAST(drsum AS DOUBLE) / 2))"
-                    f" - 3.0 * {n_blocks} * (COUNT(*) + 1)"
+                    f" - CAST(3 AS DOUBLE) * {n_blocks} * (COUNT(*) + 1)"
                 ),
                 6,
             ).alias("friedman_chi2"),

@@ -1,0 +1,248 @@
+"""Round-10 regression tests: the r9 ADVICE edge cases.
+
+1. markov_stationary_distribution on a chain with an ABSORBING state
+   (an event type that appears only as a transition target): the
+   driver loop must not KeyError, and must drop that state's mass
+   exactly like the oracle's LEFT JOIN onto the source-keyed states.
+2. stat_friedman_test on input where NO user holds every event type:
+   both engines must return ZERO rows (not a divide-by-zero row).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write a minimal events.parquet into a throwaway sf_dir."""
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    return sf_dir
+
+
+def _ts(i: int) -> datetime.datetime:
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=i)
+
+
+def test_markov_sink_state_no_crash_and_drops_mass(spark, tmp_path):
+    """'churn' appears only as a target: 1 user, view -> click ->
+    view -> churn. Sources are {view, click}; churn must be absent
+    from the output and its inbound mass dropped each round, matching
+    the oracle's LEFT JOIN semantics."""
+    from gpu_database_spark.operators.behavior import (
+        markov_stationary_distribution,
+    )
+
+    rows = [
+        (1, _ts(0), 7, "view", 1.0, "{}"),
+        (2, _ts(1), 7, "click", 1.0, "{}"),
+        (3, _ts(2), 7, "view", 1.0, "{}"),
+        (4, _ts(3), 7, "churn", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = markov_stationary_distribution(spark, sf_dir)
+    got = {r.state: r for r in out.collect()}
+    assert set(got) == {"view", "click"}, got
+    # Mass leaks out through the absorbing state each round, so the
+    # surviving states must sum to strictly less than 1.
+    total = sum(r.stationary_p for r in got.values())
+    assert 0.0 < total < 1.0, total
+    assert got["view"].n_transitions_out == 2
+    assert got["click"].n_transitions_out == 1
+
+
+def test_markov_sink_state_matches_oracle(spark, tmp_path):
+    """Same fixture, cross-engine: the driver loop and the DuckDB
+    power-iteration oracle must agree bit-for-bit after 8dp rounding."""
+    import duckdb
+
+    from gpu_database_spark import registry
+    from gpu_database_spark.operators.behavior import (
+        markov_stationary_distribution,
+    )
+    from tests.oracle_utils import assert_query_matches_oracle
+
+    rows = [
+        (1, _ts(0), 7, "view", 1.0, "{}"),
+        (2, _ts(1), 7, "click", 1.0, "{}"),
+        (3, _ts(2), 7, "view", 1.0, "{}"),
+        (4, _ts(3), 7, "churn", 1.0, "{}"),
+        # second user keeps some recurrent mass so pi isn't trivial
+        (5, _ts(0), 8, "view", 1.0, "{}"),
+        (6, _ts(1), 8, "click", 1.0, "{}"),
+        (7, _ts(2), 8, "view", 1.0, "{}"),
+        (8, _ts(3), 8, "click", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet')}/*.parquet')"
+    )
+    df = markov_stationary_distribution(spark, sf_dir)
+    sql = registry.oracle_sql()["markov_stationary_distribution"]
+    assert_query_matches_oracle(df, con, sql, name="markov_sink_state")
+    con.close()
+
+
+def test_friedman_degenerate_returns_empty(spark, tmp_path):
+    """No user has all event types -> full_blocks is empty -> both
+    engines return ZERO rows (previously: a one-row divide-by-zero)."""
+    import duckdb
+
+    from gpu_database_spark import registry
+    from gpu_database_spark.operators.stattests import stat_friedman_test
+    from tests.oracle_utils import assert_query_matches_oracle
+
+    rows = [
+        (1, _ts(0), 1, "view", 1.0, "{}"),
+        (2, _ts(1), 2, "click", 2.0, "{}"),
+        (3, _ts(2), 3, "purchase", 3.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    df = stat_friedman_test(spark, sf_dir)
+    assert df.count() == 0
+    assert df.columns == ["n_blocks", "k_treatments", "friedman_chi2", "dof"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet')}/*.parquet')"
+    )
+    sql = registry.oracle_sql()["stat_friedman_test"]
+    assert_query_matches_oracle(df, con, sql, name="friedman_degenerate")
+    con.close()
+
+
+def test_round_half_up_half_boundary():
+    """The 8dp rounding used driver-side must be half-away-from-zero
+    (DuckDB round), not banker's (Python round)."""
+    from gpu_database_spark.operators.behavior import (
+        markov_stationary_distribution,  # noqa: F401 - module import
+    )
+    import gpu_database_spark.operators.behavior as b
+
+    # exact half at 8dp: 0.000000125 -> 0.00000013 away-from-zero
+    assert b.math.floor(abs(0.125e-6) * 1e8 + 0.5) / 1e8 == 0.13e-6
+
+
+def _clone_table(spark, src_df, key_col, clones, offset=10_000_000):
+    out = src_df
+    for i in range(1, clones + 1):
+        out = out.unionAll(
+            src_df.withColumn(
+                key_col, F.col(key_col) + F.lit(offset * i)
+            )
+        )
+    return out
+
+
+def test_er_fuzzy_match_clone_collapse_matches_naive(spark, sf_dir, tmp_path):
+    """er_fuzzy_match's collapsed plan (Levenshtein once per distinct
+    name pair, member expansion after) must emit EXACTLY the naive
+    quadratic rule's pairs on a duplicate-heavy part table."""
+    from gpu_database_spark.operators.maintenance import er_fuzzy_match
+    from gpu_database_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "part").limit(200)
+    amplified = _clone_table(spark, base, "p_partkey", clones=3)
+    amplified.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "part.parquet")
+    )
+    got = er_fuzzy_match(spark, str(tmp_path)).collect()
+
+    p = amplified.select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        F.concat(
+            F.split(F.col("p_name"), " ").getItem(1),
+            F.lit("|"),
+            F.col("p_brand"),
+        ).alias("block_key"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    want = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+            (F.col("a.p_type") == F.col("b.p_type")).alias("same_type"),
+        )
+        .orderBy("block_key", "key_a", "key_b")
+        .limit(100)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the clone-amplified frame must actually exercise both branches
+    assert any(r.dist == 0 for r in got), "no clone pairs in fixture"
+
+
+def test_sim_pairs_blocked_clone_collapse_matches_naive(spark, sf_dir, tmp_path):
+    """sim_pairs_blocked's collapsed plan (one dot product per
+    distinct-vector pair + one self-cosine per clone group) must emit
+    EXACTLY the naive per-member pair join's rows, bit-for-bit, on a
+    table where every embedding is duplicated."""
+    from gpu_database_spark.llm.similarity import (
+        dot,
+        l2_norm,
+        lsh_bucket_array,
+        sim_pairs_blocked,
+    )
+    from gpu_database_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").limit(150)
+    amplified = _clone_table(spark, base, "vec_id", clones=2, offset=100_000)
+    amplified.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    got = sorted(tuple(r) for r in sim_pairs_blocked(spark, str(tmp_path)).collect())
+
+    normed = amplified.select(
+        "vec_id", "label", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.element_at(lsh_bucket_array("embedding"), 1).cast("long").alias("bucket"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("va"), "label", "bucket",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    want = sorted(
+        tuple(r)
+        for r in (
+            a.join(
+                b,
+                (F.col("label") == F.col("label_b"))
+                & (F.col("bucket") == F.col("bucket_b"))
+                & (F.col("va") < F.col("vb")),
+            )
+            .select("va", "vb", "label", "bucket", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") > 0.3)
+        ).collect()
+    )
+    assert got == want
+    # clone pairs (cosine exactly 1.0 at 6dp) must be present
+    assert any(r[4] == 1.0 for r in got), "no clone pairs in fixture"
