@@ -90,8 +90,8 @@ def _load_all() -> None:
     _LOADED = True
 
 
-def _driver_checked() -> set[str]:
-    """Names already verified GREEN by the driver in any past round.
+def _driver_history() -> dict[str, int]:
+    """Name -> LATEST round with a GREEN driver row.
 
     The verification driver samples the FIRST 50 keys of ``queries()``
     and writes per-round evidence to ``CORRECTNESS_r{N}.json`` at the
@@ -105,10 +105,20 @@ def _driver_checked() -> set[str]:
     rows-only query (the driver can never say more), so it counts as
     checked — unless the query has since gained an oracle, in which
     case it rotates forward to earn a real oracled row.
+
+    The round NUMBER feeds the staleness term (VERDICT r9 fix #1):
+    once every name is checked at least once, the driver window
+    re-cycles oldest-checked-first so no green row goes stale forever
+    (the aria_* family sat on its r01 rows for eight rounds).
     """
     repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -116,19 +126,24 @@ def _driver_checked() -> set[str]:
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
-                seen.add(name)
+                latest[name] = max(latest.get(name, 0), rnd)
                 continue
             err = row.get("err")
             if err == "no_oracle":
                 if name not in _ORACLES:
-                    seen.add(name)
+                    latest[name] = max(latest.get(name, 0), rnd)
                 continue
             if err:
                 continue
             if row.get("rows_match") is False or row.get("hash_match") is False:
                 continue
-            seen.add(name)
-    return seen
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_checked() -> set[str]:
+    """Names already verified GREEN by the driver in any past round."""
+    return set(_driver_history())
 
 
 def _rotation_tier(name: str) -> int:
@@ -172,11 +187,16 @@ def queries() -> dict[str, QueryFn]:
     round's snapshot (oracled before rows-only), pinned ahead of
     everything so new registrations can never starve them; (1)
     unchecked oracled queries, by tier then registration order; (2)
-    unchecked rows-only queries; (3) already-checked queries. Dict
+    unchecked rows-only queries; (3) already-checked queries,
+    OLDEST driver round first — the staleness term (VERDICT r9 #1):
+    once the board is fully drained, leftover window slots re-verify
+    the names whose last green row is oldest, so every oracled query
+    gets a fresh driver row every ~(350-new)/(50-new) rounds. Dict
     contents are identical either way — only iteration order changes.
     """
     _load_all()
-    checked = _driver_checked()
+    history = _driver_history()
+    checked = set(history)
     prior = _prior_declared()
     names = list(_QUERIES)
 
@@ -188,7 +208,7 @@ def queries() -> dict[str, QueryFn]:
             return (0, _rotation_tier(name), idx)
         if name not in checked:
             return (1, 0, idx)
-        return (2, 0, idx)
+        return (2, history[name], idx)
 
     ordered = sorted(enumerate(names), key=sort_key)
     return {name: _QUERIES[name] for _, name in ordered}

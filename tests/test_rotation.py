@@ -49,6 +49,34 @@ def test_unchecked_snapshot_names_precede_all_new_registrations():
         )
 
 
+def test_checked_names_cycle_oldest_round_first():
+    """Staleness term (VERDICT r9 #1): among already-checked names,
+    the rotation must order by the round of their latest green driver
+    row ascending, so leftover window slots re-verify the stalest
+    names (the aria_* family sat on r01 rows for eight rounds)."""
+    history = registry._driver_history()
+    order = list(registry.queries())
+    checked_rounds = [history[n] for n in order if n in history]
+    assert checked_rounds == sorted(checked_rounds), (
+        "checked queries are not ordered oldest-driver-round-first"
+    )
+
+
+def test_stale_aria_family_fits_driver_sample_window():
+    """The r01-checked aria_* family must sit inside the driver's
+    50-sample window this round (VERDICT r9 #1 'done' criterion).
+    If this fails after adding new queries: too many never-checked
+    registrations are front-running the stale re-verification slots —
+    defer some to next round."""
+    history = registry._driver_history()
+    order = list(registry.queries())
+    oldest = min(history.values())
+    stale = [n for n in order if history.get(n) == oldest]
+    assert stale, "no checked queries at the oldest round?"
+    late = [n for n in stale if order.index(n) >= 50]
+    assert not late, f"stalest queries outside the window: {late}"
+
+
 def test_backlog_fits_driver_sample_window():
     """Everything unchecked (backlog + new) must fit in the first 50."""
     checked = registry._driver_checked()
