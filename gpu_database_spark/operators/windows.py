@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gpu_database_spark.functions.ranks import bucketed_row_number
 from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
@@ -216,18 +217,49 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist / ntile over the (small, pre-bounded)
-    supplier table — distribution-position analytics; the global window
-    is safe only because the input is dimension-sized."""
-    s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return s.select(
-        "s_suppkey",
+    """percent_rank / cume_dist / ntile over supplier — distribution-
+    position analytics, WITHOUT the global single-partition window
+    sort (VERDICT r9 #2: supplier grows with SF — 1M rows at sf100).
+
+    Plan: the two-level bucketed rank (``functions/ranks.py``) assigns
+    each row its global 1-based position ``i`` under the total order
+    (s_acctbal, s_suppkey); because the tiebreak is a unique key there
+    are no peers, so the window functions reduce to integer-exact
+    arithmetic on (i, n): percent_rank = (i-1)/(n-1), cume_dist = i/n,
+    and ntile(3) from the standard first-(n mod k)-tiles-get-one-extra
+    rule. n arrives as a broadcast scalar. The only remaining windows
+    partition by value-bucket (parallel) and run over the tiny
+    bucket-totals table."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked = bucketed_row_number(
+        s,
         "s_acctbal",
-        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 8).alias("cume"),
-        F.ntile(3).over(w).cast("long").alias("tercile"),
-    ).orderBy("s_acctbal", "s_suppkey")
+        ["s_suppkey"],
+        F.floor(F.col("s_acctbal") / F.lit(100)),
+        rank_col="i",
+    )
+    n = s.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.round(
+                (F.col("i") - 1).cast("double") / (F.col("_n") - 1), 8
+            ).alias("pct_rank"),
+            F.round(F.col("i").cast("double") / F.col("_n"), 8).alias("cume"),
+            F.expr(
+                """CAST(CASE
+                     WHEN i <= (_n % 3) * (_n DIV 3 + 1)
+                     THEN (i - 1) DIV (_n DIV 3 + 1) + 1
+                     ELSE (_n % 3)
+                          + (i - (_n % 3) * (_n DIV 3 + 1) - 1) DIV (_n DIV 3)
+                          + 1
+                   END AS BIGINT)"""
+            ).alias("tercile"),
+        )
+        .orderBy("s_acctbal", "s_suppkey")
+    )
 
 
 @register(

@@ -365,3 +365,20 @@ def test_interarrival_partitions_by_user(spark, sf_dir):
     assert "rangepartitioning(ts" not in low, plan
     assert "rangepartitioning(gap" not in low, plan
     assert "windowspecdefinition(user_id" in low, plan
+
+
+def test_window_percentiles_is_bucketed(spark, sf_dir):
+    """window_percentiles must never sort the whole supplier table on
+    one task (VERDICT r9 #2): the per-row rank window must partition
+    by the value bucket, and the only unpartitioned window allowed is
+    the prefix sum over the tiny bucket-totals aggregate."""
+    from gpu_database_spark.operators.windows import window_percentiles
+
+    plan = inspect.simple_plan(window_percentiles(spark, sf_dir))
+    assert "percent_rank()" not in plan, plan
+    assert "cume_dist()" not in plan, plan
+    assert "ntile(" not in plan, plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "_rk_bkt" in ln, f"unbucketed global rank window: {ln}"
