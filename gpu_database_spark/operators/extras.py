@@ -644,10 +644,13 @@ def sink_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         writers.merge_upsert(spark, path, upd, ["s_suppkey"])
         dels = s.filter(F.col("s_suppkey") % 7 == 3).withColumn("_del", F.lit(True))
         writers.merge_upsert(spark, path, dels, ["s_suppkey"], delete_col="_del")
-        final = writers.read_snapshot(spark, path).orderBy("s_suppkey")
-        # materialize before the scratch dir disappears (bounded: one
-        # row per supplier — a dimension table, driver-safe by size)
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema).orderBy("s_suppkey")
+        final = writers.read_snapshot(spark, path)
+        # The snapshot must outlive its merge-scratch tempdir, but a
+        # driver collect here is O(table) (VERDICT r9 #4) — instead
+        # rewrite it once, executor-side, to a session-scoped result
+        # path and hand back the lazy scan of that parquet.
+        result = os.path.join(scratch_root, "latest_snapshot.parquet")
+        final.write.mode("overwrite").parquet(result)
+        return spark.read.parquet(result).orderBy("s_suppkey")
     finally:
         shutil.rmtree(path, ignore_errors=True)
