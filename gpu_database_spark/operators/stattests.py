@@ -2211,3 +2211,555 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND ({_TOST_DELTA} - diff) / se > {_TOST_Z}"
         ).alias("equivalent"),
     )
+
+
+@register(
+    "stat_wilcoxon_signed_rank",
+    oracle="""
+    WITH cell AS (
+        SELECT user_id,
+               CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS sv,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS sp,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    ),
+    d AS (
+        SELECT sv / nv - sp / np AS d
+        FROM cell WHERE nv > 0 AND np > 0
+    ),
+    nz AS (SELECT d, abs(d) AS ad FROM d WHERE d <> 0),
+    by_v AS (
+        SELECT ad,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos,
+               COUNT(*) AS t
+        FROM nz GROUP BY ad
+    ),
+    cum AS (
+        SELECT cpos, t,
+               COALESCE(SUM(t) OVER (ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM by_v
+    ),
+    agg AS (
+        SELECT SUM(t) AS n,
+               SUM(cpos * (2 * below + t + 1)) AS w2,
+               SUM(t * t * t - t) AS ties
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(w2 AS DOUBLE) / 2, 6) AS w_plus,
+           round((CAST(w2 AS DOUBLE) / 2 - CAST(n * (n + 1) AS DOUBLE) / 4)
+                 / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24
+                        - CAST(ties AS DOUBLE) / 48), 6) AS z,
+           abs((CAST(w2 AS DOUBLE) / 2 - CAST(n * (n + 1) AS DOUBLE) / 4)
+               / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24
+                      - CAST(ties AS DOUBLE) / 48)) > 1.96 AS significant_05
+    FROM agg
+    """,
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user means: does a
+    user's mean 'view' value systematically differ from their own
+    mean 'purchase' value? The paired nonparametric sibling of
+    stat_mannwhitney_u (which treats the samples as independent) —
+    within-user pairing cancels user-level baselines the same way
+    stat_friedman_test's blocks do, for the two-treatment case.
+
+    Zero differences drop (the classic convention); |d| ranks are
+    tie-averaged via the doubled-rank identity (2*below + t + 1 =
+    twice the average rank of a tied group), so 2*W+ stays an exact
+    integer until the final closed-form z with the Sigma(t^3 - t)/48
+    tie correction.
+
+    Scale shape: the stream collapses FIRST to one row per user (a
+    map-side-combinable conditional groupBy); the |d| ranking then
+    uses the SAME two-level bucketed prefix as stat_mannwhitney_u —
+    running sums within floor(8|d|) buckets plus an exclusive prefix
+    over the tiny bucket-totals table — never a global window over
+    the user-count-sized difference stream. The oracle states the
+    plain global-window form; both select identical integers."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    from pyspark.sql import Window
+
+    dec = "decimal(27,6)"
+    cell = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value"))
+            .otherwise(0)
+            .cast(dec)
+        )
+        .cast("double")
+        .alias("sv"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0)
+            .cast(dec)
+        )
+        .cast("double")
+        .alias("sp"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "np"
+        ),
+    )
+    d = (
+        cell.filter((F.col("nv") > 0) & (F.col("np") > 0))
+        .select(F.expr("sv / nv - sp / np").alias("d"))
+        .filter(F.col("d") != 0)
+        .select("d", F.abs("d").alias("ad"))
+    )
+    by_v = d.groupBy("ad").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cpos"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    b = by_v.withColumn("_bkt", F.floor(F.col("ad") * 8).cast("long"))
+    wl = Window.partitionBy("_bkt").orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.select(
+        "_bkt", "cpos", "t",
+        F.coalesce(F.sum("t").over(wl), F.lit(0)).alias("_below_local"),
+    )
+    bt = b.groupBy("_bkt").agg(F.sum("t").alias("_bt"))
+    wo = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(wo), F.lit(0)).alias("_base")
+    )
+    cum = local.join(F.broadcast(off), "_bkt").select(
+        "cpos", "t", (F.col("_below_local") + F.col("_base")).alias("below")
+    )
+    agg = cum.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.expr("cpos * (2 * below + t + 1)")).alias("w2"),
+        F.sum(F.expr("t * t * t - t")).alias("ties"),
+    )
+    z = (
+        "(CAST(w2 AS DOUBLE) / 2 - CAST(n * (n + 1) AS DOUBLE) / 4)"
+        " / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24"
+        " - CAST(ties AS DOUBLE) / 48)"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(F.expr("CAST(w2 AS DOUBLE) / 2"), 6).alias("w_plus"),
+        F.round(F.expr(z), 6).alias("z"),
+        F.expr(f"abs({z}) > 1.96").alias("significant_05"),
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS r, l_linestatus AS s, COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT r, s, o,
+               SUM(o) OVER (PARTITION BY r) AS rt,
+               SUM(o) OVER (PARTITION BY s) AS ct,
+               SUM(o) OVER () AS n
+        FROM c
+    ),
+    chi AS (
+        SELECT MAX(n) AS n,
+               COUNT(DISTINCT r) AS nr,
+               COUNT(DISTINCT s) AS nc,
+               CAST(CAST(SUM(CAST(
+                   (o - CAST(rt * ct AS DOUBLE) / n)
+                   * (o - CAST(rt * ct AS DOUBLE) / n)
+                   / (CAST(rt * ct AS DOUBLE) / n)
+                   AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS chi2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST(nc AS BIGINT) AS n_cols,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * (LEAST(nr, nc) - 1))), 6) AS cramers_v,
+           round(sqrt(
+               GREATEST(chi2 / n
+                        - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1),
+                        CAST(0 AS DOUBLE))
+               / (LEAST(nr - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1),
+                        nc - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1))
+                  - 1)), 6) AS cramers_v_corrected
+    FROM chi
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the l_returnflag x l_linestatus
+    association, plus the Bergsma-Wicher bias-corrected variant — the
+    magnitude companion to stat_chi2_independence's significance
+    verdict (at 100 TB row counts EVERYTHING is significant; only the
+    effect size says whether the association matters).
+
+    Scale shape: the stream collapses FIRST to the <= |r| x |s|
+    contingency table (one map-side-combinable groupBy); margins and
+    expected counts come from windows over that bounded table (the
+    window_share_of_total precedent), and the chi-squared fold sums
+    per-cell terms through the exact-decimal string-hop so the
+    cross-engine sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    c = li.groupBy(
+        F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = c.select(
+        "r", "s", "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("s")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    term = (
+        "(o - CAST(rt * ct AS DOUBLE) / n)"
+        " * (o - CAST(rt * ct AS DOUBLE) / n)"
+        " / (CAST(rt * ct AS DOUBLE) / n)"
+    )
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("s").alias("nc"),
+        F.expr(
+            f"CAST(CAST(SUM(CAST({term} AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("chi2"),
+    )
+    corr = (
+        "sqrt(GREATEST(chi2 / n"
+        " - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1),"
+        " CAST(0 AS DOUBLE))"
+        " / (LEAST(nr - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1),"
+        " nc - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1)) - 1))"
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows"),
+        F.col("nc").cast("long").alias("n_cols"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.expr("sqrt(chi2 / (n * (LEAST(nr, nc) - 1)))"), 6
+        ).alias("cramers_v"),
+        F.round(F.expr(corr), 6).alias("cramers_v_corrected"),
+    )
+
+
+@register(
+    "stat_cohens_d",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                             THEN value ELSE 0 END AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'view'
+                             THEN value * value ELSE 0 END
+                             AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS q1,
+               CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                             THEN value * value ELSE 0 END
+                             AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS q2
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    v AS (
+        SELECT n1, n2, s1 / n1 - s2 / n2 AS diff,
+               sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+                    / (n1 + n2 - 2)) AS sp
+        FROM s
+    )
+    SELECT n1, n2,
+           round(diff, 6) AS mean_diff,
+           round(sp, 6) AS pooled_sd,
+           round(diff / sp, 6) AS cohens_d,
+           round(diff / sp
+                 * (1 - CAST(3 AS DOUBLE) / (4 * (n1 + n2) - 9)), 6)
+               AS hedges_g
+    FROM v
+    """,
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g standardized effect sizes for the view
+    vs purchase mean-value difference — the magnitude companion to
+    stat_welch_ttest (pooled-SD standardization; Hedges' small-sample
+    bias factor 1 - 3/(4N - 9)). Note the pooled sum of squares
+    (q - s^2/n per arm, summed, over n1+n2-2) — not Welch's separate
+    variances.
+
+    Scale shape: ONE pass of six conditional sufficient statistics
+    (map-side-combinable, exact decimal accumulation with the
+    string-hop output conversion); the effect-size fold is arithmetic
+    on one row with oracle-identical IEEE op trees."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+    def csum(cond: str, term: str, out: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM(CAST(CASE WHEN event_type = '{cond}'"
+            f" THEN {term} ELSE 0 END AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias(out)
+
+    s = e.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        csum("view", "value", "s1"),
+        csum("purchase", "value", "s2"),
+        csum("view", "value * value", "q1"),
+        csum("purchase", "value * value", "q2"),
+    )
+    v = s.select(
+        "n1", "n2",
+        F.expr("s1 / n1 - s2 / n2").alias("diff"),
+        F.expr(
+            "sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))"
+            " / (n1 + n2 - 2))"
+        ).alias("sp"),
+    )
+    return v.select(
+        "n1", "n2",
+        F.round("diff", 6).alias("mean_diff"),
+        F.round("sp", 6).alias("pooled_sd"),
+        F.round(F.expr("diff / sp"), 6).alias("cohens_d"),
+        F.round(
+            F.expr(
+                "diff / sp * (1 - CAST(3 AS DOUBLE) / (4 * (n1 + n2) - 9))"
+            ),
+            6,
+        ).alias("hedges_g"),
+    )
+
+
+@register(
+    "stat_mcnemar_test",
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS mid
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               MAX(CASE WHEN epoch_ns(ts) < mid THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN epoch_ns(ts) >= mid THEN 1 ELSE 0 END) AS b
+        FROM events CROSS JOIN bounds GROUP BY user_id
+    ),
+    ct AS (
+        SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01
+        FROM u
+    )
+    SELECT n11, n10, n01,
+           round(CASE WHEN n10 + n01 = 0 THEN NULL
+                 ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                      / (n10 + n01) END, 6) AS chi2,
+           round(CASE WHEN n10 + n01 = 0 THEN NULL
+                 ELSE CAST(GREATEST(abs(n10 - n01) - 1, 0)
+                           * GREATEST(abs(n10 - n01) - 1, 0) AS DOUBLE)
+                      / (n10 + n01) END, 6) AS chi2_cc,
+           CASE WHEN n10 + n01 = 0 THEN FALSE
+                ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                     / (n10 + n01) > 3.841459 END AS significant_05
+    FROM ct
+    """,
+)
+def stat_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: is a user's
+    presence in the second half of the observation window dependent
+    on their presence in the first half? Only the discordant cells
+    (active-then-gone n10 vs new-arrival n01) carry information —
+    the churn-vs-acquisition asymmetry a retention dashboard's
+    before/after comparison actually tests. Reported with and
+    without the Edwards continuity correction; 3.841459 is the
+    chi-squared(1) 95% critical value (shared literal).
+
+    Scale shape: one O(1) scalar pre-pass (min/max timestamp -> the
+    broadcast midpoint), one map-side-combinable per-user groupBy of
+    two MAX flags, one 3-cell fold. Degenerate all-concordant input
+    short-circuits to NULL statistics in both engines via the same
+    CASE guard."""
+    e = load_table(spark, sf_dir, "events")
+    # integer DIV, not /2: epoch-nanos sums exceed 2^53, so a double
+    # division here would round the midpoint by up to ~512ns and any
+    # event inside that window would split differently than the
+    # oracle's exact integer // 2
+    bounds = e.agg(F.expr("(MIN(ts_ns) + MAX(ts_ns)) DIV 2").alias("mid"))
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts_ns") < F.col("mid"), 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("ts_ns") >= F.col("mid"), 1).otherwise(0)).alias("b"),
+        )
+    )
+    ct = u.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+    )
+    chi2 = (
+        "CASE WHEN n10 + n01 = 0 THEN NULL"
+        " ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01) END"
+    )
+    chi2_cc = (
+        "CASE WHEN n10 + n01 = 0 THEN NULL"
+        " ELSE CAST(GREATEST(abs(n10 - n01) - 1, 0)"
+        " * GREATEST(abs(n10 - n01) - 1, 0) AS DOUBLE) / (n10 + n01) END"
+    )
+    sig = (
+        "CASE WHEN n10 + n01 = 0 THEN FALSE"
+        " ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)"
+        " > 3.841459 END"
+    )
+    return ct.select(
+        "n11", "n10", "n01",
+        F.round(F.expr(chi2), 6).alias("chi2"),
+        F.round(F.expr(chi2_cc), 6).alias("chi2_cc"),
+        F.expr(sig).alias("significant_05"),
+    )
+
+
+@register(
+    "stat_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*) AS mu
+        FROM daily GROUP BY 1
+    ),
+    s AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.v > m.mu THEN 1 ELSE 0 END AS sgn
+        FROM daily d JOIN m USING (event_type)
+        WHERE d.v <> m.mu
+    ),
+    r AS (
+        SELECT event_type, sgn,
+               CASE WHEN LAG(sgn) OVER (PARTITION BY event_type
+                                        ORDER BY day)
+                         IS DISTINCT FROM sgn
+                    THEN 1 ELSE 0 END AS st
+        FROM s
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(st) AS BIGINT) AS runs,
+               CAST(SUM(sgn) AS BIGINT) AS n1,
+               CAST(SUM(1 - sgn) AS BIGINT) AS n2
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n1 AS n_above, n2 AS n_below, runs AS n_runs,
+           round(1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2), 6)
+               AS expected_runs,
+           round((runs - (1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)))
+                 / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                        * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2))
+                        / (n1 + n2 - 1)), 6) AS z
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of each event type's
+    daily mean-value series around its own mean: too FEW runs of
+    above/below-mean days means trending/sticky behavior, too MANY
+    means oscillation — the distribution-free "is this series just
+    noise?" gate that complements timeseries_acf's parametric view.
+    (Mean cut, values equal to the mean dropped — the standard
+    above/below variant.)
+
+    Scale shape: the 100 TB stream collapses FIRST to |types| x
+    |days| rows via one map-side-combinable groupBy; the LAG window
+    and the run/count folds run over that calendar-bounded series
+    (the timeseries_acf precedent), so the low-cardinality partition
+    key is safe by construction. Run starts count via LAG IS
+    DISTINCT FROM (first row starts run 1); E[R] and Var[R] are the
+    closed forms over the integer (n1, n2, R)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = e.groupBy(
+        "event_type", F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS STRING) AS DOUBLE)"
+            " / COUNT(*)"
+        ).alias("mu")
+    )
+    s = (
+        daily.join(m, "event_type")
+        .filter(F.col("v") != F.col("mu"))
+        .select(
+            "event_type", "day",
+            F.when(F.col("v") > F.col("mu"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = s.select(
+        "event_type", "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("st"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum("st").cast("long").alias("runs"),
+        F.sum("sgn").cast("long").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+    )
+    exp_r = "1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)"
+    z = (
+        f"(runs - ({exp_r}))"
+        " / sqrt(CAST(2 * n1 * n2 AS DOUBLE)"
+        " * (2 * n1 * n2 - n1 - n2)"
+        " / ((n1 + n2) * (n1 + n2))"
+        " / (n1 + n2 - 1))"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        F.round(F.expr(exp_r), 6).alias("expected_runs"),
+        F.round(F.expr(z), 6).alias("z"),
+    ).orderBy("event_type")

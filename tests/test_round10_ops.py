@@ -246,3 +246,188 @@ def test_sim_pairs_blocked_clone_collapse_matches_naive(spark, sf_dir, tmp_path)
     assert got == want
     # clone pairs (cosine exactly 1.0 at 6dp) must be present
     assert any(r[4] == 1.0 for r in got), "no clone pairs in fixture"
+
+
+# ---- round-10 operator batch: numpy/pure-python ground-truth gates ----
+
+
+def test_wilcoxon_matches_python_replica(spark, duck, sf_dir):
+    """W+ and z must equal a textbook average-rank signed-rank
+    replica computed independently from the same per-user means."""
+    import numpy as np
+
+    from gpu_database_spark.operators.stattests import (
+        stat_wilcoxon_signed_rank,
+    )
+
+    cell = duck.execute(
+        """
+        SELECT CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                      ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END), 0)
+               -
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END), 0)
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+        """
+    ).fetchall()
+    d = np.array([r[0] for r in cell if r[0] is not None])
+    d = d[d != 0]
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(ad))
+    # average ranks over ties
+    sorted_ad = ad[order]
+    i = 0
+    while i < len(sorted_ad):
+        j = i
+        while j < len(sorted_ad) and sorted_ad[j] == sorted_ad[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(d)
+    w_plus = ranks[d > 0].sum()
+    _, t_counts = np.unique(ad, return_counts=True)
+    ties = float((t_counts.astype(np.int64) ** 3 - t_counts).sum())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / np.sqrt(var)
+
+    row = stat_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert row.n_pairs == n
+    assert abs(row.w_plus - w_plus) < 1e-6, (row.w_plus, w_plus)
+    assert abs(row.z - z) < 1e-6, (row.z, z)
+
+
+def test_theil_sen_matches_numpy_median(spark, duck, sf_dir):
+    """The reported slope must equal numpy's median of all pairwise
+    slopes of the daily series, per event type."""
+    import numpy as np
+
+    from gpu_database_spark.operators.behavior import timeseries_theil_sen
+
+    daily = duck.execute(
+        """
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[tuple[int, float]]] = {}
+    for et, day, v in daily:
+        series.setdefault(et, []).append((day, v))
+    got = {r.event_type: r for r in timeseries_theil_sen(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        slopes = [
+            (v2 - v1) / (d2 - d1)
+            for i, (d1, v1) in enumerate(pts)
+            for (d2, v2) in pts[i + 1:]
+        ]
+        s = np.sort(np.array(slopes))
+        m = len(s)
+        med = (s[(m - 1) // 2] + s[m // 2]) / 2.0
+        assert got[et].n_pairs == m
+        assert abs(got[et].theil_sen_slope - med) < 1e-7, (et, med)
+
+
+def test_ljung_box_matches_numpy(spark, duck, sf_dir):
+    """Q must equal n(n+2) * Sigma rho_k^2/(n-k) with rho_k the
+    per-lag Pearson autocorrelation of the hourly count series."""
+    import numpy as np
+
+    from gpu_database_spark.operators.behavior import timeseries_ljung_box
+
+    hourly = duck.execute(
+        """
+        SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+               CAST(COUNT(*) AS DOUBLE)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, v in hourly:
+        series.setdefault(et, []).append(v)
+    got = {r.event_type: r for r in timeseries_ljung_box(spark, sf_dir).collect()}
+    for et, vs in series.items():
+        v = np.array(vs)
+        n = len(v)
+        q = 0.0
+        for k in (1, 2, 3):
+            rho = np.corrcoef(v[:-k], v[k:])[0, 1]
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert got[et].n == n
+        assert abs(got[et].q_stat - q) < 1e-4, (et, got[et].q_stat, q)
+
+
+def test_runs_test_matches_python_replica(spark, duck, sf_dir):
+    """Run count, expectation and z must match a direct replay of the
+    daily above/below-mean sign sequence."""
+    import math as pymath
+
+    from gpu_database_spark.operators.stattests import stat_runs_test
+
+    daily = duck.execute(
+        """
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, v in daily:
+        series.setdefault(et, []).append(v)
+    got = {r.event_type: r for r in stat_runs_test(spark, sf_dir).collect()}
+    for et, vs in series.items():
+        # engines sum DECIMAL(27,6) casts of the doubles; replicate by
+        # quantizing each double at 6dp before the exact sum
+        from decimal import Decimal
+
+        mu = float(sum(Decimal(f"{x:.6f}") for x in vs)) / len(vs)
+        signs = [1 if x > mu else 0 for x in vs if x != mu]
+        runs = sum(
+            1 for i, sg in enumerate(signs) if i == 0 or sg != signs[i - 1]
+        )
+        n1, n2 = sum(signs), len(signs) - sum(signs)
+        e_r = 1 + 2.0 * n1 * n2 / (n1 + n2)
+        var = (
+            2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2)
+            / (n1 + n2 - 1)
+        )
+        z = (runs - e_r) / pymath.sqrt(var)
+        assert got[et].n_runs == runs, (et, got[et].n_runs, runs)
+        assert got[et].n_above == n1 and got[et].n_below == n2
+        assert abs(got[et].z - z) < 1e-5, (et, got[et].z, z)
+
+
+def test_wilcoxon_rank_windows_are_bucketed(spark, sf_dir):
+    """stat_wilcoxon_signed_rank's |d| prefix sums must partition by
+    the value bucket — never a global window over the user-count-
+    sized difference stream."""
+    from gpu_database_spark.operators.stattests import (
+        stat_wilcoxon_signed_rank,
+    )
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.simple_plan(stat_wilcoxon_signed_rank(spark, sf_dir))
+    heavy = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(ad#" in ln and "_bkt" not in ln
+    ]
+    assert not heavy, f"unbucketed |d| window: {heavy}"
+    assert "_bkt" in plan
+
+
+def test_cross_correlation_is_single_scan(spark, sf_dir):
+    """Both daily series must come out of ONE conditional-aggregate
+    pass over events — not one scan per series."""
+    from gpu_database_spark.operators.behavior import (
+        timeseries_cross_correlation,
+    )
+    from gpu_database_spark.plans import inspect
+
+    plan = inspect.simple_plan(timeseries_cross_correlation(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
