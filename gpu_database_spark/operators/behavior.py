@@ -2353,3 +2353,390 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         out, "state string, stationary_p double, n_transitions_out long"
     ).orderBy("state")
+
+
+@register(
+    "timeseries_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.v - a.v) / (b.day - a.day) AS slope,
+               a.day AS d1, b.day AS d2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope, d1, d2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           round(SUM(slope) / COUNT(*), 8) AS theil_sen_slope
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the MEDIAN of
+    all pairwise slopes of the daily mean-value series — tolerant of
+    ~29% outlier days, where timeseries_trend_slope's OLS line chases
+    every spike. The median is the mean of the two middle slopes
+    (positions (n+1)//2 and (n+2)//2 under the total order
+    (slope, d1, d2)); a two-double mean is order-safe because IEEE
+    addition is commutative (only associativity fails).
+
+    Scale shape: the 100 TB stream collapses FIRST to |types| x
+    |days| rows (one map-side-combinable groupBy); the O(days^2)
+    pair stage and its rank window run over that CALENDAR-bounded
+    series (<= ~66k pairs/type-year — the timeseries_acf
+    domain-bounded precedent), never over raw events. At
+    multi-decade spans the standard repeated-median or
+    random-pair-sample variants swap in; the collapse-first shape is
+    unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        ((F.col("v2") - F.col("v1")) / (F.col("d2") - F.col("d1"))).alias(
+            "slope"
+        ),
+        "d1",
+        "d2",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(F.sum("slope") / F.count(F.lit(1)), 8).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Ljung-Box over the hourly event-COUNT series (integer-exact).
+_LB_LAGS = (1, 2, 3)
+_LB_CRIT_3DF = "7.814728"  # chi-squared(3) 95% critical value
+
+# Exact-decimal Pearson numerator/denominators over an INTEGER
+# series: every term stays exact DECIMAL until one string-hop double
+# conversion per factor, so rho is bit-identical cross-engine at any
+# SF (a 6dp half-boundary in a double->decimal cast of a COMPUTED
+# double is what broke the first, mean-series draft of this query at
+# sf1.0 — counts have no such cast anywhere).
+_LB_NUM = (
+    "CAST(CAST(CAST(nk AS DECIMAL(8,0)) * sxy{k}"
+    " - CAST(sx{k} AS DECIMAL(18,0)) * CAST(sy{k} AS DECIMAL(18,0))"
+    " AS {STR}) AS DOUBLE)"
+)
+_LB_DX = (
+    "CAST(CAST(CAST(nk AS DECIMAL(8,0)) * sxx{k}"
+    " - CAST(sx{k} AS DECIMAL(18,0)) * CAST(sx{k} AS DECIMAL(18,0))"
+    " AS {STR}) AS DOUBLE)"
+)
+_LB_DY = (
+    "CAST(CAST(CAST(nk AS DECIMAL(8,0)) * syy{k}"
+    " - CAST(sy{k} AS DECIMAL(18,0)) * CAST(sy{k} AS DECIMAL(18,0))"
+    " AS {STR}) AS DOUBLE)"
+)
+
+
+def _lb_rho_expr(k: int, str_type: str) -> str:
+    num = _LB_NUM.replace("{k}", str(k)).replace("{STR}", str_type)
+    dx = _LB_DX.replace("{k}", str(k)).replace("{STR}", str_type)
+    dy = _LB_DY.replace("{k}", str(k)).replace("{STR}", str_type)
+    return f"{num} / sqrt({dx}) / sqrt({dy})"
+
+
+def _lb_rho_sql(k: int) -> str:
+    return f"""
+    r{k} AS (
+        SELECT event_type, {_lb_rho_expr(k, "VARCHAR")} AS rho FROM (
+            SELECT event_type,
+                   COUNT(*) AS nk,
+                   SUM(c) AS sx{k},
+                   SUM(c{k}) AS sy{k},
+                   CAST(SUM(CAST(c AS DECIMAL(18,0))
+                            * CAST(c{k} AS DECIMAL(18,0)))
+                        AS DECIMAL(28,0)) AS sxy{k},
+                   CAST(SUM(CAST(c AS DECIMAL(18,0))
+                            * CAST(c AS DECIMAL(18,0)))
+                        AS DECIMAL(28,0)) AS sxx{k},
+                   CAST(SUM(CAST(c{k} AS DECIMAL(18,0))
+                            * CAST(c{k} AS DECIMAL(18,0)))
+                        AS DECIMAL(28,0)) AS syy{k}
+            FROM lagged WHERE c{k} IS NOT NULL GROUP BY 1
+        ) m{k}_inner
+    )"""
+
+
+_LB_SQL = (
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_ns(ts) // 3600000000000 AS hour,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM hourly GROUP BY 1),
+    lagged AS (
+        SELECT event_type, c,
+               LAG(c, 1) OVER w AS c1,
+               LAG(c, 2) OVER w AS c2,
+               LAG(c, 3) OVER w AS c3
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),"""
+    + ",".join(_lb_rho_sql(k) for k in _LB_LAGS)
+    + f"""
+    SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+           round(n.n * (n.n + 2)
+                 * (r1.rho * r1.rho / (n.n - 1)
+                    + r2.rho * r2.rho / (n.n - 2)
+                    + r3.rho * r3.rho / (n.n - 3)), 6) AS q_stat,
+           CAST(3 AS BIGINT) AS dof,
+           n.n * (n.n + 2)
+           * (r1.rho * r1.rho / (n.n - 1)
+              + r2.rho * r2.rho / (n.n - 2)
+              + r3.rho * r3.rho / (n.n - 3)) > {_LB_CRIT_3DF}
+               AS significant_05
+    FROM n JOIN r1 USING (event_type) JOIN r2 USING (event_type)
+           JOIN r3 USING (event_type)
+    ORDER BY n.event_type
+"""
+)
+
+
+@register("timeseries_ljung_box", oracle=_LB_SQL)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event type: is the hourly
+    event-COUNT series white noise, judged by the JOINT size of its
+    first three autocorrelations? Q = n(n+2) * Sigma rho_k^2/(n-k) —
+    the formal verdict on top of timeseries_acf's per-lag view
+    (rho_k is the per-lag Pearson estimate over the n-k lag pairs; n
+    is the series length). 7.814728 is the chi-squared(3) 95%
+    critical value (shared literal; neither engine has a chi2 CDF).
+
+    The series is the hourly COUNT, not the hourly mean, for a
+    cross-engine exactness reason worth recording: a mean is a
+    computed double, and re-casting computed doubles to DECIMAL for
+    the second-level moment sums can land on a 6dp half boundary
+    where Spark (shortest-string) and DuckDB (exact-binary) round
+    apart — invisible at round(rho, 6) but amplified ~n(n+2)/(n-k)
+    into Q (observed at sf1.0). Counts keep every moment term an
+    exact integer/DECIMAL until ONE string-hop double conversion per
+    Pearson factor, so rho is bit-identical at any SF (terms bounded:
+    c fits DECIMAL(18,0), c*c sums fit DECIMAL(28,0) through ~1e10
+    events/hour-type).
+
+    Scale shape: identical to timeseries_acf — the stream collapses
+    FIRST to the |types| x |hours| series, the LAG windows and moment
+    folds see only that; the three rho's then PIVOT into one row per
+    type so the Q fold is a fixed-order expression tree (no float
+    sum across rows)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type", "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in _LB_LAGS],
+    ).transform(materialize)
+    n = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def rho(k: int) -> DataFrame:
+        d = lagged.filter(F.col(f"c{k}").isNotNull())
+        m = d.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.sum("c").alias(f"sx{k}"),
+            F.sum(f"c{k}").alias(f"sy{k}"),
+            F.expr(
+                f"CAST(SUM(CAST(c AS DECIMAL(18,0))"
+                f" * CAST(c{k} AS DECIMAL(18,0))) AS DECIMAL(28,0))"
+            ).alias(f"sxy{k}"),
+            F.expr(
+                "CAST(SUM(CAST(c AS DECIMAL(18,0))"
+                " * CAST(c AS DECIMAL(18,0))) AS DECIMAL(28,0))"
+            ).alias(f"sxx{k}"),
+            F.expr(
+                f"CAST(SUM(CAST(c{k} AS DECIMAL(18,0))"
+                f" * CAST(c{k} AS DECIMAL(18,0))) AS DECIMAL(28,0))"
+            ).alias(f"syy{k}"),
+        )
+        return m.select(
+            "event_type", F.expr(_lb_rho_expr(k, "STRING")).alias(f"rho{k}")
+        )
+
+    out = n
+    for k in _LB_LAGS:
+        out = out.join(rho(k), "event_type")
+    q = (
+        "n * (n + 2) * (rho1 * rho1 / (n - 1)"
+        " + rho2 * rho2 / (n - 2)"
+        " + rho3 * rho3 / (n - 3))"
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(q), 6).alias("q_stat"),
+        F.lit(3).cast("long").alias("dof"),
+        F.expr(f"{q} > {_LB_CRIT_3DF}").alias("significant_05"),
+    ).orderBy("event_type")
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_ns(ts) // 86400000000000 AS day,
+               CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+                   / NULLIF(SUM(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END), 0) AS x,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+                   / NULLIF(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END), 0) AS y
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-2, 3)) AS lag),
+    paired AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + l.lag
+        WHERE a.x IS NOT NULL AND b.y IS NOT NULL
+    ),
+    m AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(27,6))) AS DOUBLE) AS syy
+        FROM paired GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt(n * sxx - sx * sx)
+                 / sqrt(n * syy - sy * sy), 6) AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily mean 'view' value
+    and the daily mean 'purchase' value at lags -2..+2: does view
+    intensity LEAD purchase intensity (positive lag) or lag it? The
+    two-series companion to timeseries_acf, and the standard
+    lead-lag scan behind "which metric moves first" dashboards.
+
+    Scale shape: the stream collapses FIRST to one row per day with
+    BOTH series as conditional aggregates (a single
+    map-side-combinable pass — not one scan per series); the 5-lag
+    shift-join and moment folds run over that calendar-bounded
+    frame. Pearson over exact-decimal moment sums, oracle-identical
+    op order."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    dec = "decimal(27,6)"
+    daily = e.groupBy(
+        F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value"))
+                .otherwise(0)
+                .cast(dec)
+            ).cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).alias("x"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0)
+                .cast(dec)
+            ).cast("double")
+            / F.nullif(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+        ).alias("y"),
+    ).transform(materialize)
+    lags = spark.range(-2, 3).select(F.col("id").alias("lag"))
+    a = daily.select("day", "x").filter(F.col("x").isNotNull())
+    b = daily.select(
+        F.col("day").alias("day_b"), "y"
+    ).filter(F.col("y").isNotNull())
+    paired = (
+        lags.crossJoin(a)
+        .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy)"
+                " / sqrt(n * sxx - sx * sx)"
+                " / sqrt(n * syy - sy * sy)"
+            ),
+            6,
+        ).alias("xcorr"),
+    ).orderBy("lag")
