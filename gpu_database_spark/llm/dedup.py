@@ -1359,3 +1359,71 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("precision_"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh s JOIN first_seen f USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           round(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_sh), 6)
+               AS novelty_rate
+    FROM per p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty census per language: of each document's
+    distinct 3-gram shingles, how many appear here FIRST (no
+    earlier doc_id contains them)? Low novelty = the corpus is
+    re-treading existing text (boilerplate, mirrors, near-dups the
+    LSH pass should catch); the aggregate twin of
+    dedup_decontaminate's per-pair containment, and the cheap
+    leading indicator a crawl-freshness dashboard tracks.
+
+    Scale shape: one groupBy-min over the shingle space assigns each
+    shingle its first doc (the same shuffle key dedup_passage_exact
+    uses — no pair generation anywhere); novelty then joins back on
+    the shingle and collapses per doc, per lang. Integer counts plus
+    ONE final division, so the oracle hash-gates exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).distinct().transform(materialize)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_sh"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -1533,3 +1533,82 @@ def ml_eval_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate("tp", "pos", "tpr"),
         rate("fp", "(n - pos)", "fpr"),
     ).orderBy("grp")
+
+
+@register(
+    "ml_eval_ece",
+    oracle=f"""
+    WITH lab AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {CAL_BIN_WIDTH}) AS BIGINT),
+                     {CAL_MAX_BIN}) AS bin,
+               LEAST(o_totalprice / {CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)},
+                     1.0) AS p,
+               {_LABEL_SQL} AS y
+        FROM orders
+    ),
+    b AS (SELECT bin, COUNT(*) AS n_bin,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(CAST(p AS DECIMAL(27,6))) AS DOUBLE) AS p_sum
+          FROM lab GROUP BY bin),
+    g AS (
+        SELECT bin, n_bin,
+               abs(CAST(n_pos AS DOUBLE) / n_bin - p_sum / n_bin) AS gap,
+               SUM(n_bin) OVER () AS n
+        FROM b
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(CAST(SUM(CAST(CAST(n_bin AS DOUBLE) / n * gap
+                                    AS DECIMAL(27,6))) AS VARCHAR)
+                      AS DOUBLE), 6) AS ece,
+           round(MAX(gap), 6) AS mce
+    FROM g
+    """,
+)
+def ml_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error over the same equal-width
+    score bins as ml_calibration_bins: ECE = Sigma (n_bin/N) *
+    |observed positive rate - mean predicted p|, MCE = the worst
+    bin's gap — the two scalars a model-score quality gate alerts
+    on, distilled from the reliability diagram that query renders.
+
+    Scale shape: ONE map-side-combinable groupBy to <= 10 bins (the
+    row-local bin id — no quantile pass), windows only over that
+    bounded bin table, and the weighted-gap sum accumulates through
+    the exact-decimal string hop so the <=10-term float fold is
+    order-independent cross-engine."""
+    scale = CAL_BIN_WIDTH * (CAL_MAX_BIN + 1)
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / CAL_BIN_WIDTH).cast("long"),
+            F.lit(CAL_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        F.least(F.col("o_totalprice") / scale, F.lit(1.0)).alias("p"),
+        _label_col(),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("p").cast("decimal(27,6)")).cast("double").alias("p_sum"),
+    )
+    from pyspark.sql import Window
+
+    g = b.select(
+        "bin", "n_bin",
+        F.expr("abs(CAST(n_pos AS DOUBLE) / n_bin - p_sum / n_bin)").alias(
+            "gap"
+        ),
+        F.sum("n_bin").over(Window.partitionBy()).alias("n"),
+    )
+    return g.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.expr(
+                "CAST(CAST(SUM(CAST(CAST(n_bin AS DOUBLE) / n * gap"
+                " AS DECIMAL(27,6))) AS STRING) AS DOUBLE)"
+            ),
+            6,
+        ).alias("ece"),
+        F.round(F.max("gap"), 6).alias("mce"),
+    )

@@ -949,3 +949,90 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+    raw AS (
+        SELECT doc_id AS src,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % (SELECT n FROM n) AS dst
+        FROM docs CROSS JOIN (SELECT unnest(range(0, {{n_links}})) AS k)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    sym AS (
+        SELECT src AS u, dst AS w FROM edges
+        UNION
+        SELECT dst AS u, src AS w FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    aa AS (
+        SELECT a.u AS u, b.u AS v,
+               COUNT(*) AS n_common,
+               CAST(CAST(SUM(CAST(1 / ln(dw.d) AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS score
+        FROM sym a
+        JOIN sym b ON a.w = b.w AND a.u < b.u
+        JOIN deg dw ON dw.u = a.w
+        WHERE dw.d > 1
+        GROUP BY 1, 2
+    )
+    SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+           round(score, 6) AS adamic_adar
+    FROM aa
+    ORDER BY adamic_adar DESC, u, v
+    LIMIT 15
+    """.replace("{n_links}", str(N_LINKS)),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction top-15: node pairs scored by
+    Sigma over common neighbors w of 1/ln(deg(w)) — rare shared
+    neighbors count more than hubs, the refinement over
+    graph_jaccard_neighbors' set overlap that link-prediction
+    benchmarks standardized on. Degree-1 common neighbors drop
+    (ln(1) = 0 would divide by zero; a leaf can't be a SHARED
+    neighbor of two other nodes anyway, so the filter is free).
+
+    Scale shape: identical to graph_jaccard_neighbors — pairs come
+    from the shared-neighbor self-join (deg(w)^2 per neighbor,
+    bounded on the md5 graph; hub-cap/sample is the documented
+    power-law guard), with the 1/ln(deg) weight equi-joined onto the
+    shared-neighbor key BEFORE grouping so the score accumulates in
+    one pass; the per-pair sum runs through the exact-decimal
+    string hop, order-independent cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = synth_edges(d)
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .distinct()
+        .transform(materialize)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a = sym.alias("a")
+    b = sym.alias("b")
+    dw = deg.select(F.col("u").alias("w_key"), F.col("d").alias("dw"))
+    return (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
+        .join(dw, F.col("a.w") == F.col("w_key"))
+        .filter(F.col("dw") > 1)
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(1 / ln(dw) AS DECIMAL(27,6)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("score"),
+        )
+        .select(
+            "u", "v",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("score", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(15)
+    )

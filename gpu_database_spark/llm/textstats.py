@@ -1371,3 +1371,89 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("share_of_actual"),
     ).orderBy("actual", "predicted")
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT w) AS v
+        FROM t GROUP BY doc_id
+    ),
+    m AS (
+        SELECT COUNT(*) AS d,
+               CAST(SUM(CAST(ln(n) AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ln(v) AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ln(n) * ln(v) AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(ln(n) * ln(n) AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(ln(v) * ln(v) AS DECIMAL(27,6))) AS DOUBLE)
+                   AS syy
+        FROM per WHERE n > 0 AND v > 0
+    )
+    SELECT CAST(d AS BIGINT) AS n_docs,
+           round((d * sxy - sx * sy) / (d * sxx - sx * sx), 6) AS heaps_beta,
+           round(exp((sy - (d * sxy - sx * sy) / (d * sxx - sx * sx) * sx)
+                     / d), 6) AS heaps_k,
+           round((d * sxy - sx * sy) * (d * sxy - sx * sy)
+                 / ((d * sxx - sx * sx) * (d * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of log(distinct
+    types) against log(total tokens) across documents — V = K * n^B
+    with B ~ 0.4-0.6 for natural language. A corpus whose beta drifts
+    high is vocabulary-exploding (OCR noise, serial numbers); too low
+    means template/boilerplate text — the vocabulary-side twin of
+    text_zipf_fit's frequency-side audit.
+
+    Scale shape: tokens collapse per document in ONE explode +
+    two-level groupBy (count + distinct-count per doc — each doc's
+    types live under its own key, never a global vocabulary
+    shuffle); the log-log OLS fold then runs over |docs| rows of six
+    DECIMAL(27,6)-exact moments, closed-form slope/intercept/r2 with
+    oracle-identical op order."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    per = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("w").alias("v"),
+    ).filter((F.col("n") > 0) & (F.col("v") > 0))
+    lx = F.log(F.col("n").cast("double"))
+    ly = F.log(F.col("v").cast("double"))
+    dec = "decimal(27,6)"
+    m = per.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(lx.cast(dec)).cast("double").alias("sx"),
+        F.sum(ly.cast(dec)).cast("double").alias("sy"),
+        F.sum((lx * ly).cast(dec)).cast("double").alias("sxy"),
+        F.sum((lx * lx).cast(dec)).cast("double").alias("sxx"),
+        F.sum((ly * ly).cast(dec)).cast("double").alias("syy"),
+    )
+    slope = "(d * sxy - sx * sy) / (d * sxx - sx * sx)"
+    return m.select(
+        F.col("d").cast("long").alias("n_docs"),
+        F.round(F.expr(slope), 6).alias("heaps_beta"),
+        F.round(
+            F.expr(f"exp((sy - {slope} * sx) / d)"), 6
+        ).alias("heaps_k"),
+        F.round(
+            F.expr(
+                "(d * sxy - sx * sy) * (d * sxy - sx * sy)"
+                " / ((d * sxx - sx * sx) * (d * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )

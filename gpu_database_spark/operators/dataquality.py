@@ -733,3 +733,100 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "dq_profile_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS mid
+        FROM events
+    ),
+    prof AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN epoch_ns(ts) < mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN epoch_ns(ts) >= mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(CAST(SUM(CAST(CASE WHEN epoch_ns(ts) < mid THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s_a,
+               CAST(CAST(SUM(CAST(CASE WHEN epoch_ns(ts) >= mid THEN value
+                             ELSE 0 END AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s_b,
+               CAST(COUNT(DISTINCT CASE WHEN epoch_ns(ts) < mid
+                                   THEN user_id END) AS BIGINT) AS users_a,
+               CAST(COUNT(DISTINCT CASE WHEN epoch_ns(ts) >= mid
+                                   THEN user_id END) AS BIGINT) AS users_b
+        FROM events CROSS JOIN bounds
+        GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, users_a, users_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(CAST(n_b AS DOUBLE) / n_a, 6) AS volume_ratio,
+           round((s_b / n_b - s_a / n_a) / (s_a / n_a), 6) AS mean_drift,
+           (abs((s_b / n_b - s_a / n_a) / (s_a / n_a)) > 0.05
+            OR CAST(n_b AS DOUBLE) / n_a < 0.8
+            OR CAST(n_b AS DOUBLE) / n_a > 1.25) AS drifted
+    FROM prof
+    ORDER BY event_type
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between the first and second half of the
+    observation window, per event type: volume ratio, audience size,
+    mean-value shift, and a drift verdict (>5% relative mean shift
+    or volume outside [0.8, 1.25]) — the cheap schema-stable drift
+    tripwire that runs BEFORE the heavier distribution tests
+    (dq_distribution_drift_psi, stat_ks_test) are worth their scan.
+
+    Scale shape: one O(1) scalar pre-pass (broadcast midpoint), then
+    ONE pass over the stream computing every profile column as a
+    conditional aggregate — counts and exact string-hop decimal sums
+    combine map-side; the two conditional COUNT(DISTINCT user_id)
+    are the only expand-shuffle term, the standard cost of an exact
+    audience count (swap in HLL sketches when approximate is
+    acceptable, as audience_overlap_hll demonstrates)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.expr("(MIN(ts_ns) + MAX(ts_ns)) DIV 2").alias("mid"))
+    first = F.col("ts_ns") < F.col("mid")
+
+    def csum(cond, out: str):
+        return (
+            F.sum(
+                F.when(cond, F.col("value")).otherwise(0).cast("decimal(27,6)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias(out)
+        )
+
+    prof = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~first, 1).otherwise(0)).cast("long").alias("n_b"),
+            csum(first, "s_a"),
+            csum(~first, "s_b"),
+            F.countDistinct(
+                F.when(first, F.col("user_id"))
+            ).cast("long").alias("users_a"),
+            F.countDistinct(
+                F.when(~first, F.col("user_id"))
+            ).cast("long").alias("users_b"),
+        )
+    )
+    drift = "(s_b / n_b - s_a / n_a) / (s_a / n_a)"
+    ratio = "CAST(n_b AS DOUBLE) / n_a"
+    return prof.select(
+        "event_type", "n_a", "n_b", "users_a", "users_b",
+        F.round(F.expr("s_a / n_a"), 6).alias("mean_a"),
+        F.round(F.expr("s_b / n_b"), 6).alias("mean_b"),
+        F.round(F.expr(ratio), 6).alias("volume_ratio"),
+        F.round(F.expr(drift), 6).alias("mean_drift"),
+        F.expr(
+            f"abs({drift}) > 0.05 OR {ratio} < 0.8 OR {ratio} > 1.25"
+        ).alias("drifted"),
+    ).orderBy("event_type")
