@@ -279,6 +279,20 @@ HEADLINE = [
     "text_langid_confusion",
     "stat_tost_equivalence",
     "er_golden_record",
+    # round 10
+    "stat_wilcoxon_signed_rank",
+    "stat_cramers_v",
+    "stat_cohens_d",
+    "stat_mcnemar_test",
+    "stat_runs_test",
+    "timeseries_theil_sen",
+    "timeseries_ljung_box",
+    "timeseries_cross_correlation",
+    "graph_adamic_adar",
+    "text_heaps_law",
+    "text_ngram_novelty",
+    "ml_eval_ece",
+    "dq_profile_drift",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round
