@@ -759,3 +759,114 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "start_us")
     )
+
+
+# Conversion windows for the time-constrained funnel (shared literals).
+_FUNNEL_W1_NS = 3_600_000_000_000       # view -> click within 1 hour
+_FUNNEL_W2_NS = 86_400_000_000_000      # click -> purchase within 24 hours
+
+
+@register(
+    "events_funnel_time_constrained",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_ns(e.ts) > v.t_view
+          AND epoch_ns(e.ts) <= v.t_view + {_FUNNEL_W1_NS}
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ns(e.ts) > c.t_click
+          AND epoch_ns(e.ts) <= c.t_click + {_FUNNEL_W2_NS}
+        GROUP BY e.user_id
+    ),
+    j AS (
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON c.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS step_view,
+           CAST(COUNT(t_click) AS BIGINT) AS step_click_1h,
+           CAST(COUNT(t_purchase) AS BIGINT) AS step_purchase_24h,
+           round(CAST(COUNT(t_click) AS DOUBLE) / COUNT(*), 6)
+               AS view_to_click_rate,
+           round(CAST(COUNT(t_purchase) AS DOUBLE)
+                 / NULLIF(COUNT(t_click), 0), 6) AS click_to_purchase_rate,
+           round(CAST(SUM(t_click - t_view) AS DOUBLE)
+                 / NULLIF(COUNT(t_click), 0) / 1e9, 6)
+               AS mean_view_to_click_sec
+    FROM j
+    """,
+)
+def events_funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: first view, first click
+    STRICTLY AFTER the view and within ONE HOUR of it, first purchase
+    strictly after that click and within 24 HOURS — the attribution-
+    window semantics real conversion funnels use, vs
+    funnel_view_click_purchase's unconstrained ordering (where a
+    click three weeks after the view still counts). Also reports the
+    mean view-to-click delay of converters (exact integer nanosecond
+    sums, one final division).
+
+    Scale shape: three passes, each a type-filtered scan (predicate
+    reaches parquet) collapsing per user — first-view groupBy, then
+    window-filtered first-click via an equi-join on the
+    HIGH-CARDINALITY user_id, then the same for purchase; the final
+    fold is one row. No per-user event explosion, no self-join of
+    the full stream, no windows."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_ns") > F.col("t_view"))
+            & (F.col("ts_ns") <= F.col("t_view") + F.lit(_FUNNEL_W1_NS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_ns") > F.col("t_click"))
+            & (F.col("ts_ns") <= F.col("t_click") + F.lit(_FUNNEL_W2_NS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    j = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("step_view"),
+        F.count("t_click").cast("long").alias("step_click_1h"),
+        F.count("t_purchase").cast("long").alias("step_purchase_24h"),
+        F.round(
+            F.count("t_click").cast("double") / F.count(F.lit(1)), 6
+        ).alias("view_to_click_rate"),
+        F.round(
+            F.count("t_purchase").cast("double")
+            / F.nullif(F.count("t_click"), F.lit(0)),
+            6,
+        ).alias("click_to_purchase_rate"),
+        F.round(
+            F.expr(
+                "CAST(SUM(t_click - t_view) AS DOUBLE)"
+                " / NULLIF(COUNT(t_click), 0) / 1e9"
+            ),
+            6,
+        ).alias("mean_view_to_click_sec"),
+    )

@@ -2763,3 +2763,207 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(exp_r), 6).alias("expected_runs"),
         F.round(F.expr(z), 6).alias("z"),
     ).orderBy("event_type")
+
+
+@register(
+    "stat_cochran_q",
+    oracle="""
+    WITH last_day AS (
+        SELECT MAX(epoch_ns(ts) // 86400000000000) AS d FROM events
+    ),
+    k AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+    x AS (
+        SELECT DISTINCT user_id, event_type
+        FROM events CROSS JOIN last_day
+        WHERE epoch_ns(ts) // 86400000000000 = d
+    ),
+    r AS (
+        SELECT user_id, COUNT(*) AS ru FROM x GROUP BY user_id
+        HAVING COUNT(*) > 0 AND COUNT(*) < (SELECT k FROM k)
+    ),
+    xi AS (SELECT x.* FROM x JOIN r USING (user_id)),
+    c AS (SELECT event_type, COUNT(*) AS cj FROM xi GROUP BY event_type),
+    agg AS (
+        SELECT (SELECT k FROM k) AS k,
+               (SELECT COUNT(*) FROM r) AS n_blocks,
+               (SELECT SUM(ru) FROM r) AS n,
+               (SELECT SUM(ru * ru) FROM r) AS r2,
+               (SELECT SUM(cj * cj) FROM c) AS c2
+    )
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           round(CAST((k - 1) * (k * c2 - n * n) AS DOUBLE)
+                 / (k * n - r2), 6) AS cochran_q,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST((k - 1) * (k * c2 - n * n) AS DOUBLE)
+               / (k * n - r2) > 9.487729 AS significant_05
+    FROM agg WHERE n_blocks > 0
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: on the FINAL day of the observation window,
+    do the event types differ in the share of users who perform
+    them, judged WITHIN each user? The k-treatment generalization of
+    stat_mcnemar_test and the binary-outcome sibling of
+    stat_friedman_test: blocks are users, the outcome is the 0/1
+    "active in type j on the last day" matrix. (Lifetime "ever did
+    type j" is fully degenerate on engaged populations — every block
+    complete, k*N = Sigma Ru^2, Q = 0/0 — so the standard
+    informative-block restriction applies: blocks with all-zero or
+    all-one rows drop, and column totals recount over the retained
+    blocks. An empty informative set short-circuits to zero rows in
+    both engines.) Q = (k-1)[k*Sigma Cj^2 - N^2] / [k*N - Sigma
+    Ru^2] — EVERY term is an exact integer, so the only float op is
+    the final division. 9.487729 is the chi-squared(4) 95% critical
+    value for the fixture's k=5 (shared literal).
+
+    Scale shape: one O(1) scalar pre-pass (max day, broadcast); the
+    stream collapses to the distinct last-day (user, type) incidence
+    matrix (map-side-combinable distinct); row/column totals are two
+    bounded groupBys; the Q fold is arithmetic on four scalars."""
+    e = load_table(spark, sf_dir, "events")
+    last_day = e.agg(
+        F.max(F.expr("ts_ns div 86400000000000")).alias("d")
+    )
+    k = e.select(F.countDistinct("event_type").alias("k"))
+    x = (
+        e.crossJoin(F.broadcast(last_day))
+        .filter(F.expr("ts_ns div 86400000000000") == F.col("d"))
+        .select("user_id", "event_type")
+        .distinct()
+        .transform(materialize)
+    )
+    r = (
+        x.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ru"))
+        .crossJoin(F.broadcast(k))
+        .filter((F.col("ru") > 0) & (F.col("ru") < F.col("k")))
+        .select("user_id", "ru")
+        .transform(materialize)
+    )
+    xi = x.join(r.select("user_id"), "user_id")
+    c = xi.groupBy("event_type").agg(F.count(F.lit(1)).alias("cj"))
+    r_tot = r.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("ru").alias("n"),
+        F.sum(F.col("ru") * F.col("ru")).alias("r2"),
+    )
+    c_tot = c.agg(F.sum(F.col("cj") * F.col("cj")).alias("c2"))
+    agg = (
+        k.crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(c_tot))
+        .filter(F.col("n_blocks") > 0)
+    )
+    q = "CAST((k - 1) * (k * c2 - n * n) AS DOUBLE) / (k * n - r2)"
+    return agg.select(
+        F.col("k").cast("long").alias("k_treatments"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round(F.expr(q), 6).alias("cochran_q"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.expr(f"{q} > 9.487729").alias("significant_05"),
+    )
+
+
+@register(
+    "stat_bartlett_test",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s,
+               CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS q
+        FROM events GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, n, (q - s * s / n) / (n - 1) AS s2,
+               q - s * s / n AS ssq
+        FROM g
+    ),
+    agg AS (
+        SELECT COUNT(*) AS k,
+               SUM(n) AS nn,
+               CAST(CAST(SUM(CAST((n - 1) * ln(s2) AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS sum_ln,
+               CAST(CAST(SUM(CAST(ssq AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS ssq_within,
+               CAST(CAST(SUM(CAST(CAST(1 AS DOUBLE) / (n - 1)
+                                  AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sum_inv
+        FROM v
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n,
+           round(((nn - k) * ln(ssq_within / (nn - k)) - sum_ln)
+                 / (1 + (sum_inv - CAST(1 AS DOUBLE) / (nn - k))
+                        / (3 * (k - 1))), 6) AS bartlett_stat,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ((nn - k) * ln(ssq_within / (nn - k)) - sum_ln)
+           / (1 + (sum_inv - CAST(1 AS DOUBLE) / (nn - k))
+                  / (3 * (k - 1))) > 9.487729 AS significant_05
+    FROM agg
+    """,
+)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across event types —
+    the parametric (normality-assuming) sibling of
+    stat_brown_forsythe, and the sphericity-style precondition check
+    before pooled-variance tests like stat_cohens_d trust their
+    pooled SD. Statistic: [(N-k) ln(Sp^2) - Sigma (n_i-1) ln(S_i^2)]
+    / C with the standard correction C; 9.487729 is the
+    chi-squared(4) 95% critical value for the fixture's k=5 groups.
+
+    Scale shape: ONE pass of per-group exact sufficient statistics
+    (count, string-hop decimal sum, sum of squares) collapses the
+    stream to k rows; per-group variances are identical doubles in
+    both engines (exact moments, same op tree), and the k-term
+    ln/1/(n-1) folds accumulate through 6dp decimal casts so the
+    tiny cross-row float sums are order-independent. The within-group
+    sum of squares re-sums the EXACT (q - s^2/n) terms rather than
+    trusting a global moment difference — magnitudes stay inside the
+    per-term double->DECIMAL bound."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("s"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("q"),
+    )
+    v = g.select(
+        "event_type", "n",
+        F.expr("(q - s * s / n) / (n - 1)").alias("s2"),
+        F.expr("q - s * s / n").alias("ssq"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.expr(
+            "CAST(CAST(SUM(CAST((n - 1) * ln(s2) AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("sum_ln"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(ssq AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("ssq_within"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(CAST(1 AS DOUBLE) / (n - 1)"
+            " AS DECIMAL(27,6))) AS STRING) AS DOUBLE)"
+        ).alias("sum_inv"),
+    )
+    b = (
+        "((nn - k) * ln(ssq_within / (nn - k)) - sum_ln)"
+        " / (1 + (sum_inv - CAST(1 AS DOUBLE) / (nn - k))"
+        " / (3 * (k - 1)))"
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.expr(b), 6).alias("bartlett_stat"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.expr(f"{b} > 9.487729").alias("significant_05"),
+    )

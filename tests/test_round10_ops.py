@@ -431,3 +431,88 @@ def test_cross_correlation_is_single_scan(spark, sf_dir):
 
     plan = inspect.simple_plan(timeseries_cross_correlation(spark, sf_dir))
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_cochran_q_matches_python_replica(spark, duck, sf_dir):
+    """Q must match a direct replay over the informative last-day
+    incidence blocks."""
+    from gpu_database_spark.operators.stattests import stat_cochran_q
+
+    rows = duck.execute(
+        """
+        WITH last_day AS (
+            SELECT MAX(epoch_ns(ts) // 86400000000000) AS d FROM events
+        )
+        SELECT DISTINCT user_id, event_type
+        FROM events CROSS JOIN last_day
+        WHERE epoch_ns(ts) // 86400000000000 = d
+        """
+    ).fetchall()
+    k = duck.execute(
+        "SELECT COUNT(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    by_user: dict[int, set] = {}
+    for u, t in rows:
+        by_user.setdefault(u, set()).add(t)
+    blocks = {u: ts for u, ts in by_user.items() if 0 < len(ts) < k}
+    n = sum(len(ts) for ts in blocks.values())
+    r2 = sum(len(ts) ** 2 for ts in blocks.values())
+    cj: dict[str, int] = {}
+    for ts in blocks.values():
+        for t in ts:
+            cj[t] = cj.get(t, 0) + 1
+    c2 = sum(v * v for v in cj.values())
+    q = (k - 1) * (k * c2 - n * n) / (k * n - r2)
+    row = stat_cochran_q(spark, sf_dir).collect()[0]
+    assert row.n_blocks == len(blocks)
+    assert abs(row.cochran_q - q) < 1e-6, (row.cochran_q, q)
+
+
+def test_bartlett_matches_numpy(spark, duck, sf_dir):
+    """The Bartlett statistic must match a numpy replica from raw
+    per-group samples (up to the engines' 6dp term quantization)."""
+    import math as pymath
+
+    import numpy as np
+
+    from gpu_database_spark.operators.stattests import stat_bartlett_test
+
+    rows = duck.execute("SELECT event_type, value FROM events").fetchall()
+    groups: dict[str, list[float]] = {}
+    for t, v in rows:
+        groups.setdefault(t, []).append(v)
+    k = len(groups)
+    nn = sum(len(g) for g in groups.values())
+    ssq_within = sum(
+        float(np.var(np.array(g), ddof=0)) * len(g) for g in groups.values()
+    )
+    sum_ln = sum(
+        (len(g) - 1) * pymath.log(float(np.var(np.array(g), ddof=1)))
+        for g in groups.values()
+    )
+    sum_inv = sum(1.0 / (len(g) - 1) for g in groups.values())
+    b = ((nn - k) * pymath.log(ssq_within / (nn - k)) - sum_ln) / (
+        1 + (sum_inv - 1.0 / (nn - k)) / (3 * (k - 1))
+    )
+    row = stat_bartlett_test(spark, sf_dir).collect()[0]
+    assert row.k_groups == k and row.n == nn
+    assert abs(row.bartlett_stat - b) < 1e-3, (row.bartlett_stat, b)
+
+
+def test_funnel_time_constrained_tightens_unconstrained(spark, sf_dir):
+    """Window-constrained step counts can never exceed the
+    unconstrained funnel's, and the conversion rates must be
+    consistent with the counts."""
+    from gpu_database_spark.operators.analytics import (
+        events_funnel_time_constrained,
+        funnel_view_click_purchase,
+    )
+
+    tc = events_funnel_time_constrained(spark, sf_dir).collect()[0]
+    un = funnel_view_click_purchase(spark, sf_dir).collect()[0]
+    assert tc.step_view == un.step_view
+    assert tc.step_click_1h <= un.step_click
+    assert tc.step_purchase_24h <= tc.step_click_1h
+    assert abs(
+        tc.view_to_click_rate - round(tc.step_click_1h / tc.step_view, 6)
+    ) < 1e-9
