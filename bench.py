@@ -293,6 +293,9 @@ HEADLINE = [
     "text_ngram_novelty",
     "ml_eval_ece",
     "dq_profile_drift",
+    "stat_cochran_q",
+    "stat_bartlett_test",
+    "events_funnel_time_constrained",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round
