@@ -296,6 +296,8 @@ HEADLINE = [
     "stat_cochran_q",
     "stat_bartlett_test",
     "events_funnel_time_constrained",
+    "timeseries_stl_strength",
+    "text_perplexity_eval",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

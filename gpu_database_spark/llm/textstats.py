@@ -1457,3 +1457,123 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "text_perplexity_eval",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT lang, w, unnest(range(1, len(w))) AS i FROM words
+    ),
+    ev AS (
+        SELECT lang, lower(w[i]) AS w1, lower(w[i + 1]) AS w2,
+               COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    bg AS (
+        SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    h AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS n1f
+          FROM bg GROUP BY w1),
+    t AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bg GROUP BY w2),
+    z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bg),
+    model AS (
+        SELECT bg.w1, bg.w2,
+               GREATEST(CAST(bg.n AS DOUBLE) - {{D}}, 0.0)
+                   / CAST(c1 AS DOUBLE)
+               + ({{D}} / CAST(c1 AS DOUBLE))
+                 * CAST(n1f AS DOUBLE)
+                 * (CAST(n1p AS DOUBLE) / CAST(n_types AS DOUBLE)) AS p
+        FROM bg JOIN h USING (w1) JOIN t USING (w2) CROSS JOIN z
+    ),
+    scored AS (
+        SELECT ev.lang, ev.n, ln(model.p) AS lp
+        FROM ev JOIN model ON ev.w1 = model.w1 AND ev.w2 = model.w2
+    ),
+    agg AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM(CAST(n * lp AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS s
+        FROM scored GROUP BY lang
+    )
+    SELECT lang, n_bigrams,
+           round(-s / n_bigrams, 6) AS avg_nll,
+           round(exp(-s / n_bigrams), 6) AS perplexity
+    FROM agg ORDER BY lang
+    """.replace("{D}", str(KN_DISCOUNT)),
+)
+def text_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-perplexity per language under the global
+    Kneser-Ney bigram model (the text_kneser_ney_bigram model,
+    evaluated instead of inspected): PP = exp(-1/N * Sigma n *
+    ln P_KN(w2|w1)) over each language's bigram tokens. The standard
+    corpus-health number an LM-data pipeline tracks per slice — a
+    language slice whose perplexity under the corpus-wide model is an
+    outlier is under-represented or contaminated. Self-evaluation
+    keeps the query closed (no held-out split) while exercising the
+    full train+score join topology.
+
+    Scale shape: ONE exploded bigram pass collapses the corpus to
+    per-(lang, bigram) counts; the global model derives from the
+    lang-marginalized bigram table (groupBy-shaped, vocabulary-
+    bounded outputs); scoring is an equi-join on the bigram key; the
+    fold keeps n * ln(p) terms in 6dp exact decimal (p is an
+    identical double in both engines — pure integer-ratio op trees —
+    so ln(p) matches bit-for-bit, the entropy precedent) and
+    converts once through the string hop."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "lang", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).select(
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, size(w) - 1),"
+            " i -> struct(lower(w[i - 1]) AS w1, lower(w[i]) AS w2)))"
+        ).alias("bg"),
+    ).select("lang", "bg.w1", "bg.w2")
+    ev = pairs.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ev = materialize(ev)
+    bg = ev.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("n"))
+    bg = materialize(bg)
+    h = bg.groupBy("w1").agg(
+        F.sum("n").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    t = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p"))
+    z = bg.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    model = (
+        bg.join(h, "w1")
+        .join(t, "w2")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "w1", "w2",
+            F.expr(
+                f"GREATEST(CAST(n AS DOUBLE) - {KN_DISCOUNT}, 0.0)"
+                " / CAST(c1 AS DOUBLE)"
+                f" + ({KN_DISCOUNT} / CAST(c1 AS DOUBLE))"
+                " * CAST(n1f AS DOUBLE)"
+                " * (CAST(n1p AS DOUBLE) / CAST(n_types AS DOUBLE))"
+            ).alias("p"),
+        )
+    )
+    scored = ev.join(model, ["w1", "w2"]).select(
+        "lang", "n", F.log("p").alias("lp")
+    )
+    agg = scored.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(n * lp AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("s"),
+    )
+    return agg.select(
+        "lang",
+        "n_bigrams",
+        F.round(F.expr("-s / n_bigrams"), 6).alias("avg_nll"),
+        F.round(F.expr("exp(-s / n_bigrams)"), 6).alias("perplexity"),
+    ).orderBy("lang")

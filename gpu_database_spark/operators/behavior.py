@@ -2740,3 +2740,146 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+@register(
+    "timeseries_stl_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                         AS VARCHAR) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*) AS g
+        FROM daily
+    ),
+    norm AS (SELECT day, rev / g.g AS x FROM daily CROSS JOIN g),
+    tr AS (
+        SELECT day, x,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN CAST(CAST(SUM(CAST(x AS DECIMAL(27,6))) OVER w
+                              AS VARCHAR) AS DOUBLE) / 7
+               END AS t
+        FROM norm
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT day, x, t, x - t AS d FROM tr WHERE t IS NOT NULL
+    ),
+    s AS (
+        SELECT isodow(day) AS dow,
+               CAST(CAST(SUM(CAST(d AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*) AS s
+        FROM detr GROUP BY 1
+    ),
+    r AS (
+        SELECT detr.day, detr.d, detr.d - s.s AS r
+        FROM detr JOIN s ON isodow(detr.day) = s.dow
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(r AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sr,
+               CAST(CAST(SUM(CAST(r * r AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS srr,
+               CAST(CAST(SUM(CAST(d AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sd,
+               CAST(CAST(SUM(CAST(d * d AS DECIMAL(27,6))) AS VARCHAR)
+                    AS DOUBLE) AS sdd
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(GREATEST(CAST(0 AS DOUBLE),
+                 1 - (srr - sr * sr / n) / (sdd - sd * sd / n)), 6)
+               AS seasonal_strength
+    FROM m
+    """,
+)
+def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of the daily revenue series, the Hyndman
+    F_S = max(0, 1 - Var(remainder)/Var(seasonal + remainder))
+    diagnostic over an additive decomposition: centered 7-day MA
+    trend, weekday seasonal means of the detrended series, residual.
+    F_S near 1 = weekday pattern dominates the detrended variation;
+    near 0 = no stable weekly cycle. The scalar verdict on top of
+    timeseries_seasonal_decompose's full table.
+
+    Cross-engine exactness by construction: the series NORMALIZES by
+    its own grand mean first (variance ratios are scale-free), so
+    every second-level moment term is O(1) at ANY SF — inside the
+    double->DECIMAL per-term bound at sf100k just like at sf0.001 —
+    and the Var folds run identical textual op trees with string-hop
+    decimal sums. The MA window, seasonal means, and variance folds
+    all run over the CALENDAR-bounded daily collapse (the
+    seasonal_decompose shape); detrended+remainder = d, remainder =
+    r, so F_S compares Var(r) against Var(d)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("rev")
+    )
+    g = daily.agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE) / COUNT(*)"
+        ).alias("g")
+    )
+    norm = daily.crossJoin(F.broadcast(g)).select(
+        "day", (F.col("rev") / F.col("g")).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = norm.select(
+        "day", "x",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum(F.col("x").cast("decimal(27,6)")).over(w)
+            .cast("string").cast("double") / 7,
+        ).alias("t"),
+    )
+    detr = tr.filter(F.col("t").isNotNull()).select(
+        "day", (F.col("x") - F.col("t")).alias("d")
+    )
+    s = detr.groupBy(F.expr("dayofweek(day)").alias("dow")).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(d AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE) / COUNT(*)"
+        ).alias("s")
+    )
+    r = detr.join(
+        F.broadcast(s), F.expr("dayofweek(day)") == F.col("dow")
+    ).select("d", (F.col("d") - F.col("s")).alias("r"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(r AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sr"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(r * r AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("srr"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(d AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sd"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(d * d AS DECIMAL(27,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sdd"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            F.expr(
+                "GREATEST(CAST(0 AS DOUBLE),"
+                " 1 - (srr - sr * sr / n) / (sdd - sd * sd / n))"
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )
