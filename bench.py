@@ -298,6 +298,7 @@ HEADLINE = [
     "events_funnel_time_constrained",
     "timeseries_stl_strength",
     "text_perplexity_eval",
+    "text_bpe_train_merges",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -1577,3 +1577,89 @@ def text_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("-s / n_bigrams"), 6).alias("avg_nll"),
         F.round(F.expr("exp(-s / n_bigrams)"), 6).alias("perplexity"),
     ).orderBy("lang")
+
+
+BPE_ROUNDS = 8  # learned merge-table depth (fixed, deterministic)
+
+
+@register("text_bpe_train_merges", oracle=None)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a byte-pair-encoding merge table: BPE_ROUNDS greedy
+    merge rounds over the corpus vocabulary at the character level —
+    the actual tokenizer-training loop, where text_bpe_merge_step
+    shows only the first round's candidates. Each round counts
+    adjacent symbol pairs weighted by word frequency, adopts the most
+    frequent pair (ties to the lexicographically smallest — fully
+    deterministic), and rewrites every word's symbol sequence with
+    the standard greedy left-to-right non-overlapping application.
+    Returns the learned table: (merge_rank, left, right, merged,
+    pair_count).
+
+    No SQL oracle BY NATURE (iterative argmax + rewrite);
+    tests/test_round10_ops.py replays a pure-Python reference BPE
+    trainer on the same word frequencies and asserts the merge table
+    matches exactly — the rows-only family's serial-replica gate.
+
+    Scale shape: the corpus collapses ONCE to the vocabulary-sized
+    (word, freq) table; every round then explodes adjacent pairs of
+    the CURRENT symbol arrays (vocabulary-sized, shrinking), one
+    map-side-combinable groupBy finds the winner, a 1-row collect
+    promotes it to the driver (a model parameter, not a data path),
+    and the rewrite is a JVM-side aggregate() lambda — no Python in
+    the loop. The per-round rewrite is checkpointed to truncate the
+    K-deep lineage (the pagerank discipline). At web scale the only
+    change is sampling the vocabulary tail, which real BPE trainers
+    do too."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.length("word").between(2, 20))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+    )
+    words = materialize(words)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merged = l + r
+        merges.append((rank, l, r, merged, cnt))
+        words = words.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>),"
+                " (acc, s) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{l}' AND s = '{r}'"
+                " THEN concat(slice(acc, 1, size(acc) - 1),"
+                f" array('{merged}'))"
+                " ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+            "freq",
+        )
+        words = materialize(words, force_checkpoint=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string,"
+        " merged string, pair_count long",
+    ).orderBy("merge_rank")

@@ -516,3 +516,46 @@ def test_funnel_time_constrained_tightens_unconstrained(spark, sf_dir):
     assert abs(
         tc.view_to_click_rate - round(tc.step_click_1h / tc.step_view, 6)
     ) < 1e-9
+
+
+def test_bpe_train_matches_python_reference(spark, duck, sf_dir):
+    """The learned merge table must equal a pure-Python reference BPE
+    trainer's, round for round, on the same word frequencies."""
+    from gpu_database_spark.llm.textstats import (
+        BPE_ROUNDS,
+        text_bpe_train_merges,
+    )
+
+    rows = duck.execute(
+        r"""
+        SELECT w, COUNT(*) FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ) WHERE length(w) BETWEEN 2 AND 20 GROUP BY w
+        """
+    ).fetchall()
+    syms = {w: list(w) for w, _ in rows}
+    freq = dict(rows)
+    expected = []
+    for rank in range(1, BPE_ROUNDS + 1):
+        counts: dict[tuple, int] = {}
+        for w, s in syms.items():
+            f = freq[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, l, r, l + r, cnt))
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == l and tok == r:
+                    out[-1] = l + r
+                else:
+                    out.append(tok)
+            syms[w] = out
+    got = [tuple(x) for x in text_bpe_train_merges(spark, sf_dir).collect()]
+    assert got == expected, (got[:3], expected[:3])
