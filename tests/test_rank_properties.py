@@ -124,3 +124,84 @@ def test_grouped_bucketed_row_number_matches_per_group_sort(spark):
     )
     mism = got.join(want, ["g", "v", "id"]).filter(F.col("i") != F.col("j"))
     assert mism.count() == 0
+
+
+def test_wilcoxon_signed_rank_random_frames_match_naive(spark, tmp_path):
+    """stat_wilcoxon_signed_rank's bucketed two-level 'below' prefix
+    must reproduce a naive Python signed-rank computation on random
+    paired frames written as throwaway events fixtures — including
+    heavy |d| ties and all-positive / all-negative splits."""
+    import datetime
+    import math
+    import os
+
+    from gpu_database_spark.operators.stattests import (
+        stat_wilcoxon_signed_rank,
+    )
+
+    base_ts = datetime.datetime(2026, 1, 1)
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        diffs = []
+        for u in range(160):
+            kind = rng.random()
+            if kind < 0.25:
+                d = rng.choice([2.0, -2.0, 0.5])  # tie-heavy |d|
+            elif kind < 0.35:
+                d = 0.0  # exact zero pair: must drop
+            else:
+                d = rng.uniform(-30, 30)
+            diffs.append(d)
+            # one view at value d, one purchase at value 0 -> mean
+            # difference is exactly d for this user
+            for et, v in (("view", d), ("purchase", 0.0)):
+                rows.append(
+                    (
+                        eid,
+                        base_ts + datetime.timedelta(seconds=eid),
+                        u,
+                        et,
+                        float(v),
+                        "{}",
+                    )
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        sf_dir = os.path.join(str(tmp_path), f"wsr{seed}")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+
+        nz = [d for d in diffs if d != 0.0]
+        order = sorted(range(len(nz)), key=lambda i: abs(nz[i]))
+        ranks = [0.0] * len(nz)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j < len(order)
+                and abs(nz[order[j]]) == abs(nz[order[i]])
+            ):
+                j += 1
+            for t in range(i, j):
+                ranks[order[t]] = (i + 1 + j) / 2.0
+            i = j
+        n = len(nz)
+        w_plus = sum(r for r, d in zip(ranks, nz) if d > 0)
+        tie_counts: dict[float, int] = {}
+        for d in nz:
+            tie_counts[abs(d)] = tie_counts.get(abs(d), 0) + 1
+        ties = sum(t**3 - t for t in tie_counts.values())
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+        z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+
+        row = stat_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+        assert row.n_pairs == n, (seed, row.n_pairs, n)
+        assert abs(row.w_plus - w_plus) < 1e-6, (seed, row.w_plus, w_plus)
+        assert abs(row.z - z) < 1e-6, (seed, row.z, z)
