@@ -54,6 +54,14 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    skip: set[str] = set()
+    if "--skip" in args:
+        # oracle-infeasible-at-this-SF queries (e.g. er_golden_record's
+        # recursive-CTE oracle is quadratic by construction and only
+        # runs at fixture scale — its large-SF evidence is Spark-side)
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark(app_name="parity-sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,6 +77,10 @@ def main() -> int:
     t_start = time.time()
     for name, fn in sorted(qs.items()):
         if name not in osql:
+            continue
+        if name in skip:
+            record[name] = {"status": "skipped", "sec": 0.0}
+            print(f"SKIP {name}", flush=True)
             continue
         try:
             t0 = time.time()
