@@ -762,13 +762,16 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     )
     SELECT event_type, n_a, n_b, users_a, users_b,
-           round(s_a / n_a, 6) AS mean_a,
-           round(s_b / n_b, 6) AS mean_b,
-           round(CAST(n_b AS DOUBLE) / n_a, 6) AS volume_ratio,
-           round((s_b / n_b - s_a / n_a) / (s_a / n_a), 6) AS mean_drift,
-           (abs((s_b / n_b - s_a / n_a) / (s_a / n_a)) > 0.05
-            OR CAST(n_b AS DOUBLE) / n_a < 0.8
-            OR CAST(n_b AS DOUBLE) / n_a > 1.25) AS drifted
+           round(s_a / NULLIF(n_a, 0), 6) AS mean_a,
+           round(s_b / NULLIF(n_b, 0), 6) AS mean_b,
+           round(CAST(n_b AS DOUBLE) / NULLIF(n_a, 0), 6) AS volume_ratio,
+           round((s_b / NULLIF(n_b, 0) - s_a / NULLIF(n_a, 0))
+                 / NULLIF(s_a / NULLIF(n_a, 0), 0), 6) AS mean_drift,
+           COALESCE(abs((s_b / NULLIF(n_b, 0) - s_a / NULLIF(n_a, 0))
+                        / NULLIF(s_a / NULLIF(n_a, 0), 0)) > 0.05
+                    OR CAST(n_b AS DOUBLE) / NULLIF(n_a, 0) < 0.8
+                    OR CAST(n_b AS DOUBLE) / NULLIF(n_a, 0) > 1.25,
+                    TRUE) AS drifted
     FROM prof
     ORDER BY event_type
     """,
@@ -818,15 +821,22 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("users_b"),
         )
     )
-    drift = "(s_b / n_b - s_a / n_a) / (s_a / n_a)"
-    ratio = "CAST(n_b AS DOUBLE) / n_a"
+    # NULLIF guards: a type present in only ONE half must yield NULL
+    # stats and a TRUE drift verdict in BOTH engines — Spark runs
+    # ANSI, so an unguarded /0 would throw where DuckDB yields NULL
+    drift = (
+        "(s_b / NULLIF(n_b, 0) - s_a / NULLIF(n_a, 0))"
+        " / NULLIF(s_a / NULLIF(n_a, 0), 0)"
+    )
+    ratio = "CAST(n_b AS DOUBLE) / NULLIF(n_a, 0)"
     return prof.select(
         "event_type", "n_a", "n_b", "users_a", "users_b",
-        F.round(F.expr("s_a / n_a"), 6).alias("mean_a"),
-        F.round(F.expr("s_b / n_b"), 6).alias("mean_b"),
+        F.round(F.expr("s_a / NULLIF(n_a, 0)"), 6).alias("mean_a"),
+        F.round(F.expr("s_b / NULLIF(n_b, 0)"), 6).alias("mean_b"),
         F.round(F.expr(ratio), 6).alias("volume_ratio"),
         F.round(F.expr(drift), 6).alias("mean_drift"),
         F.expr(
-            f"abs({drift}) > 0.05 OR {ratio} < 0.8 OR {ratio} > 1.25"
+            f"COALESCE(abs({drift}) > 0.05 OR {ratio} < 0.8"
+            f" OR {ratio} > 1.25, TRUE)"
         ).alias("drifted"),
     ).orderBy("event_type")

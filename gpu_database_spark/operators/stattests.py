@@ -2874,6 +2874,7 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,6)))
                          AS VARCHAR) AS DOUBLE) AS q
         FROM events GROUP BY event_type
+        HAVING COUNT(*) > 1
     ),
     v AS (
         SELECT event_type, n, (q - s * s / n) / (n - 1) AS s2,
@@ -2923,16 +2924,22 @@ def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting a global moment difference — magnitudes stay inside the
     per-term double->DECIMAL bound."""
     e = load_table(spark, sf_dir, "events")
-    g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)))"
-            " AS STRING) AS DOUBLE)"
-        ).alias("s"),
-        F.expr(
-            "CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,6)))"
-            " AS STRING) AS DOUBLE)"
-        ).alias("q"),
+    g = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(27,6)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("s"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(value * value AS DECIMAL(27,6)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("q"),
+        )
+        # singleton groups have no variance: s2's (n-1) divisor is 0
+        # (Spark ANSI would throw; the oracle HAVING drops them too)
+        .filter(F.col("n") > 1)
     )
     v = g.select(
         "event_type", "n",

@@ -559,3 +559,40 @@ def test_bpe_train_matches_python_reference(spark, duck, sf_dir):
             syms[w] = out
     got = [tuple(x) for x in text_bpe_train_merges(spark, sf_dir).collect()]
     assert got == expected, (got[:3], expected[:3])
+
+
+def test_profile_drift_handles_one_sided_types(spark, tmp_path):
+    """A type present in only one half must yield NULL stats and a
+    TRUE drift verdict in both engines (Spark runs ANSI — an
+    unguarded /0 would throw where DuckDB yields NULL)."""
+    import duckdb
+
+    from gpu_database_spark import registry
+    from gpu_database_spark.operators.dataquality import dq_profile_drift
+    from tests.oracle_utils import assert_query_matches_oracle
+
+    rows = [
+        # 'legacy' only in the first half; 'launch' only in the second
+        (1, _ts(0), 1, "legacy", 5.0, "{}"),
+        (2, _ts(1), 2, "legacy", 7.0, "{}"),
+        (3, _ts(100), 1, "steady", 1.0, "{}"),
+        (4, _ts(900), 1, "steady", 1.0, "{}"),
+        (5, _ts(998), 3, "launch", 2.0, "{}"),
+        (6, _ts(999), 4, "launch", 4.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in dq_profile_drift(spark, sf_dir).collect()}
+    assert got["legacy"].n_b == 0 and got["legacy"].mean_b is None
+    assert got["legacy"].drifted is True
+    assert got["launch"].n_a == 0 and got["launch"].volume_ratio is None
+    assert got["launch"].drifted is True
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet')}/*.parquet')"
+    )
+    sql = registry.oracle_sql()["dq_profile_drift"]
+    assert_query_matches_oracle(
+        dq_profile_drift(spark, sf_dir), con, sql, name="drift_one_sided"
+    )
+    con.close()
