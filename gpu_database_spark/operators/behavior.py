@@ -2542,6 +2542,7 @@ _LB_SQL = (
                AS significant_05
     FROM n JOIN r1 USING (event_type) JOIN r2 USING (event_type)
            JOIN r3 USING (event_type)
+    WHERE n.n > 3
     ORDER BY n.event_type
 """
 )
@@ -2611,6 +2612,9 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = n
     for k in _LB_LAGS:
         out = out.join(rho(k), "event_type")
+    # series shorter than max-lag+1 would divide Q by (n-3) = 0
+    # (Spark ANSI throws; the oracle WHERE drops the type too)
+    out = out.filter(F.col("n") > 3)
     q = (
         "n * (n + 2) * (rho1 * rho1 / (n - 1)"
         " + rho2 * rho2 / (n - 2)"

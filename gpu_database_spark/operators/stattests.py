@@ -2681,6 +2681,7 @@ def stat_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(sgn) AS BIGINT) AS n1,
                CAST(SUM(1 - sgn) AS BIGINT) AS n2
         FROM r GROUP BY 1
+        HAVING SUM(sgn) > 0 AND SUM(1 - sgn) > 0
     )
     SELECT event_type, n1 AS n_above, n2 AS n_below, runs AS n_runs,
            round(1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2), 6)
@@ -2742,10 +2743,17 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
         ).otherwise(0).alias("st"),
     )
-    agg = r.groupBy("event_type").agg(
-        F.sum("st").cast("long").alias("runs"),
-        F.sum("sgn").cast("long").alias("n1"),
-        F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+    agg = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("st").cast("long").alias("runs"),
+            F.sum("sgn").cast("long").alias("n1"),
+            F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+        )
+        # one-sided series (every day above or every day below its
+        # mean) have Var[R] = 0: the z division degenerates — the
+        # test is undefined, drop the type in both engines
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
     )
     exp_r = "1 + CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2)"
     z = (
