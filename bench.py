@@ -299,6 +299,7 @@ HEADLINE = [
     "timeseries_stl_strength",
     "text_perplexity_eval",
     "text_bpe_train_merges",
+    "dq_l_diversity",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -840,3 +840,89 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" OR {ratio} > 1.25, TRUE)"
         ).alias("drifted"),
     ).orderBy("event_type")
+
+
+L_DIV = 3  # distinct-l-diversity requirement for the release gate
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(FLOOR(o.o_totalprice / 100000.0) AS BIGINT)
+                   AS price_band,
+               o.o_orderpriority AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    eq AS (
+        SELECT c_nationkey, c_mktsegment, price_band,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT sensitive) AS n_sensitive
+        FROM q GROUP BY ALL
+    ),
+    h AS (
+        SELECT LEAST(n_sensitive, {L_DIV}) AS diversity_bucket,
+               COUNT(*) AS n_classes,
+               CAST(SUM(class_size) AS BIGINT) AS n_rows
+        FROM eq GROUP BY 1
+    )
+    SELECT diversity_bucket, n_classes, n_rows,
+           (diversity_bucket < {L_DIV}) AS at_risk,
+           round(CAST(n_rows AS DOUBLE)
+                 / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS row_share
+    FROM h ORDER BY diversity_bucket
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit, the attribute-disclosure companion
+    to dq_k_anonymity: a quasi-identifier class can be large enough
+    for k-anonymity yet still leak — if every record in the class
+    shares ONE sensitive value, re-identification isn't needed to
+    learn it. Released record = an order row; QI = (customer nation,
+    market segment, order-value band); sensitive = order priority.
+    Census: classes (and row share) bucketed by their distinct
+    sensitive-value count, clamped at L with a >=L catch-all and an
+    at-risk verdict below L.
+
+    Scale shape: dims broadcast into the fact join, then ONE groupBy
+    on the QI tuple carrying count + COUNT(DISTINCT sensitive) (the
+    Catalyst expand — the exact-audit cost, same note as
+    dq_profile_table); the diversity histogram collapses to <= L
+    rows and only that tiny table sees the row-share window.
+    Generalizing the value band to push classes over L re-runs the
+    identical two-shuffle plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    q = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias(
+            "price_band"
+        ),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    eq = q.groupBy("c_nationkey", "c_mktsegment", "price_band").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sensitive").alias("n_sensitive"),
+    )
+    h = eq.groupBy(
+        F.least(F.col("n_sensitive"), F.lit(L_DIV)).alias("diversity_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        "diversity_bucket",
+        "n_classes",
+        "n_rows",
+        (F.col("diversity_bucket") < L_DIV).alias("at_risk"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(w_all).cast("double"),
+            6,
+        ).alias("row_share"),
+    ).orderBy("diversity_bucket")
