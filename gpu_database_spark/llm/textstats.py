@@ -1529,6 +1529,13 @@ def text_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
         "lang", F.split(F.trim(F.col("text")), " ").alias("w")
+    ).filter(
+        # A <2-token doc has no bigrams: without this guard
+        # sequence(1, size-1) = sequence(1, 0) = [1, 0] (DESCENDING in
+        # Spark, not empty) and w[i] faults under ANSI mode, where the
+        # oracle's range(1, len) is simply empty — filter to match
+        # (same guard as text_bigram_surprisal / PMI).
+        F.size("w") >= 2
     ).select(
         "lang",
         F.expr(
@@ -1628,7 +1635,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, BPE_ROUNDS + 1):
         pairs = (
-            words.select(
+            # Words collapsed to a single symbol by an adopted merge
+            # (e.g. merging ('h','e') turns the word 'he' into ['he'])
+            # have no adjacent pairs; without this guard
+            # sequence(1, 0) = [1, 0] (descending) and syms[i] faults
+            # under ANSI. The rewrite stage below is index-free and
+            # safe for 1-symbol words.
+            words.filter(F.size("syms") >= 2)
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1),"

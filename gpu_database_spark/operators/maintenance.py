@@ -406,7 +406,7 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exclusive running total over the (vocabulary-bounded) block
     # table in output order; keep only blocks that can reach rank 100
-    wb = Window.orderBy("block_key").rowsBetween(
+    w_prefix = Window.orderBy("block_key").rowsBetween(
         Window.unboundedPreceding, -1
     )
     live_blocks = (
@@ -420,7 +420,7 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") > 0)
         .select(
             "block_key",
-            F.coalesce(F.sum("n_pairs").over(wb), F.lit(0)).alias("base"),
+            F.coalesce(F.sum("n_pairs").over(w_prefix), F.lit(0)).alias("base"),
         )
         .filter(F.col("base") < 100)
         .select("block_key")
