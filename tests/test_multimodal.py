@@ -236,12 +236,31 @@ def test_phash_finds_near_dup_pngs(spark):
     pairs = mm.phash_pairs(hashed_df).collect()
     assert {(p.id1, p.id2) for p in pairs} == {(1, 2)}
 
+    # the registered query's census semantics over the same table:
+    # the true near-dup pair must be counted as confirmed
+    cand = mm.phash_candidates(hashed_df).collect()
+    n_confirmed = sum(1 for c in cand if c.hamming <= mm.PHASH_MAX_HAMMING)
+    assert n_confirmed == 1
+    assert len(cand) >= 1
 
-def test_phash_query_runs_on_fixture(spark, sf_dir):
-    """The registered query runs end-to-end on the text-payload fixture
-    (no near-dups there by construction -> correctly empty)."""
+
+def test_phash_query_census_on_fixture(spark, sf_dir):
+    """The registered query returns exactly ONE census row on any
+    corpus — non-vacuous for the driver's rows-only check even on the
+    text-payload fixture, which has no near-dups by construction."""
     from gpu_database_spark.llm.multimodal import mm_image_phash
 
     df = mm_image_phash(spark, sf_dir)
-    assert df.columns == ["id1", "id2", "hamming"]
-    assert df.count() == 0
+    assert df.columns == [
+        "n_media",
+        "n_png_decoded",
+        "n_candidate_pairs",
+        "n_confirmed_pairs",
+    ]
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_media > 0
+    assert r.n_png_decoded == 0  # text payloads: the fake-grid path
+    assert r.n_confirmed_pairs <= r.n_candidate_pairs
+    assert r.n_confirmed_pairs == 0  # no near-dups in the text fixture
