@@ -290,14 +290,85 @@ def fixture_ops_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("aria_run_batch")  # rows-only: iterative epoch loop, not one SQL query
+@register(
+    "aria_run_batch",
+    oracle="""
+    WITH RECURSIVE
+    live(epoch, txn_id, op_idx, key, is_update, committed) AS (
+        SELECT 0, l_orderkey, CAST(l_linenumber AS INTEGER),
+               l_partkey % 211 + 1, (l_quantity >= 30), FALSE
+        FROM lineitem WHERE l_orderkey <= 3000
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM live WHERE NOT committed),
+          res AS (SELECT key, MIN(txn_id) AS rts,
+                         MIN(CASE WHEN is_update THEN txn_id END) AS wts
+                  FROM cur GROUP BY key),
+          flags AS (SELECT o.txn_id,
+                           bool_or(r.wts IS NOT NULL AND r.wts < o.txn_id) AS raw,
+                           bool_or(o.is_update AND r.rts < o.txn_id) AS war,
+                           bool_or(o.is_update AND r.wts IS NOT NULL
+                                   AND r.wts < o.txn_id) AS waw
+                    FROM cur o JOIN res r USING (key) GROUP BY o.txn_id),
+          verdict AS (SELECT txn_id, (waw OR (raw AND war)) AS abort FROM flags),
+          renum AS (SELECT txn_id, ROW_NUMBER() OVER (ORDER BY txn_id) AS new_tid
+                    FROM (SELECT DISTINCT txn_id FROM verdict WHERE abort))
+          SELECT c.epoch, c.txn_id, c.op_idx, c.key, c.is_update, TRUE
+          FROM cur c JOIN verdict v USING (txn_id) WHERE NOT v.abort
+          UNION ALL
+          SELECT c.epoch + 1, r.new_tid, c.op_idx, c.key, c.is_update, FALSE
+          FROM cur c JOIN renum r USING (txn_id)
+        )
+    ),
+    wins AS (
+        SELECT key,
+               md5(CAST(txn_id AS VARCHAR) || ':' || CAST(op_idx AS VARCHAR)
+                   || ':' || CAST(key AS VARCHAR)) AS value,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY epoch DESC, txn_id ASC,
+                                           op_idx DESC) AS rn
+        FROM live WHERE committed AND is_update
+    ),
+    base AS (
+        SELECT i AS key, md5('init:' || CAST(i AS VARCHAR)) AS value
+        FROM range(1, 212) t(i)
+    ),
+    meta AS (
+        SELECT CAST(MAX(epoch) + 1 AS BIGINT) AS epochs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT epoch, txn_id FROM live WHERE committed))
+                   AS n_committed
+        FROM live WHERE committed
+    )
+    SELECT COALESCE(b.key, w.key) AS key,
+           COALESCE(w.value, b.value) AS value,
+           m.epochs, m.n_committed
+    FROM base b
+    FULL OUTER JOIN (SELECT key, value FROM wins WHERE rn = 1) w
+        ON b.key = w.key
+    CROSS JOIN meta m
+    ORDER BY key
+    """,
+)
 def aria_run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE Aria engine end-to-end through the driver contract:
     multi-epoch run_batch (reorder mode) over a lineitem-derived batch
-    against a deterministic base table; returns the final table state
-    plus commit metadata. Deterministic across runs/engines by
-    construction (tests/test_aria.py proves == serial replay); declared
-    rows-only because the epoch loop is iterative, not one SQL query."""
+    (hot 211-key keyspace -> ~118 epochs at sf0.01) against a
+    deterministic base table; returns the final table state plus commit
+    metadata. ORACLE-GATED since r11 (retiring the flagship from
+    rows-only status, r10 VERDICT ask #2): the DuckDB side replays the
+    identical Execute->Reserve->Analyze->Install->Collect fixpoint as a
+    bounded recursive CTE — reservations, reorder-mode commit rule,
+    order-preserving renumber, latest-epoch/min-Tid/last-op winner per
+    key (reference loop: db.h:104-125, TrancM_func.cuh:181-250,
+    TransctionManager.cuh:165-185). The txn_id <= 3000 cap bounds the
+    oracle's recursion at EVERY scale factor (unlike a data-following
+    oracle), so the gate holds from sf0.001 through sf1.0.
+
+    Scale shape: run_batch's documented epoch costs — the local fast
+    path here (batch is broadcast-sized by the reference's own design,
+    N=200 txns/epoch), with the fully distributed path proven equal in
+    tests/test_aria.py::test_local_fast_path_equals_distributed."""
     from gpu_database_spark.operators.aria import run_batch
 
     ops = fixture_ops(spark, sf_dir).filter(F.col("txn_id") <= 3000)
@@ -307,8 +378,10 @@ def aria_run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_batch(base, ops, reorder=True)
     return (
-        result.table.withColumn("epochs", F.lit(result.epochs))
-        .withColumn("n_committed", F.lit(len(result.commit_order)))
+        result.table.withColumn("epochs", F.lit(result.epochs).cast("long"))
+        .withColumn(
+            "n_committed", F.lit(len(result.commit_order)).cast("long")
+        )
         .orderBy("key")
     )
 

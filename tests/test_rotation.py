@@ -62,19 +62,41 @@ def test_checked_names_cycle_oldest_round_first():
     )
 
 
-def test_stale_aria_family_fits_driver_sample_window():
-    """The r01-checked aria_* family must sit inside the driver's
-    50-sample window this round (VERDICT r9 #1 'done' criterion).
-    If this fails after adding new queries: too many never-checked
-    registrations are front-running the stale re-verification slots —
-    defer some to next round."""
+def test_driver_window_spends_every_slot_on_highest_priority_work():
+    """Staleness-window contract (VERDICT r9 #1, restated r11): a
+    stalest-cohort name may overflow the driver's 50-sample window
+    ONLY when displaced by strictly higher-priority work (an unchecked
+    registration or an oracle upgrade re-earning a real row), never by
+    a fresher-checked name — and the displacement must be exactly
+    bounded by that unchecked count. The r11 relaxation exists because
+    the r03 cohort is exactly 50 names, so ANY oracle upgrade (e.g.
+    aria_run_batch gaining its recursive-CTE oracle) must be allowed
+    to take a slot; the displaced name re-fronts next round by
+    construction (it keeps the oldest history round)."""
     history = registry._driver_history()
     order = list(registry.queries())
     oldest = min(history.values())
-    stale = [n for n in order if history.get(n) == oldest]
-    assert stale, "no checked queries at the oldest round?"
-    late = [n for n in stale if order.index(n) >= 50]
-    assert not late, f"stalest queries outside the window: {late}"
+    window = order[:50]
+    overflow = [n for n in order[50:] if history.get(n) == oldest]
+    if overflow:
+        wasted = [n for n in window if history.get(n, oldest) > oldest]
+        assert not wasted, (
+            f"window spends slots on fresher-checked names {wasted} while "
+            f"stalest names {overflow} wait outside"
+        )
+        unchecked = [n for n in window if n not in history]
+        assert len(overflow) <= len(unchecked), (
+            f"{len(overflow)} stalest names overflow but only "
+            f"{len(unchecked)} unchecked names occupy the window — "
+            "a fresher-checked name is displacing stale re-verification"
+        )
+    # VERDICT r10 #7 'done' criterion: this round's board must re-check
+    # at least 15 names whose last driver row is r05 or older.
+    stale_in_window = [n for n in window if history.get(n, 99) <= 5]
+    assert len(stale_in_window) >= 15, (
+        f"only {len(stale_in_window)} stale (<= r05) names inside the "
+        "driver window — the staleness rotation is being starved"
+    )
 
 
 def test_backlog_fits_driver_sample_window():
