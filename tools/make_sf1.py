@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Synthesize sf1.0 parity fixtures by deterministic 10x replication.
+"""Synthesize sf1.0 / sf10 fixtures by deterministic NX replication.
 
 The driver generates /root/testdata/sf{0.001,0.01,0.1} with its own
 (seeded, out-of-repo) generator; a true sf1.0 isn't available locally.
@@ -21,18 +21,25 @@ ten id-shifted copies of sf0.1 —
 Output: /root/repo/fixtures/sf1.0/{table}.parquet (single file each,
 gitignored — regenerate with `python tools/make_sf1.py`). Sweep with
 `python tools/parity_sweep.py /root/repo/fixtures/sf1.0`.
+
+sf10 (r10 VERDICT ask #3 — one decade above the sweep ladder, for the
+scan-bound scaling smoke): `python tools/make_sf1.py --copies 100
+--name sf10` builds 100 id-shifted copies (60M-row lineitem, ~2 GB
+parquet). Every OFFSET below exceeds its key family's sf0.1 max, so
+any copy count keeps copies collision-free and FK-consistent.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "fixtures", "sf1.0")
-COPIES = 10
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
 
 # id offsets: one power of 10 above the sf0.1 max of each key family
 O_OFF = 1_000_000   # o_orderkey / l_orderkey   (max 149,999)
@@ -72,16 +79,28 @@ TABLES: dict[str, str | None] = {
 
 
 def main() -> None:
-    os.makedirs(DST, exist_ok=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--name", default="sf1.0", help="fixtures/<name>/")
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset (default: all)"
+    )
+    args = ap.parse_args()
+    dst = os.path.join(FIXDIR, args.name)
+    only = set(args.tables.split(",")) if args.tables else None
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, proj in TABLES.items():
+        if only and table not in only:
+            continue
         src = f"read_parquet('{SRC}/{table}.parquet')"
-        out = os.path.join(DST, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
         if proj is None:
             sql = f"COPY (SELECT * FROM {src}) TO '{out}' (FORMAT PARQUET)"
         else:
             sql = (
-                f"COPY (SELECT {proj} FROM {src}, range({COPIES}) r(k)) "
+                f"COPY (SELECT {proj} FROM {src}, range({args.copies}) r(k)) "
                 f"TO '{out}' (FORMAT PARQUET)"
             )
         con.execute(sql)

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Scan-bound scaling smoke one decade above the sweep ladder.
+
+r10 VERDICT ask #3: the 100 TB story rested on plan-shape asserts and
+the sf0.1 -> sf1.0 curve (3.0x wall for 10x data); superlinear tails
+hide below that ladder's ceiling. This tool times the SCAN-BOUND
+headline subset (TPC-H 22 + the join/agg/window/top-k shapes whose
+cost is data volume, not fixed-size model math) at fixtures/sf10
+(100 id-shifted copies of sf0.1 — 60M-row lineitem; build with
+`python tools/make_sf1.py --copies 100 --name sf10`) AND at
+fixtures/sf1.0 in the same session/flags, so the sf1->sf10 decade is
+measured under identical conditions and each query gets a scaling
+ratio, not just a wall time.
+
+Writes SCALE_sf10.json at the repo root:
+
+    {"subset": "scan-bound", "sf_small": ..., "sf_big": ...,
+     "queries": {name: {"sec_sf1": s, "sec_sf10": s, "ratio": r}},
+     "errors": {...}, "total_sf1": s, "total_sf10": s,
+     "wall_ratio": r, "superlinear": [names with ratio > CAP]}
+
+A ratio near 10 is linear; rows meaningfully above LINEAR_SLACK*10
+are flagged (plan fix or a SCALING.md entry — never silently capped).
+Spark-side timings only: no DuckDB oracle runs here (correctness at
+sf1.0 is the parity sweep's job; this tool measures the ENGINE's
+scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, "fixtures", "sf1.0")
+SF10 = os.path.join(REPO, "fixtures", "sf10")
+
+# Scan-bound subset: queries whose work grows with the fact tables.
+# Deliberately excludes model-sized / iterative queries (PCA, BPE,
+# pagerank, ANN index builds) whose cost is rounds or dimensions.
+SCAN_BOUND = [
+    # TPC-H, all 22 — the canonical scan/join/agg ladder
+    *[f"q{i}_" for i in range(1, 23)],
+    # joins
+    "join_broadcast_dim",
+    "join_skew_salted",
+    "join_asof_prevailing",
+    "join_interval_binned",
+    "join_bloom_prefilter",
+    # aggregates / windows / top-k
+    "agg_distinct_exact",
+    "agg_rollup",
+    "agg_percentile_exact",
+    "window_rank",
+    "window_running_sum",
+    "window_gap_islands",
+    "topk_global",
+    "topk_per_group",
+    "topk_heavy_hitters_2pass",
+    # scan-heavy text/dedup (single-pass shapes)
+    "dedup_exact",
+    "text_token_stats",
+    "text_quality_score",
+    "sessionize_lag_cumsum",
+    "events_rfm_segmentation",
+]
+
+QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
+LINEAR_SLACK = 2.0  # flag ratios above LINEAR_SLACK * (data growth)
+
+
+def resolve_names(registry) -> list[str]:
+    qs = registry.queries()
+    names: list[str] = []
+    for pat in SCAN_BOUND:
+        if pat in qs:
+            names.append(pat)
+            continue
+        hit = [n for n in qs if n.startswith(pat)]
+        assert len(hit) == 1, (pat, hit)
+        names.append(hit[0])
+    return names
+
+
+def timed(spark, fn, sf_dir: str, group: str) -> float:
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group, interruptOnCancel=True)
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(QUERY_TIMEOUT_SEC):
+            sc.cancelJobGroup(group)
+            while not done.wait(2.0):
+                sc.cancelJobGroup(group)
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    try:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        elapsed = time.perf_counter() - t0
+    finally:
+        done.set()
+        sc.setJobGroup("scale-idle", "scale-idle")
+    if elapsed > QUERY_TIMEOUT_SEC:
+        raise TimeoutError(f"{group}: exceeded {QUERY_TIMEOUT_SEC}s cap")
+    return elapsed
+
+
+def main() -> None:
+    from gpu_database_spark import registry
+    from gpu_database_spark.functions.materialize import release_all
+    from gpu_database_spark.session import get_spark
+
+    if not os.path.isdir(SF10):
+        raise SystemExit(
+            "fixtures/sf10 missing — run "
+            "`python tools/make_sf1.py --copies 100 --name sf10` first"
+        )
+    spark = get_spark(app_name="gpu-database-spark-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    names = resolve_names(registry)
+
+    # JVM/codegen warmup at the small fixture
+    qs[names[0]](spark, "/root/testdata/sf0.001").collect()
+
+    growth = 10.0  # sf1.0 -> sf10 data growth
+    out: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = qs[name]
+        row: dict[str, float] = {}
+        try:
+            row["sec_sf1"] = round(timed(spark, fn, SF1, f"{name}@sf1"), 3)
+            row["sec_sf10"] = round(timed(spark, fn, SF10, f"{name}@sf10"), 3)
+            # guard tiny denominators: ratios below 0.2s of sf1 time say
+            # more about fixed overhead than scaling
+            base = max(row["sec_sf1"], 0.2)
+            row["ratio"] = round(row["sec_sf10"] / base, 2)
+            out[name] = row
+            print(
+                f"{name}: sf1 {row['sec_sf1']}s sf10 {row['sec_sf10']}s "
+                f"ratio {row['ratio']}",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name} FAILED: {errors[name]}", file=sys.stderr, flush=True)
+        finally:
+            release_all(spark)
+    spark.stop()
+
+    total1 = round(sum(r["sec_sf1"] for r in out.values()), 2)
+    total10 = round(sum(r["sec_sf10"] for r in out.values()), 2)
+    superlinear = sorted(
+        n for n, r in out.items()
+        if r["ratio"] > LINEAR_SLACK * growth and r["sec_sf10"] > 5.0
+    )
+    result = {
+        "subset": "scan-bound",
+        "sf_small": 1.0,
+        "sf_big": 10.0,
+        "n_queries": len(out),
+        "queries": out,
+        "errors": errors,
+        "total_sf1": total1,
+        "total_sf10": total10,
+        "wall_ratio": round(total10 / total1, 2) if total1 else None,
+        "superlinear": superlinear,
+    }
+    with open(os.path.join(REPO, "SCALE_sf10.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "total_sf1": total1,
+                "total_sf10": total10,
+                "wall_ratio": result["wall_ratio"],
+                "n_queries": len(out),
+                "n_err": len(errors),
+                "superlinear": superlinear,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
