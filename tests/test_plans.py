@@ -382,3 +382,18 @@ def test_window_percentiles_is_bucketed(spark, sf_dir):
     assert rn_lines, plan
     for ln in rn_lines:
         assert "_rk_bkt" in ln, f"unbucketed global rank window: {ln}"
+
+
+def test_q11_single_national_pass(spark, sf_dir):
+    """q11_value_concentration must compute the national partsupp sum
+    ONCE (r10 VERDICT #6: the grand-total branch used to re-execute
+    the whole partsupp synthesis — 9 exchanges). The per-part decimal
+    sums are a materialized reuse point; downstream only the broadcast
+    of the 1-row total and the output sort remain."""
+    from gpu_database_spark.operators.tpch import q11_value_concentration
+
+    df = q11_value_concentration(spark, sf_dir)
+    assert inspect.exchange_count(df) <= 5, inspect.formatted_plan(df)
+    # the total joins back as a broadcast of a 1-row aggregate, never
+    # a shuffled join
+    assert inspect.has_broadcast_join(df)
