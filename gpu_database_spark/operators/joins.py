@@ -15,7 +15,7 @@ the salted pattern shows the manual fallback when one key dominates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import dsum, dsum_sql
@@ -529,48 +529,95 @@ def join_left_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BIG-BIG interval join via the binning rewrite: every error
+    """BIG-BIG interval COUNT via bin + per-bin sweep: every error
     event opens a 1-hour window; count how many events (of any type)
     fall inside each window, reported as a census of window sizes.
     Both join sides are the full event stream — the case
     join_interval_overlap's broadcast plan cannot handle.
 
-    The rewrite: with bin width = window length, a window overlaps at
-    most TWO bins; explode each window to its <=2 bins and EQUI-join
-    events on the bin, then filter exact containment. The quadratic
-    range predicate becomes one hash shuffle on the bin key with
-    per-bin fan-out bounded by windows-per-bin — the standard
-    interval-binning plan (what the oracle states as a plain range
-    join). Window ids are event_ids, so the final census groupBy is
-    exact."""
+    Plan (upgraded r11 — the sf10 smoke caught the original bin +
+    pair-join going density-QUADRATIC: the (window x contained-event)
+    intermediate is windows/bin * events/bin, so 10x denser streams
+    cost 100x; SCALE_sf10.json ratio 33). Because the output is a
+    COUNT, the pair list never needs to exist: with bin width = window
+    length a window [s, s+1h) splits into [s, bin_end) and
+    [bin_end, e), so
+
+        n(win) = |bin b| - #{t in b: t < s} + #{t in b+1: t < e}
+
+    and both #-terms are order-statistic probes. Each window emits two
+    weight-0 probe rows; events collapse to weight-n distinct (bin, t)
+    rows; ONE window function per bin partition (running sum of event
+    weights, probes sorted before events at equal t for strict <)
+    answers every probe in a single per-bin merge sweep. Cost is
+    O(rows log bin-size) with one hash shuffle on the bin key — linear
+    in density where the pair join was quadratic. The oracle states
+    the same count as a plain range join; every window contains at
+    least its own opening event, so the inner-join census matches."""
     e = load_table(spark, sf_dir, "events")
     hour_ns = 3_600_000_000_000
-    ev = e.select(
-        F.col("ts_ns").alias("t"),
-        F.expr(f"ts_ns div {hour_ns}").alias("bin"),
+    ev = (
+        e.select(
+            F.col("ts_ns").alias("t"),
+            F.expr(f"ts_ns div {hour_ns}").alias("bin"),
+        )
+        .groupBy("bin", "t")
+        .agg(F.count(F.lit(1)).alias("w8"))
     )
+    bin_totals = ev.groupBy("bin").agg(F.sum("w8").alias("bin_n"))
     win = e.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("win_id"),
         F.col("ts_ns").alias("w_start"),
         (F.col("ts_ns") + hour_ns).alias("w_end"),
     )
-    # a window [s, s+1h) spans bins floor(s/1h) and floor(s/1h)+1
-    win_bins = win.select(
+    # probe rows: (bin of start, t=start, side=-1) counts events BEFORE
+    # the window in its first bin; (bin of end, t=end, side=+1) counts
+    # events before w_end in the spill bin. kind=0 sorts probes ahead
+    # of same-t events, making the running sum a strict t < probe.
+    probes = win.select(
         "win_id",
-        "w_start",
-        "w_end",
         F.explode(
             F.array(
-                F.expr(f"w_start div {hour_ns}"),
-                F.expr(f"w_start div {hour_ns} + 1"),
+                F.struct(
+                    F.expr(f"w_start div {hour_ns}").alias("bin"),
+                    F.col("w_start").alias("t"),
+                    F.lit(-1).alias("side"),
+                ),
+                F.struct(
+                    F.expr(f"w_start div {hour_ns} + 1").alias("bin"),
+                    F.col("w_end").alias("t"),
+                    F.lit(1).alias("side"),
+                ),
             )
-        ).alias("bin"),
+        ).alias("p"),
+    ).select("win_id", "p.bin", "p.t", "p.side")
+    merged = probes.select(
+        "bin", "t", F.lit(0).alias("kind"), F.lit(0).cast("long").alias("w8"),
+        "win_id", "side",
+    ).unionByName(
+        ev.select(
+            "bin", "t", F.lit(1).alias("kind"), "w8",
+            F.lit(None).cast("long").alias("win_id"),
+            F.lit(0).alias("side"),
+        )
     )
-    hits = (
-        win_bins.join(ev, "bin")
-        .filter((F.col("t") >= F.col("w_start")) & (F.col("t") < F.col("w_end")))
-        .groupBy("win_id")
-        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    sweep = Window.partitionBy("bin").orderBy("t", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    answered = (
+        merged.withColumn("n_before", F.sum("w8").over(sweep))
+        .filter(F.col("kind") == 0)
+        .join(F.broadcast(bin_totals), "bin", "left")
+        .select(
+            "win_id",
+            F.when(
+                F.col("side") == -1,
+                F.coalesce(F.col("bin_n"), F.lit(0)) - F.col("n_before"),
+            ).otherwise(F.col("n_before")).alias("part"),
+        )
+    )
+    hits = answered.groupBy("win_id").agg(
+        F.sum("part").cast("long").alias("n_in_window")
     )
     return (
         hits.groupBy("n_in_window")
