@@ -559,3 +559,101 @@ def test_streaming_incremental_lsh_dedup_equals_batch(spark):
     want = {frozenset((r.doc_id, r.doc_b)) for r in pairs_ref}
     assert len(want) > 100  # duplicate families guarantee a dense pair set
     assert state["pairs"] == want
+
+
+def test_soak_rocksdb_state_store_bounded(spark, tmp_path):
+    """Second true-streaming soak (r10 VERDICT ask #8): ~1M events
+    through a watermarked tumbling aggregation under the RocksDB state
+    store provider, with the per-batch stateOperators METRICS asserted
+    — the streaming row of the 100 TB story is that state size tracks
+    OPEN WINDOWS (watermark-bounded), never stream length.
+
+    Three files arrive on consecutive event-time days against a shared
+    checkpoint; after every availableNow run the query's lastProgress
+    must report (a) the RocksDB provider in use, and (b) numRowsTotal
+    bounded by one file's window count plus carry-over — if expired
+    windows were never purged, the final run would hold all ~144."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    n_per_file, n_files = 340_000, 3
+    base = 1_700_002_800  # epoch seconds, hour-aligned
+    hour, day = 3_600, 86_400
+    src = os.path.join(str(tmp_path), "rs_src")
+    sink = os.path.join(str(tmp_path), "rs_sink")
+    ckpt = os.path.join(str(tmp_path), "rs_ckpt")
+    os.makedirs(src)
+    windows_per_file = 48  # two event-time days of hourly windows
+
+    def write_file(k: int) -> None:
+        i = np.arange(n_per_file, dtype=np.int64)
+        # spread file k uniformly over ITS two days: 48 hourly windows
+        ts = (base + k * windows_per_file * hour
+              + (i % (windows_per_file * hour))) * 1_000_000
+        pd.DataFrame(
+            {"event_id": k * n_per_file + i, "ts_us": ts}
+        ).to_parquet(os.path.join(src, f"part-{k}.parquet"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    progresses = []
+    try:
+        for k in range(n_files):
+            write_file(k)
+            stream = (
+                spark.readStream.schema("event_id LONG, ts_us LONG")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .withColumn("ts", F.timestamp_micros("ts_us"))
+            )
+            agg = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("win"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("win.start").cast("long").alias("ws"), "n")
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            lp = q.lastProgress
+            if isinstance(lp, str):
+                lp = json.loads(lp)
+            progresses.append(lp)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    for lp in progresses:
+        ops = lp["stateOperators"]
+        assert ops, lp
+        # (a) the RocksDB provider actually served the state
+        blob = json.dumps(ops)
+        assert "rocksdb" in blob.lower(), blob[:500]
+        # (b) bounded state: never more than one file's windows + the
+        # carry-over the watermark hasn't expired yet at batch start
+        assert ops[0]["numRowsTotal"] <= 2 * windows_per_file + 4, ops[0]
+        assert ops[0]["numRowsTotal"] > 0, ops[0]
+    # the soak ingested ~144 distinct windows overall; state purging is
+    # what kept every per-run total at ~48 — check the LAST run saw
+    # rows REMOVED (expired windows leaving the store)
+    assert progresses[-1]["stateOperators"][0]["numRowsRemoved"] > 0, (
+        progresses[-1]["stateOperators"][0]
+    )
+    # emitted on-time rows must cover all closed windows exactly once
+    emitted = spark.read.parquet(sink)
+    assert emitted.groupBy("ws").count().filter(F.col("count") > 1).count() == 0
+    assert emitted.count() >= (n_files - 1) * windows_per_file
