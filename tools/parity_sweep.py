@@ -133,12 +133,28 @@ def _check_count_min_sketch(rows, con):
         assert r["cms_estimate"] <= r["exact_n"] + 0.001 * n_total + 1, dict(r.asDict())
 
 
+def _check_ann_recall_report(rows, con):
+    # deployment-gate thresholds, mirroring tests/test_llm.py: all four
+    # families present, and per-family recall floors on the evaluation
+    # query sample (random 64-dim data clusters weakly, hence modest)
+    by = {r["method"]: r for r in rows}
+    assert set(by) == {"lsh", "ivf", "pq", "ivf_pq"}, sorted(by)
+    for r in by.values():
+        assert 0.0 <= r["recall_at_k"] <= 1.0, dict(r.asDict())
+        assert r["n_queries"] > 0, dict(r.asDict())
+    assert by["ivf"]["recall_at_k"] >= 0.2, dict(by["ivf"].asDict())
+    assert by["pq"]["recall_at_k"] >= 0.25, dict(by["pq"].asDict())
+    assert by["lsh"]["recall_at_k"] > 0, dict(by["lsh"].asDict())
+    assert by["ivf_pq"]["recall_at_k"] > 0, dict(by["ivf_pq"].asDict())
+
+
 SKETCH_CHECKS = {
     "agg_approx_distinct": _check_approx_distinct,
     "agg_approx_percentile": _check_approx_percentile,
     "agg_hll_sketch_merge": _check_hll_sketch_merge,
     "audience_overlap_hll": _check_audience_overlap_hll,
     "agg_count_min_sketch": _check_count_min_sketch,
+    "sim_ann_recall_report": _check_ann_recall_report,
 }
 
 
