@@ -63,6 +63,17 @@ def grouped_bucketed_row_number(
     order = [F.col(value_col)] + [F.col(c) for c in tiebreak_cols]
     if not ascending:
         order = [c.desc() for c in order]
+    # NOTE for callers: this plan consumes ``df`` TWICE (the per-bucket
+    # window and the bucket-totals aggregate shuffle differently, so
+    # Spark cannot reuse one exchange for the other). If the input is
+    # expensive to recompute and small enough to store — an upstream
+    # aggregate like RFM's per-user frame — materialize it FIRST;
+    # chained rank calls otherwise re-execute the upstream lineage
+    # 2^depth times. Conversely a plain column-pruned scan is usually
+    # cheaper to re-run than to checkpoint (measured: storing a 60M-row
+    # lineitem projection here GC-thrashed while the double scan cost
+    # ~nothing), so materialization is the call site's decision, not
+    # this helper's.
     b = df.withColumn("_rk_bkt", bucket.cast("long"))
     wl = Window.partitionBy(*group_cols, "_rk_bkt").orderBy(*order)
     local = b.withColumn("_rk_rn", F.row_number().over(wl))

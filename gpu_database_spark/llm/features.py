@@ -273,16 +273,21 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab, "score", ["o_orderkey"], F.floor(F.col("score") / 2000.0),
         rank_col="rn",
     )
-    ar = r.groupBy("score").agg(
-        # The tie-group rank sum accumulates in DECIMAL(38,0): with
-        # heavy ties SUM(rn) approaches n^2/2, far past BIGINT at
-        # corpus scale (DuckDB's SUM is HUGEINT and needs no cast).
-        F.expr(
-            "(2 * SUM(CAST(rn AS DECIMAL(38,0)))) div COUNT(*)"
-        ).alias("ar2")
-    )
-    j = r.join(ar, "score")
     d38 = "decimal(38,0)"
+    # Tie-averaged doubled rank as a WINDOW over the tie slice, not a
+    # groupBy + join-back (which consumes — and re-executes — the rank
+    # plan twice). The tie-group rank sum accumulates in DECIMAL(38,0):
+    # with heavy ties SUM(rn) approaches n^2/2, far past BIGINT at
+    # corpus scale (DuckDB's HUGEINT needs no cast); the `div` result
+    # is an in-range BIGINT again.
+    w_tie = Window.partitionBy("score")
+    j = (
+        r.withColumn(
+            "_s2", F.lit(2) * F.sum(F.col("rn").cast(d38)).over(w_tie)
+        )
+        .withColumn("_c", F.count(F.lit(1)).over(w_tie))
+        .withColumn("ar2", F.expr("_s2 div _c"))
+    )
     s = j.agg(
         F.sum(
             F.when(F.col("y") == 1, F.col("ar2")).otherwise(0).cast(d38)
@@ -437,10 +442,13 @@ def stat_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: order statistics come from the grouped histogram-
     bucket rank plan (functions/ranks.py — parallelism = groups x
     value-buckets, never a whole-group sort on the 3-value flag key);
-    the clamp values are a 2-rows-per-group filter joined back
-    broadcast; sums use the DECIMAL(27,6) exact discipline so the
-    single final double division hash-matches the oracle (which
-    states the same math with flat windows at fixture scale)."""
+    the clamp values fold into the same single groupBy as the trimmed
+    and winsorized sums (conditional MAX on the rank), so the ranked
+    frame is consumed exactly once; group counts come from the raw
+    frame, not the rank plan. Sums use the DECIMAL(27,6) exact
+    discipline so the single final double division hash-matches the
+    oracle (which states the same math with flat windows and a
+    separate clamp join at fixture scale)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
@@ -451,16 +459,14 @@ def stat_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["flag"], "v", ["l_orderkey", "l_linenumber"],
         F.floor(F.col("v") / 2000.0), rank_col="rn",
     )
-    cnt = r.groupBy("flag").agg(F.count(F.lit(1)).alias("n")).select(
+    # counts come from the raw frame (deriving them from `r` would
+    # re-execute the whole rank plan just to count rows), and the
+    # clamp values fold into the SAME groupBy as the sums — one pass
+    # over the ranked frame instead of two plus a join
+    cnt = li.groupBy("flag").agg(F.count(F.lit(1)).alias("n")).select(
         "flag", "n", F.expr("n div 10").alias("k")
     )
     kk = r.join(F.broadcast(cnt), "flag")
-    b = kk.groupBy("flag").agg(
-        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("lo_v"),
-        F.max(
-            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))
-        ).alias("hi_v"),
-    )
     mid = F.when(
         (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
         F.col("v"),
@@ -470,11 +476,14 @@ def stat_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k"),
         dsum(mid).alias("mid_sum"),
         dsum(F.col("v")).alias("all_sum"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("lo_v"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))
+        ).alias("hi_v"),
     )
     kd = F.col("k").cast("double")
     return (
-        m.join(F.broadcast(b), "flag")
-        .select(
+        m.select(
             F.col("flag").alias("l_returnflag"),
             F.col("n").cast("long").alias("n"),
             F.col("k").cast("long").alias("k"),
@@ -719,14 +728,16 @@ def ml_eval_auc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab, ["segment"], "score", ["o_orderkey"],
         F.floor(F.col("score") / 2000.0), rank_col="rn",
     )
-    ar = r.groupBy("segment", "score").agg(
-        F.expr(
-            "(2 * SUM(CAST(rn AS DECIMAL(38,0)))) div COUNT(*)"
-        ).alias("ar2")
-    )
     d38 = "decimal(38,0)"
+    # window tie-average over the (segment, score) tie slice — same
+    # single-pipeline form as ml_eval_auc (no join-back double-run)
+    w_tie = Window.partitionBy("segment", "score")
     s = (
-        r.join(ar, ["segment", "score"])
+        r.withColumn(
+            "_s2", F.lit(2) * F.sum(F.col("rn").cast(d38)).over(w_tie)
+        )
+        .withColumn("_c", F.count(F.lit(1)).over(w_tie))
+        .withColumn("ar2", F.expr("_s2 div _c"))
         .groupBy("segment")
         .agg(
             F.sum(

@@ -21,7 +21,7 @@ expects around an analytics engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpu_database_spark.functions.compat import dsum
@@ -1065,10 +1065,11 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's flat per-flag windows state the same math at fixture
     scale).
 
-    Scale shape: two grouped bucketed rank passes, two map-side
-    combinable tie-average groupBys joined back on (flag, value), one
-    moment aggregation. No window ever holds more than one (flag,
-    metric, bucket) slice."""
+    Scale shape: two grouped bucketed rank passes, then tie averages
+    as windows over the (flag, value) tie slices on the SAME pipeline
+    — no groupBy + join-back, which would consume (and re-execute)
+    the rank chain three times. No window ever holds more than one
+    (flag, metric, bucket) or (flag, value) slice."""
     from gpu_database_spark.functions.ranks import grouped_bucketed_row_number
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1091,13 +1092,21 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["flag"], "y", ["l_orderkey", "l_linenumber"],
         F.floor(F.col("y")), rank_col="ry",
     )
-    ax = r.groupBy("flag", "x").agg(
-        F.expr("(2 * SUM(rx)) div COUNT(*)").alias("ar2x")
+    # Tie-averaging as WINDOWS over the tie groups, not groupBy +
+    # join-back: the two joins consumed `r` three times, re-executing
+    # the whole two-rank chain per consumer (measured 51.6s at the
+    # 60M-row sf10 fixture vs 26s this way). Same integral math:
+    # (2*SUM(rn)) div COUNT(*) over each (flag, value) tie slice.
+    wx = Window.partitionBy("flag", "x")
+    wy = Window.partitionBy("flag", "y")
+    j = (
+        r.withColumn("_sx2", F.lit(2) * F.sum("rx").over(wx))
+        .withColumn("_cx", F.count(F.lit(1)).over(wx))
+        .withColumn("_sy2", F.lit(2) * F.sum("ry").over(wy))
+        .withColumn("_cy", F.count(F.lit(1)).over(wy))
+        .withColumn("ar2x", F.expr("_sx2 div _cx"))
+        .withColumn("ar2y", F.expr("_sy2 div _cy"))
     )
-    ay = r.groupBy("flag", "y").agg(
-        F.expr("(2 * SUM(ry)) div COUNT(*)").alias("ar2y")
-    )
-    j = r.join(ax, ["flag", "x"]).join(ay, ["flag", "y"])
     dx = F.col("ar2x").cast("decimal(18,0)")
     dy = F.col("ar2y").cast("decimal(18,0)")
     m = j.groupBy("flag").agg(
@@ -1306,7 +1315,9 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         x, ["grp"], "v", ["l_orderkey", "l_linenumber"],
         F.floor(F.col("v") / 2000.0), rank_col="rn",
     )
-    cnt = r.groupBy("grp").agg(F.count(F.lit(1)).alias("n_j"))
+    # counts come from the raw frame: deriving them from `r` would
+    # execute the whole rank plan once more just to count rows
+    cnt = x.groupBy("grp").agg(F.count(F.lit(1)).alias("n_j"))
     mid = cnt.select(
         "grp",
         F.expr("(n_j + 1) div 2").alias("lo"),
