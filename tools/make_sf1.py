@@ -78,6 +78,53 @@ TABLES: dict[str, str | None] = {
 }
 
 
+# --llm-distinct overrides for constant-DENSITY scaling fixtures.
+#
+# The default ' vK' document suffix leaves most word-3-gram shingles —
+# and therefore most minhashes — unchanged, so all K copies of a doc
+# land in the same LSH band buckets: candidate-pair counts grow with
+# K^2, not K (measured: sf0.1 -> 10-copy sf1.0 = 673x pair expansions
+# for 10x rows). That is a legitimate clone-heavy stress fixture, but
+# it cannot measure the ENGINE's volume scaling for the near-dup
+# family. These projections make copies mutually DISSIMILAR while
+# preserving each copy's internal duplicate structure exactly:
+#
+# * documents: suffix the copy tag onto every non-final word
+#   (' ' -> 'vK '), a per-copy BIJECTION of the vocabulary: shingle
+#   k-gram structure is exactly preserved within a copy (so
+#   within-copy Jaccard/minhash collision rates match the source
+#   corpus), while cross-copy shingle sets are disjoint. An earlier
+#   interleave variant (' ' -> ' vK ') was rejected: inserting a
+#   token between words leaves only 2 source words per 3-gram
+#   shingle, inflating collision rates to word-bigram levels
+#   (measured 3,010-doc LSH buckets vs the source max of 8).
+#   n_chars is recomputed (the source invariant is
+#   n_chars = length(text)).
+# * embeddings: per-copy random SIGN-FLIP of each dimension (a
+#   diagonal orthogonal transform): within-copy cosine geometry is
+#   exactly preserved; cross-copy cosine ~ N(0, 1/sqrt(64)) — far
+#   below any near-dup threshold. Copy 0 is the identity.
+LLM_DISTINCT: dict[str, str] = {
+    "documents": f"doc_id + k * {D_OFF} AS doc_id, "
+                 "CASE WHEN k = 0 THEN text "
+                 "     ELSE regexp_replace(text, ' ', "
+                 "          'v' || CAST(k AS VARCHAR) || ' ', 'g') "
+                 "END AS text, "
+                 "lang, source, "
+                 "CAST(length(CASE WHEN k = 0 THEN text "
+                 "     ELSE regexp_replace(text, ' ', "
+                 "          'v' || CAST(k AS VARCHAR) || ' ', 'g') "
+                 "END) AS BIGINT) AS n_chars",
+    "embeddings": f"vec_id + k * {V_OFF} AS vec_id, "
+                  "CASE WHEN k = 0 THEN embedding "
+                  "     ELSE list_transform(embedding, (x, i) -> "
+                  "          CAST(x * (1 - 2 * CAST(hash(k * 131 + i) % 2 "
+                  "               AS INT)) AS FLOAT)) "
+                  "END AS embedding, "
+                  "label",
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -85,6 +132,10 @@ def main() -> None:
     ap.add_argument(
         "--tables", default=None,
         help="comma-separated subset (default: all)"
+    )
+    ap.add_argument(
+        "--llm-distinct", action="store_true",
+        help="constant-density documents/embeddings copies (see above)"
     )
     args = ap.parse_args()
     dst = os.path.join(FIXDIR, args.name)
@@ -94,6 +145,8 @@ def main() -> None:
     for table, proj in TABLES.items():
         if only and table not in only:
             continue
+        if args.llm_distinct and table in LLM_DISTINCT:
+            proj = LLM_DISTINCT[table]
         src = f"read_parquet('{SRC}/{table}.parquet')"
         out = os.path.join(dst, f"{table}.parquet")
         if proj is None:

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Scan-bound scaling smoke one decade above the sweep ladder.
+"""Scaling smoke one decade above the sweep ladder.
+
+Two subsets: `--subset scan` (default, the scan-bound TPC-H/OLAP
+headliners over fixtures/sf1.0 vs fixtures/sf10, collect-actioned) and
+`--subset llm` (the near-dup/similarity/text pipeline over the
+constant-density fixtures/llm_sf1 vs fixtures/llm_sf10, noop-write
+actioned — see LLM_BOUND below). Original scan-bound rationale:
 
 r10 VERDICT ask #3: the 100 TB story rested on plan-shape asserts and
 the sf0.1 -> sf1.0 curve (3.0x wall for 10x data); superlinear tails
@@ -28,6 +34,7 @@ scaling).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -38,6 +45,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "fixtures", "sf1.0")
 SF10 = os.path.join(REPO, "fixtures", "sf10")
+LLM_SF1 = os.path.join(REPO, "fixtures", "llm_sf1")
+LLM_SF10 = os.path.join(REPO, "fixtures", "llm_sf10")
 
 # Scan-bound subset: queries whose work grows with the fact tables.
 # Deliberately excludes model-sized / iterative queries (PCA, BPE,
@@ -69,14 +78,61 @@ SCAN_BOUND = [
     "events_rfm_segmentation",
 ]
 
+# LLM-family subset (--subset llm): the near-dup / similarity / text
+# pipeline over documents+embeddings — the training-data-curation core
+# of the engine. Runs against fixtures/llm_sf1 vs fixtures/llm_sf10
+# (build with `tools/make_sf1.py --llm-distinct`): CONSTANT-DENSITY
+# copies (word-bijection doc tags, per-copy orthogonal sign-flips of
+# embeddings) so candidate-pair counts grow ~linearly with volume and
+# the decade ratio measures the engine, not a fixture's clone
+# pathology (measured LSH pair expansions: 13,323 at 10 copies ->
+# 131,546 at 100 — 9.9x for 10x rows). Excludes model-sized /
+# iterative queries (PCA, BPE trainer, recall report) per the same
+# rule as SCAN_BOUND; er_fuzzy_match runs over the unmodified `part`
+# copies — 100x name clones — deliberately, as the clone-collapse
+# stress row. Pair-level outputs reach ~1M rows at 100 copies, so
+# this subset executes plans via a `noop`-format write (full plan,
+# no driver transfer) instead of collect().
+LLM_BOUND = [
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_url_canonicalize",
+    "dedup_passage_exact",
+    "dedup_ngram_spans",
+    "dedup_decontaminate",
+    "semdedup_pipeline",
+    "sim_norms",
+    "sim_topk_cosine",
+    "sim_pairs_blocked",
+    "sim_maxsim_multivector",
+    "sim_ann_lsh",
+    "embed_quantize_int8",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnowing",
+    "text_tfidf_top_terms",
+    "text_inverted_index",
+    "text_bm25_search",
+    "text_repetition_filter",
+    "text_compression_ratio",
+    "text_dsir_weights",
+    "er_fuzzy_match",
+]
+
 QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
 LINEAR_SLACK = 2.0  # flag ratios above LINEAR_SLACK * (data growth)
 
 
-def resolve_names(registry) -> list[str]:
+def resolve_names(registry, patterns: list[str]) -> list[str]:
     qs = registry.queries()
     names: list[str] = []
-    for pat in SCAN_BOUND:
+    for pat in patterns:
         if pat in qs:
             names.append(pat)
             continue
@@ -86,7 +142,7 @@ def resolve_names(registry) -> list[str]:
     return names
 
 
-def timed(spark, fn, sf_dir: str, group: str) -> float:
+def timed(spark, fn, sf_dir: str, group: str, action: str) -> float:
     import threading
 
     sc = spark.sparkContext
@@ -103,7 +159,13 @@ def timed(spark, fn, sf_dir: str, group: str) -> float:
     th.start()
     try:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        df = fn(spark, sf_dir)
+        if action == "noop":
+            # full plan execution, zero driver transfer — for subsets
+            # whose outputs are pair-level (~1M rows at 100 copies)
+            df.write.mode("overwrite").format("noop").save()
+        else:
+            df.collect()
         elapsed = time.perf_counter() - t0
     finally:
         done.set()
@@ -113,20 +175,33 @@ def timed(spark, fn, sf_dir: str, group: str) -> float:
     return elapsed
 
 
+SUBSETS = {
+    # subset -> (patterns, small dir, big dir, action, artifact name)
+    "scan": (SCAN_BOUND, SF1, SF10, "collect", "SCALE_sf10.json"),
+    "llm": (LLM_BOUND, LLM_SF1, LLM_SF10, "noop", "SCALE_llm_sf10.json"),
+}
+
+
 def main() -> None:
     from gpu_database_spark import registry
     from gpu_database_spark.functions.materialize import release_all
     from gpu_database_spark.session import get_spark
 
-    if not os.path.isdir(SF10):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subset", choices=sorted(SUBSETS), default="scan")
+    args = ap.parse_args()
+    patterns, small_dir, big_dir, action, artifact = SUBSETS[args.subset]
+
+    if not os.path.isdir(big_dir):
         raise SystemExit(
-            "fixtures/sf10 missing — run "
-            "`python tools/make_sf1.py --copies 100 --name sf10` first"
+            f"{big_dir} missing — build it with tools/make_sf1.py first "
+            "(--copies 100 --name sf10, or --llm-distinct for the llm "
+            "fixtures)"
         )
     spark = get_spark(app_name="gpu-database-spark-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
-    names = resolve_names(registry)
+    names = resolve_names(registry, patterns)
 
     # JVM/codegen warmup at the small fixture
     qs[names[0]](spark, "/root/testdata/sf0.001").collect()
@@ -138,8 +213,12 @@ def main() -> None:
         fn = qs[name]
         row: dict[str, float] = {}
         try:
-            row["sec_sf1"] = round(timed(spark, fn, SF1, f"{name}@sf1"), 3)
-            row["sec_sf10"] = round(timed(spark, fn, SF10, f"{name}@sf10"), 3)
+            row["sec_sf1"] = round(
+                timed(spark, fn, small_dir, f"{name}@sf1", action), 3
+            )
+            row["sec_sf10"] = round(
+                timed(spark, fn, big_dir, f"{name}@sf10", action), 3
+            )
             # guard tiny denominators: ratios below 0.2s of sf1 time say
             # more about fixed overhead than scaling
             base = max(row["sec_sf1"], 0.2)
@@ -164,7 +243,8 @@ def main() -> None:
         if r["ratio"] > LINEAR_SLACK * growth and r["sec_sf10"] > 5.0
     )
     result = {
-        "subset": "scan-bound",
+        "subset": f"{args.subset}-bound",
+        "action": action,
         "sf_small": 1.0,
         "sf_big": 10.0,
         "n_queries": len(out),
@@ -175,7 +255,7 @@ def main() -> None:
         "wall_ratio": round(total10 / total1, 2) if total1 else None,
         "superlinear": superlinear,
     }
-    with open(os.path.join(REPO, "SCALE_sf10.json"), "w") as f:
+    with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(result, f, indent=1)
     print(
         json.dumps(
