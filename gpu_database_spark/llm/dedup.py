@@ -616,11 +616,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, LSH-bucket) block, a vector is dropped if any LOWER-id
     block-mate has cosine >= tau — the deterministic keep-first-by-id
     rule, the greedy pass of SemDeDup-style pipelines. Blocking reuses
-    table 0 of :func:`similarity.lsh_bucket_array`, so the quadratic
-    term stays bucket-bounded at 100 TB (never all-pairs within a
-    label); norms are computed once per vector before the pair stage.
-    Returns the per-label census + dropped-id checksum; the oracle
-    re-derives the bucket bit-for-bit from md5 and exact long sums."""
+    table 0 of :func:`similarity.lsh_bucket_array` — never all-pairs
+    within a label; norms are computed once per vector before the
+    pair stage. Returns the per-label census + dropped-id checksum;
+    the oracle re-derives the bucket bit-for-bit from md5 and exact
+    long sums.
+
+    Scale limit of the BLOCKER, measured at the llm_sf10 decade
+    (SCALE_llm_sf10.json): a fixed 4-bit table has 16 cells, so block
+    population — and the within-block candidate count — grows
+    linearly — quadratically — with the corpus (18x time for 10x
+    vectors). At 100 TB the blocker is swapped for the IVF centroid
+    assignment (machinery in similarity.py's ann_ivf family) with
+    nlist ∝ corpus/target-block-size: constant block sizes that track
+    density (finer HYPERPLANE cells would instead split true
+    neighborhoods — recall at tau decays like (1-θ/π)^planes). The
+    greedy drop rule and census shape are unchanged under any
+    blocker."""
     from gpu_database_spark.llm.similarity import l2_norm, lsh_bucket_array, dot
 
     e = load_table(spark, sf_dir, "embeddings")

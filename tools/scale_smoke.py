@@ -142,8 +142,11 @@ def resolve_names(registry, patterns: list[str]) -> list[str]:
     return names
 
 
-def timed(spark, fn, sf_dir: str, group: str, action: str) -> float:
+def timed(spark, fn, sf_dir: str, group: str, action: str) -> tuple[float, int]:
     import threading
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
     sc = spark.sparkContext
     sc.setJobGroup(group, group, interruptOnCancel=True)
@@ -162,17 +165,25 @@ def timed(spark, fn, sf_dir: str, group: str, action: str) -> float:
         df = fn(spark, sf_dir)
         if action == "noop":
             # full plan execution, zero driver transfer — for subsets
-            # whose outputs are pair-level (~1M rows at 100 copies)
-            df.write.mode("overwrite").format("noop").save()
+            # whose outputs are pair-level (~1M rows at 100 copies).
+            # An Observation rides the same pass to record the OUTPUT
+            # row count: a time ratio is only judgeable next to the
+            # output's own growth (the cosine-pair queries' declared
+            # output is inherently superlinear on dense corpora).
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            n_rows = int(obs.get["rows"])
         else:
-            df.collect()
+            n_rows = len(df.collect())
         elapsed = time.perf_counter() - t0
     finally:
         done.set()
         sc.setJobGroup("scale-idle", "scale-idle")
     if elapsed > QUERY_TIMEOUT_SEC:
         raise TimeoutError(f"{group}: exceeded {QUERY_TIMEOUT_SEC}s cap")
-    return elapsed
+    return elapsed, n_rows
 
 
 SUBSETS = {
@@ -213,20 +224,19 @@ def main() -> None:
         fn = qs[name]
         row: dict[str, float] = {}
         try:
-            row["sec_sf1"] = round(
-                timed(spark, fn, small_dir, f"{name}@sf1", action), 3
-            )
-            row["sec_sf10"] = round(
-                timed(spark, fn, big_dir, f"{name}@sf10", action), 3
-            )
+            sec1, rows1 = timed(spark, fn, small_dir, f"{name}@sf1", action)
+            sec10, rows10 = timed(spark, fn, big_dir, f"{name}@sf10", action)
+            row["sec_sf1"], row["sec_sf10"] = round(sec1, 3), round(sec10, 3)
+            row["rows_sf1"], row["rows_sf10"] = rows1, rows10
             # guard tiny denominators: ratios below 0.2s of sf1 time say
             # more about fixed overhead than scaling
             base = max(row["sec_sf1"], 0.2)
             row["ratio"] = round(row["sec_sf10"] / base, 2)
+            row["rows_ratio"] = round(rows10 / max(rows1, 1), 2)
             out[name] = row
             print(
                 f"{name}: sf1 {row['sec_sf1']}s sf10 {row['sec_sf10']}s "
-                f"ratio {row['ratio']}",
+                f"ratio {row['ratio']} rows {rows1}->{rows10}",
                 flush=True,
             )
         except Exception as exc:  # noqa: BLE001
@@ -238,9 +248,14 @@ def main() -> None:
 
     total1 = round(sum(r["sec_sf1"] for r in out.values()), 2)
     total10 = round(sum(r["sec_sf10"] for r in out.values()), 2)
+    # A query is superlinear only against the larger of data growth and
+    # its own OUTPUT growth: when the declared result is itself
+    # quadratic (dense cosine-pair corpora), time tracking the output
+    # is the correct behavior, not a plan defect.
     superlinear = sorted(
         n for n, r in out.items()
-        if r["ratio"] > LINEAR_SLACK * growth and r["sec_sf10"] > 5.0
+        if r["ratio"] > LINEAR_SLACK * max(growth, r.get("rows_ratio", 0.0))
+        and r["sec_sf10"] > 5.0
     )
     result = {
         "subset": f"{args.subset}-bound",
