@@ -377,7 +377,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)  # feeds deg + both join sides once
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # per-node degrees feed BOTH endpoint joins: materialized so the
+    # (large) symmetric edge table is aggregated once, not twice
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).transform(
+        materialize
+    )
     a = sym.alias("a")
     b = sym.alias("b")
     common = (

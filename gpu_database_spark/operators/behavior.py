@@ -85,7 +85,11 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(materialize)
     )
     n = items.agg(F.countDistinct("ok").alias("n_baskets"))
-    sing = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    # singleton counts feed both rule-side joins: materialized so the
+    # basket-items table is aggregated once, not twice
+    sing = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c")).transform(
+        materialize
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -616,7 +620,6 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices plus broadcast offsets, never a global single-partition
     sort. The oracle states the plain ROW_NUMBER form; ranks are
     identical because each order is total."""
-    from gpu_database_spark.functions.materialize import materialize
     from gpu_database_spark.functions.ranks import bucketed_row_number
 
     e = load_table(spark, sf_dir, "events")
@@ -709,9 +712,12 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact decimals in both engines, so the 0.8/0.95 boundary
     classification cannot drift."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Materialized: the per-PART revenue table branches four ways
+    # (grand total, bucket column, local prefix window, bucket totals)
+    # — without the barrier each branch re-runs the fact-table groupBy.
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         dsum(F.col("l_extendedprice")).alias("r")
-    )
+    ).transform(materialize)
     tot = rev.agg(dsum(F.col("r")).alias("t"))
     b = rev.withColumn("_bkt", F.floor(F.col("r") / 100).cast("long"))
     wl = (
@@ -1102,7 +1108,11 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
-    sizes = aud.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # per-type sizes feed both denominator joins: materialized so the
+    # audience table is aggregated once, not twice
+    sizes = aud.groupBy("t").agg(F.count(F.lit(1)).alias("n")).transform(
+        materialize
+    )
     a = aud.alias("a")
     b = aud.alias("b")
     common = (
@@ -1905,7 +1915,8 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).transform(materialize)  # calendar-sized; feeds the mean fold AND
+    # the lag window — materialized so the events scan runs once
     mt = hourly.groupBy("event_type").agg(
         (
             F.sum(F.col("v").cast("decimal(27,6)")).cast("double")
@@ -2417,7 +2428,8 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).transform(materialize)  # calendar-sized; both pair-join sides
+    # read it — materialized so the events scan runs once
     a = daily.select(
         "event_type", F.col("day").alias("d1"), F.col("v").alias("v1")
     )

@@ -66,9 +66,13 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     term is one double division, summed exactly via the DECIMAL(27,6)
     discipline so both engines hash-match."""
     o = load_table(spark, sf_dir, "orders")
+    # Materialized: the r x c table (15 rows) feeds FOUR consumers
+    # (row margins, column margins, n, cells) — without the barrier
+    # each branch re-executes the fact-table groupBy, turning the
+    # "one pass over 100 TB" claim into four scans.
     obs = o.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).transform(materialize)
     rt = obs.groupBy("s").agg(F.sum("o").alias("r_tot"))
     ct = obs.groupBy("p").agg(F.sum("o").alias("c_tot"))
     n = obs.agg(F.sum("o").alias("n"))
@@ -2060,7 +2064,8 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).transform(materialize)  # (user x type)-sized; three consumers
+    # (type count, full-block filter, rank pass) — one events scan
     n_types = cell.select("event_type").distinct().count()
     full_blocks = (
         cell.groupBy("user_id")
@@ -2732,7 +2737,8 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("v")
-    )
+    ).transform(materialize)  # calendar-sized; feeds the mean fold AND
+    # the sign pass — one events scan, not two
     m = daily.groupBy("event_type").agg(
         F.expr(
             "CAST(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS STRING) AS DOUBLE)"
