@@ -811,12 +811,21 @@ def _pq_encode(e: DataFrame, cb_df: DataFrame) -> DataFrame:
     )
 
 
+PQ_LLOYD_STEPS = 1  # distributed Lloyd iterations refining the seeds
+
+
 def _pq_refined_codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     """The (sub, code, cw) PQ codebook: PQ_CODES corpus vectors from
-    vec_id PQ_SEED_BASE seed one codeword per subspace each, then ONE
-    distributed Lloyd step (assign -> per-dimension mean) sharpens
-    them — the same trainer pattern sim_ivf_train_step shows for the
-    coarse quantizer; production would loop that step to convergence.
+    vec_id PQ_SEED_BASE seed one codeword per subspace each, then
+    PQ_LLOYD_STEPS distributed Lloyd steps (assign -> per-dimension
+    mean; a codeword that loses all members keeps its previous
+    position) sharpen them — the same trainer pattern
+    sim_ivf_train_step shows for the coarse quantizer; production
+    raises PQ_LLOYD_STEPS toward convergence. Measured on the 5-query
+    evaluation panel (recall granularity 1/50 = 0.02), steps 1/2/3
+    land recall@10 in 0.24-0.32 across sf0.001-0.1 with no monotone
+    winner — the panel is a smoke-sized sample, so extra local steps
+    are noise here and 1 keeps the historical codebook bit-stable.
 
     Cached per (session, sf_dir) as COLLECTED rows (8x32, tiny), not a
     checkpointed DataFrame: harnesses call materialize.release_all()
@@ -851,20 +860,47 @@ def _pq_refined_codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
                 "sv"
             ),
         )
-        per_dim = (
-            _pq_encode(e, cb)
-            .join(sliced, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
-            .groupBy("sub", "code", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("mv"))
-        )
-        cb_rows = [
-            (r.sub, r.code, list(r.cw))
-            for r in per_dim.groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mv"))).alias("a"))
-            .select("sub", "code", F.transform("a", lambda s: s["mv"]).alias("cw"))
-            .collect()
-        ]
+        for _ in range(PQ_LLOYD_STEPS):
+            per_dim = (
+                _pq_encode(e, cb)
+                .join(sliced, ["vec_id", "sub"])
+                .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+                .groupBy("sub", "code", "dim")
+                .agg(F.avg(F.col("val").cast("double")).alias("mv"))
+            )
+            stepped = (
+                per_dim.groupBy("sub", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mv"))
+                    ).alias("a")
+                )
+                .select(
+                    "sub",
+                    "code",
+                    F.transform("a", lambda s: s["mv"]).alias("cw_new"),
+                )
+            )
+            # empty cells keep their previous codeword (outer join):
+            # dropping them would shrink the codebook mid-training.
+            # Each step collects the 8x32 codebook (bounded, same size
+            # as the final cache) so the next assignment pass starts
+            # from literal rows, not a per-step-deeper lazy plan.
+            step_rows = [
+                (r.sub, r.code, list(r.cw))
+                for r in cb.join(stepped, ["sub", "code"], "left")
+                .select(
+                    "sub",
+                    "code",
+                    F.coalesce("cw_new", F.col("cw").cast("array<double>"))
+                    .alias("cw"),
+                )
+                .collect()
+            ]
+            cb = spark.createDataFrame(
+                step_rows, "sub int, code int, cw array<double>"
+            )
+        cb_rows = [(r.sub, r.code, list(r.cw)) for r in cb.collect()]
         _PQ_CB_CACHE[cache_key] = cb_rows
     return spark.createDataFrame(cb_rows, "sub int, code int, cw array<double>")
 
