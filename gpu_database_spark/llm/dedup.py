@@ -567,6 +567,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_COS_TAU = 0.35  # near-dup cosine threshold for the fixture embeddings
+DEDUP_IVF_CELL = 128  # target IVF cell population (bounds candidate pairs/vector)
+DEDUP_IVF_MIN_NLIST = 16
 
 
 @register(
@@ -575,23 +577,61 @@ DEDUP_COS_TAU = 0.35  # near-dup cosine threshold for the fixture embeddings
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    ed AS (
-        SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e
+    nl AS (
+        SELECT GREATEST({DEDUP_IVF_MIN_NLIST},
+                        CAST(ceil(COUNT(*) / {DEDUP_IVF_CELL}.0) AS BIGINT))
+                   AS nlist
+        FROM e
     ),
-    proj AS (
-        SELECT vec_id, p.plane,
-               CASE WHEN sum(CAST(floor(v[i] * 1000000.0) AS BIGINT) * (CASE WHEN
-                        CAST('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':'
-                                            || CAST(i - 1 AS VARCHAR)), 1, 4)
-                             AS BIGINT) % 2 = 1
-                        THEN 1 ELSE -1 END)) > 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM ed CROSS JOIN (SELECT unnest(range(0, 4)) AS plane) p
-        GROUP BY vec_id, p.plane
+    seeds AS (
+        SELECT cid, v AS cv FROM (
+            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       - 1 AS cid,
+                   v
+            FROM e
+        ), nl WHERE cid < nl.nlist
+    ),
+    p1 AS (
+        SELECT e.vec_id, s.cid,
+               round(list_cosine_similarity(e.v, s.cv), 4) AS sim
+        FROM e CROSS JOIN seeds s
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rk
+            FROM p1
+        ) WHERE rk = 1
+    ),
+    mic AS (
+        SELECT a1.cid, ed.i AS d,
+               CAST(floor(ed.v[ed.i] * 1000000.0) AS BIGINT) AS xm
+        FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e) ed
+        JOIN a1 USING (vec_id)
+    ),
+    cm AS (
+        SELECT cid, d,
+               CASE WHEN SUM(xm) < 0 THEN -1 ELSE 1 END
+                 * ((2 * ABS(SUM(xm)) + COUNT(*)) // (2 * COUNT(*))) AS mm
+        FROM mic GROUP BY cid, d
+    ),
+    cent AS (
+        SELECT cid, list(CAST(mm AS DOUBLE) / 1000000.0 ORDER BY d) AS cv
+        FROM cm GROUP BY cid
+    ),
+    p2 AS (
+        SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+        FROM e CROSS JOIN cent c
     ),
     sig AS (
-        SELECT vec_id, CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
-        FROM proj GROUP BY vec_id
+        SELECT vec_id, cid AS bucket FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rk
+            FROM p2
+        ) WHERE rk = 1
     ),
     eb AS (
         SELECT e.vec_id, e.label, e.v, s.bucket
@@ -613,35 +653,128 @@ DEDUP_COS_TAU = 0.35  # near-dup cosine threshold for the fixture embeddings
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal (semantic dedup): within each
-    (label, LSH-bucket) block, a vector is dropped if any LOWER-id
+    (label, IVF-cell) block, a vector is dropped if any LOWER-id
     block-mate has cosine >= tau — the deterministic keep-first-by-id
-    rule, the greedy pass of SemDeDup-style pipelines. Blocking reuses
-    table 0 of :func:`similarity.lsh_bucket_array` — never all-pairs
+    rule, the greedy pass of SemDeDup-style pipelines. Never all-pairs
     within a label; norms are computed once per vector before the
-    pair stage. Returns the per-label census + dropped-id checksum;
-    the oracle re-derives the bucket bit-for-bit from md5 and exact
-    long sums.
+    pair stage. Returns the per-label census + dropped-id checksum.
 
-    Scale limit of the BLOCKER, measured at the llm_sf10 decade
-    (SCALE_llm_sf10.json): a fixed 4-bit table has 16 cells, so block
-    population — and the within-block candidate count — grows
-    linearly — quadratically — with the corpus (18x time for 10x
-    vectors). At 100 TB the blocker is swapped for the IVF centroid
-    assignment (machinery in similarity.py's ann_ivf family) with
-    nlist ∝ corpus/target-block-size: constant block sizes that track
-    density (finer HYPERPLANE cells would instead split true
-    neighborhoods — recall at tau decays like (1-θ/π)^planes). The
-    greedy drop rule and census shape are unchanged under any
-    blocker."""
-    from gpu_database_spark.llm.similarity import l2_norm, lsh_bucket_array, dot
+    The BLOCKER is a density-tracking IVF coarse quantizer (round-12;
+    replaces the fixed 16-cell hyperplane table whose block population
+    grew with the corpus — candidate pairs went quadratic, measured
+    x18 wall for x10 vectors at the llm_sf10 decade):
+
+    1. nlist = max(16, ceil(n / 1024)) — cell count scales
+       with the corpus so per-cell population stays ~constant; the
+       candidate pair stage is therefore O(n * cell) = linear.
+    2. Seeds: the nlist vectors with smallest md5(vec_id) — a uniform
+       draw from the DATA distribution (cells track density, which
+       finer hyperplane cells would not: recall at tau decays like
+       (1-θ/π)^planes). TakeOrdered top-nlist, no global sort.
+    3. One Lloyd step, exactly as sim_ivf_train_step: assign to the
+       nearest seed (max 6dp-rounded cosine, min-cid tiebreak), then
+       per-cell per-dim means in EXACT integer micro-units via the
+       guarded half-away-from-zero identity — bit-identical in both
+       engines, so the oracle re-derives the codebook exactly. A cell
+       that loses all members in the Lloyd pass simply vanishes (both
+       engines: empty group -> no centroid row).
+    4. Final assignment against the refined codebook; block key is
+       (label, cell id).
+
+    Both assignment passes broadcast the codebook in the task closure
+    and run as ONE numpy matmul per Arrow batch (mapInPandas — the
+    repo's vectorized-Python lane, like embed_pca_power): argmax of
+    the 4dp-rounded cosine matrix, where np.argmax's first-max rule IS
+    the oracle's ROW_NUMBER(ORDER BY sim DESC, cid) min-cid tiebreak.
+    Assignment sims round to 4dp (the PAIR-stage cosine stays 6dp JVM
+    fold, unchanged): BLAS accumulation order differs from DuckDB's
+    sequential fold by ~1e-14, and the coarser grid makes a boundary
+    straddle (the only cross-engine hazard) measure-zero while ties
+    resolve identically in both engines. The two codebook collects are
+    bounded at O(nlist * d) rows by construction (the repo's
+    documented-bounded-collect discipline). At 100 TB the brute-force
+    assignment itself (n * nlist cosines, nlist ∝ n) and the collected
+    codebook (O(n/128) rows) become the next bottleneck; the
+    documented refinement is hierarchical assignment (train a
+    sqrt(nlist)-cell router over the same seeds; score only the
+    children of the best router cell — the IMI pattern) with the
+    codebook kept as a broadcast-joined table, neither of which
+    changes the drop rule or the census shape. See SCALING.md
+    (embedding dedup row)."""
+    import numpy as np
+
+    from gpu_database_spark.llm.similarity import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    normed = e.select(
-        "vec_id", "label", "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
-        F.element_at(lsh_bucket_array("embedding"), 1)
-        .cast("long")
-        .alias("bucket"),
+    n = e.count()
+    nlist = max(DEDUP_IVF_MIN_NLIST, -(-n // DEDUP_IVF_CELL))
+
+    # --- seeds: nlist smallest-md5 vectors (TakeOrdered; bounded) ---
+    seed_rows = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .orderBy("h")
+        .limit(nlist)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r.h)
+    seed_vecs = [list(r.v) for r in seed_rows]
+
+    base = e.select("vec_id", "label", "embedding").repartition("vec_id")
+    out_schema = "vec_id bigint, label int, embedding array<float>, bucket bigint"
+
+    def _assign(df: DataFrame, cids: list[int], vecs: list[list[float]]) -> DataFrame:
+        """argmax cosine over the closure-broadcast codebook, one numpy
+        matmul per Arrow batch; first-max == min-cid on 4dp ties."""
+        cmat = np.asarray(vecs, dtype=np.float64).T  # (d, k), cid-ascending
+        cnorm = np.sqrt((cmat * cmat).sum(axis=0))
+        cid_arr = np.asarray(cids, dtype=np.int64)
+
+        def assign_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                sims = (x @ cmat) / (
+                    np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :]
+                )
+                pdf = pdf.copy()
+                pdf["bucket"] = cid_arr[np.argmax(np.round(sims, 4), axis=1)]
+                yield pdf
+
+        return df.mapInPandas(assign_batches, schema=out_schema)
+
+    # --- one Lloyd step: integer-micro-unit per-cell means (bounded
+    # collect of nlist x d grouped rows; exact in both engines) ---
+    a1 = _assign(base, list(range(nlist)), seed_vecs)
+    mm = F.expr(
+        "CASE WHEN SUM(xm) < 0 THEN -1 ELSE 1 END"
+        " * ((2 * ABS(SUM(xm)) + COUNT(*)) div (2 * COUNT(*)))"
+    )
+    cm_rows = (
+        a1.select(
+            "bucket",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+        )
+        .select(
+            "bucket", "d", F.floor(F.col("x") * 1000000.0).cast("long").alias("xm")
+        )
+        .groupBy("bucket", "d")
+        .agg(mm.alias("mm"))
+        .collect()
+    )
+    cells: dict[int, dict[int, int]] = {}
+    for r in cm_rows:
+        cells.setdefault(int(r.bucket), {})[int(r.d)] = int(r.mm)
+    cent_ids = sorted(cells)
+    cent_vecs = [
+        [cells[c][d] / 1000000.0 for d in sorted(cells[c])] for c in cent_ids
+    ]
+
+    normed = _assign(base, cent_ids, cent_vecs).withColumn(
+        "nrm", l2_norm(F.col("embedding"))
     )
     # Materialized once: AQE broadcasts one pair-join side, so without
     # this the per-vector norm/bucket projection computes twice.

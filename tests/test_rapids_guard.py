@@ -45,6 +45,9 @@ ARROW_ALLOWED = {
     "text_compression_ratio",
     # PCA's Gram partials are a mapInPandas tree-aggregate
     "embed_pca_power",
+    # IVF-blocker assignment: one numpy matmul per Arrow batch against
+    # the closure-broadcast codebook (round-12; see the query docstring)
+    "dedup_embedding_cosine",
 }
 
 ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
