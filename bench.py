@@ -79,6 +79,7 @@ HEADLINE = [
     "text_winnowing",
     "sim_topk_cosine",
     "sim_pairs_blocked",
+    "sim_pairs_topk",
     "mm_extract_features",
     "join_asof_prevailing",
     "window_range_frame",

@@ -722,6 +722,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows.sort(key=lambda r: r.h)
     seed_vecs = [list(r.v) for r in seed_rows]
 
+    # repartition: fixture parallelism plumbing only — the (often
+    # single-file) scan must spread across cores before the matmul
+    # passes; at 100 TB the scan already yields thousands of splits
+    # and this hash shuffle would be dropped.
     base = e.select("vec_id", "label", "embedding").repartition("vec_id")
     out_schema = "vec_id bigint, label int, embedding array<float>, bucket bigint"
 

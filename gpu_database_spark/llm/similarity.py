@@ -22,7 +22,13 @@ from gpu_database_spark.registry import register
 from gpu_database_spark.sources.catalog import load_table
 
 TOP_K = 5
-N_QUERIES = 5  # vec_id < 5 are the query vectors
+# vec_id < N_QUERIES are the evaluation query vectors. 20, not 5
+# (round-12, ADVICE r11 #4): the 5-query panel's recall granularity was
+# 1/25 = 0.04, so the parity sweep's any-SF PQ floor had to sit one
+# grid cell below the pytest fixture-scale gate; 20 queries x top-5 =
+# 100 hits (granularity 0.01) lets the sweep floor return to the
+# pytest level.
+N_QUERIES = 20
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -243,6 +249,116 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb", "label", "bucket", "cos_sim")
     )
     return cross.unionByName(within).orderBy("va", "vb")
+
+
+PAIRS_TOP_K = 5  # per-vector neighbor cap for the bounded-output variant
+
+
+@register(
+    "sim_pairs_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ed AS (
+        SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e
+    ),
+    proj AS (
+        SELECT vec_id, p.plane,
+               CASE WHEN sum(CAST(floor(v[i] * 1000000.0) AS BIGINT) * (CASE WHEN
+                        CAST('0x' || substr(md5(CAST(p.plane AS VARCHAR) || ':'
+                                            || CAST(i - 1 AS VARCHAR)), 1, 4)
+                             AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END)) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM ed CROSS JOIN (SELECT unnest(range(0, 4)) AS plane) p
+        GROUP BY vec_id, p.plane
+    ),
+    sig AS (
+        SELECT vec_id, CAST(sum(bit * (1 << plane)) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    eb AS (
+        SELECT e.vec_id, e.label, e.v, s.bucket
+        FROM e JOIN sig s ON e.vec_id = s.vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, a.label,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM eb a JOIN eb b
+          ON a.label = b.label AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.3
+    )
+    SELECT qid, nid, label, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, nid) AS rk
+        FROM cand
+    )
+    WHERE rk <= {PAIRS_TOP_K}
+    ORDER BY qid, rk
+    """,
+)
+def sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pairs_blocked with a PER-VECTOR TOP-K OUTPUT CAP: each
+    vector keeps only its K=5 most-similar block-mates above the
+    threshold (cosine desc, neighbor-id tiebreak). This is the bounded
+    100 TB output contract the full pair listing cannot give: on a
+    dense corpus cos>0.3 pairs are inherently quadratic (measured x100
+    output for x10 vectors at the llm decade — fine for the
+    thresholded-dedup consumer, unboundable as a materialized result),
+    while this variant emits <= K rows per vector — O(n) — whatever
+    the density. The intra-block candidate COMPUTE is the same
+    blocked-quadratic term, bounded by block size exactly as in
+    sim_pairs_blocked; only the window cap differs (a WindowGroupLimit
+    partial top-k, never a full per-vector sort spill).
+
+    Each unordered block pair is scored ONCE (va < vb) and reflected,
+    so the dot-product count matches sim_pairs_blocked despite ranking
+    both endpoints."""
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = e.select(
+        "vec_id", "label", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.element_at(lsh_bucket_array("embedding"), 1)
+        .cast("long")
+        .alias("bucket"),
+    )
+    members = normed.repartition("label", "bucket").transform(materialize)
+    a = members.select(
+        F.col("vec_id").alias("va"), "label", "bucket",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("label_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    half = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb", "label", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") > 0.3)
+    )
+    both = half.select(
+        F.col("va").alias("qid"), F.col("vb").alias("nid"), "label", "cos_sim"
+    ).unionByName(
+        half.select(
+            F.col("vb").alias("qid"), F.col("va").alias("nid"), "label", "cos_sim"
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PAIRS_TOP_K)
+        .orderBy("qid", "rk")
+    )
 
 
 N_TABLES = 4  # LSH tables (OR-amplification)
@@ -629,7 +745,13 @@ def sim_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PCA_POWER_ITERS = 300  # fixed-count power iteration on the d x d Gram
+# Fixed-count power iteration on the d x d Gram. 3000, not 300
+# (round-12): the sweep's numpy cross-check caught the 300-iteration
+# solve unconverged at sf0.1 — spectral gap 1.7% and a near-orthogonal
+# deterministic start left alignment at 0.21. Contraction (λ2/λ1)^k
+# needs k >> ln(c2/c1/eps)/ln(λ1/λ2); 3000 gives e^-52 on that gap for
+# ~12M driver-side flops — still trivially cheap on the 64x64 matrix.
+PCA_POWER_ITERS = 3000
 
 
 @register("embed_pca_power")  # rows-only: iterative eigen-solve has no SQL oracle
@@ -822,10 +944,18 @@ def _pq_refined_codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
     position) sharpen them — the same trainer pattern
     sim_ivf_train_step shows for the coarse quantizer; production
     raises PQ_LLOYD_STEPS toward convergence. Measured on the 5-query
-    evaluation panel (recall granularity 1/50 = 0.02), steps 1/2/3
-    land recall@10 in 0.24-0.32 across sf0.001-0.1 with no monotone
+    evaluation panel of rounds 11 and earlier (recall granularity
+    1/50 = 0.02; 20 queries since round 12), steps 1/2/3 landed
+    recall@10 in 0.24-0.32 across sf0.001-0.1 with no monotone
     winner — the panel is a smoke-sized sample, so extra local steps
     are noise here and 1 keeps the historical codebook bit-stable.
+    Caveat to that bit-stability claim: the empty-cell rule differs
+    from the pre-loop trainer (which silently DROPPED empty codes) —
+    if a codeword lost all members on the first assignment, the
+    coalesce-to-float-seed path would diverge from the old behavior.
+    No fixture at sf0.001-1.0 produces an empty first-assignment cell
+    (the recall gates pass), so this is a documented edge, not a
+    reachable difference.
 
     Cached per (session, sf_dir) as COLLECTED rows (8x32, tiny), not a
     checkpointed DataFrame: harnesses call materialize.release_all()
@@ -1089,7 +1219,7 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (documented at its definition); the evaluation itself joins
     tiny top-k sets (queries × k rows) — negligible. At 100 TB the
     exact baseline is computed once on a fixed evaluation query sample
-    exactly like this one (vec_id < N_QUERIES=5)."""
+    exactly like this one (vec_id < N_QUERIES=20)."""
     # Materialized: the brute-force baseline feeds two consumers per
     # method x three methods — without one execution point it would
     # re-run six times per invocation.

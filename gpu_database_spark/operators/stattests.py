@@ -1101,12 +1101,17 @@ def stat_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole two-rank chain per consumer (measured 51.6s at the
     # 60M-row sf10 fixture vs 26s this way). Same integral math:
     # (2*SUM(rn)) div COUNT(*) over each (flag, value) tie slice.
+    # Tie-slice rank sums accumulate in DECIMAL(38,0) (ml_eval_auc's
+    # discipline): with heavy ties SUM(rn) approaches n^2/2 per
+    # (flag, value) slice — past BIGINT at corpus scale; the `div`
+    # result is an in-range BIGINT-magnitude value again.
+    d38 = "decimal(38,0)"
     wx = Window.partitionBy("flag", "x")
     wy = Window.partitionBy("flag", "y")
     j = (
-        r.withColumn("_sx2", F.lit(2) * F.sum("rx").over(wx))
+        r.withColumn("_sx2", F.lit(2) * F.sum(F.col("rx").cast(d38)).over(wx))
         .withColumn("_cx", F.count(F.lit(1)).over(wx))
-        .withColumn("_sy2", F.lit(2) * F.sum("ry").over(wy))
+        .withColumn("_sy2", F.lit(2) * F.sum(F.col("ry").cast(d38)).over(wy))
         .withColumn("_cy", F.count(F.lit(1)).over(wy))
         .withColumn("ar2x", F.expr("_sx2 div _cx"))
         .withColumn("ar2y", F.expr("_sy2 div _cy"))

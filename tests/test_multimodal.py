@@ -261,6 +261,10 @@ def test_phash_query_census_on_fixture(spark, sf_dir):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_media > 0
-    assert r.n_png_decoded == 0  # text payloads: the fake-grid path
+    # the three SEEDED_PNGS (doc_ids 0/3/6) take the real decode path;
+    # every other text payload takes the fake-grid stand-in
+    assert r.n_png_decoded == 3
     assert r.n_confirmed_pairs <= r.n_candidate_pairs
-    assert r.n_confirmed_pairs == 0  # no near-dups in the text fixture
+    # exactly the seeded near-dup pair (0, 3) confirms; the text
+    # fixture itself has no near-dups by construction
+    assert r.n_confirmed_pairs == 1

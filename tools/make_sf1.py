@@ -100,6 +100,15 @@ TABLES: dict[str, str | None] = {
 #   (measured 3,010-doc LSH buckets vs the source max of 8).
 #   n_chars is recomputed (the source invariant is
 #   n_chars = length(text)).
+#   Two bounded edge cases of the tagging (acceptable for a scaling
+#   fixture, like the single-word-doc caveat below): (a) cross-copy
+#   disjointness assumes no SOURCE token already has the tagged form —
+#   a source word 'carv1' collides with copy-1's tagging of 'car'
+#   (the synthetic vocabulary contains no such tokens today); (b) the
+#   regex rewrites the separator, so each doc's FINAL word stays
+#   untagged — shingles touching the document boundary keep one
+#   source token, slightly perturbing within-copy shingle structure
+#   at the last k-1 positions only.
 # * embeddings: per-copy random SIGN-FLIP of each dimension (a
 #   diagonal orthogonal transform): within-copy cosine geometry is
 #   exactly preserved; cross-copy cosine ~ N(0, 1/sqrt(64)) — far

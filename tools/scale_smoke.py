@@ -125,6 +125,38 @@ LLM_BOUND = [
     "er_fuzzy_match",
 ]
 
+# Rank/stat subset (--subset rank, r11 VERDICT ask #6): the queries
+# built on the grouped/bucketed histogram-rank plans and one-pass
+# sufficient-statistic folds — the family the round-11 rank-frame and
+# multi-consumer-materialization fixes touched (RFM 8.4->3.7s, spearman
+# 51.6->37.0s at sf10, measured informally then; this subset pins the
+# decade as a committed artifact so the next rank-plan regression is
+# caught the way join_interval_binned's was). Outputs are mostly tiny
+# census tables, but feat_quantile_normalize / window_percentiles emit
+# per-row results — so the subset runs noop-write actioned like llm.
+RANK_BOUND = [
+    "stat_spearman_rho",
+    "stat_mannwhitney_u",
+    "stat_kruskal_wallis",
+    "stat_wilcoxon_signed_rank",
+    "stat_gini_concentration",
+    "stat_robust_means",
+    "stat_brown_forsythe",
+    "stat_friedman_test",
+    "stat_exact_quantiles_distributed",
+    "ml_eval_auc",
+    "ml_eval_auc_grouped",
+    "ml_eval_ndcg",
+    "ml_eval_average_precision",
+    "ml_lift_deciles",
+    "feat_quantile_normalize",
+    "feat_scale_robust",
+    "window_percentiles",
+    "agg_weighted_median",
+    "pareto_abc_classification",
+    "events_rfm_segmentation",
+]
+
 QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
 LINEAR_SLACK = 2.0  # flag ratios above LINEAR_SLACK * (data growth)
 
@@ -190,6 +222,7 @@ SUBSETS = {
     # subset -> (patterns, small dir, big dir, action, artifact name)
     "scan": (SCAN_BOUND, SF1, SF10, "collect", "SCALE_sf10.json"),
     "llm": (LLM_BOUND, LLM_SF1, LLM_SF10, "noop", "SCALE_llm_sf10.json"),
+    "rank": (RANK_BOUND, SF1, SF10, "noop", "SCALE_rank_sf10.json"),
 }
 
 
