@@ -122,14 +122,78 @@ def _seeded_pngs() -> dict[int, bytes]:
 SEEDED_PNGS: dict[int, bytes] = _seeded_pngs()
 
 
+AUDIO_WIN = 1024          # PCM frames per analysis window
+AUDIO_SILENCE = 0.05      # mean-|amplitude| threshold for "silent"
+
+
+def _build_wav(nch: int, sampwidth: int, frames: list[int]) -> bytes:
+    """Minimal valid RIFF/WAVE PCM payload via stdlib ``wave`` (same
+    construction tests/test_round8_ops.py drives): 16-bit frames are
+    signed little-endian shorts, 8-bit frames raw unsigned bytes."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(16000)
+        if sampwidth == 2:
+            w.writeframes(struct.pack(f"<{len(frames)}h", *frames))
+        else:
+            w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _seeded_wavs() -> dict[int, bytes]:
+    """Three REAL WAV payloads pinned to doc_ids 1/4/7 (audio-type
+    under the doc_id % 3 rule, present at every SF), so the
+    driver-scale mm_audio_energy census exercises real PCM decode —
+    one deterministic exemplar per decoder branch:
+
+    * doc_id 1 — 16-bit MONO, three analysis windows: a loud integer
+      triangle wave, an all-zero silent window, and a quiet-but-
+      audible window (pins silence_ratio strictly between 0 and 1);
+    * doc_id 4 — 16-bit STEREO with asymmetric channels (exercises
+      the per-frame downmix path, codec ``wav-ch2``);
+    * doc_id 7 — 8-bit unsigned MONO (the sampwidth==1 branch).
+
+    Integer sample patterns only — no float synthesis — so the bytes
+    (and the mm_media_meta byte-length oracle literals derived from
+    them at import) are platform-stable."""
+    loud = [((i * 997) % 16000) - 8000 for i in range(AUDIO_WIN)]
+    silent = [0] * AUDIO_WIN
+    # mean |amp| ~= 2000/32768 ~= 0.061 — above AUDIO_SILENCE=0.05 but
+    # well below the loud window, so silence_ratio lands at exactly 1/3
+    quiet = [((i * 31) % 8000) - 4000 for i in range(AUDIO_WIN)]
+    stereo = []
+    for i in range(AUDIO_WIN * 2):
+        stereo.extend((((i * 773) % 24000) - 12000, ((i * 211) % 3000) - 1500))
+    pcm8 = [(i * 37) % 256 for i in range(AUDIO_WIN * 2)]
+    return {
+        1: _build_wav(1, 2, loud + silent + quiet),
+        4: _build_wav(2, 2, stereo),
+        7: _build_wav(1, 1, pcm8),
+    }
+
+
+SEEDED_WAVS: dict[int, bytes] = _seeded_wavs()
+
+# Every seeded binary payload (real PNGs at image doc_ids, real WAVs
+# at audio doc_ids); media_table and the mm_media_meta oracle iterate
+# this single map so they can never desynchronize.
+SEEDED_MEDIA: dict[int, bytes] = {**SEEDED_PNGS, **SEEDED_WAVS}
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media table derived from documents (payload = UTF-8 bytes,
-    media_type round-robins image/audio/video) — except doc_ids 0/3/6,
-    whose payloads are the SEEDED_PNGS real images (see above)."""
+    media_type round-robins image/audio/video) — except doc_ids 0/3/6
+    (SEEDED_PNGS real images) and 1/4/7 (SEEDED_WAVS real audio)."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
-    for mid, png in sorted(SEEDED_PNGS.items()):
-        payload = F.when(F.col("doc_id") == mid, F.lit(png)).otherwise(payload)
+    for mid, blob in sorted(SEEDED_MEDIA.items()):
+        payload = F.when(F.col("doc_id") == mid, F.lit(blob)).otherwise(payload)
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -357,8 +421,8 @@ def extract_features(media: DataFrame) -> DataFrame:
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
                AS media_type,
            CASE doc_id
-               {' '.join(f'WHEN {mid} THEN CAST({len(png)} AS BIGINT)'
-                         for mid, png in sorted(SEEDED_PNGS.items()))}
+               {' '.join(f'WHEN {mid} THEN CAST({len(blob)} AS BIGINT)'
+                         for mid, blob in sorted(SEEDED_MEDIA.items()))}
                ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS byte_len,
            md5(text) AS content_md5
@@ -606,8 +670,8 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Windowed audio energy (round 8)
 
-AUDIO_WIN = 1024          # PCM frames per analysis window
-AUDIO_SILENCE = 0.05      # mean-|amplitude| threshold for "silent"
+# (AUDIO_WIN / AUDIO_SILENCE are defined above the seeded-WAV builder,
+# which sizes its windows off AUDIO_WIN at import time.)
 AUDIO_ENERGY_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -268,3 +268,40 @@ def test_phash_query_census_on_fixture(spark, sf_dir):
     # exactly the seeded near-dup pair (0, 3) confirms; the text
     # fixture itself has no near-dups by construction
     assert r.n_confirmed_pairs == 1
+
+
+def test_audio_energy_census_decodes_seeded_wavs(spark, sf_dir):
+    """Driver-scale twin of the PNG census test: the SEEDED_WAVS at
+    doc_ids 1/4/7 take the REAL stdlib-wave decode path inside
+    mm_audio_energy, one exemplar per decoder branch — 16-bit mono
+    with a deliberately silent middle window (silence_ratio exactly
+    1/3), 16-bit stereo whose downmix clears the silence gate, and
+    8-bit unsigned mono."""
+    from pyspark.sql import functions as F
+
+    from gpu_database_spark.llm.multimodal import (
+        audio_energy_windows,
+        media_table,
+        mm_audio_energy,
+    )
+
+    per = {
+        r.media_id: r
+        for r in audio_energy_windows(
+            media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+        )
+        .filter(F.col("codec") != "fake-pcm8")
+        .collect()
+    }
+    assert set(per) == {1, 4, 7}
+    assert per[1].codec == "wav" and per[1].n_windows == 3
+    assert per[1].silence_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert per[4].codec == "wav-ch2" and per[4].silence_ratio == 0.0
+    assert per[4].mean_energy > mm.AUDIO_SILENCE  # downmix is audible
+    assert per[7].codec == "wav" and per[7].silence_ratio == 0.0
+
+    by_codec = {r.codec: r for r in mm_audio_energy(spark, sf_dir).collect()}
+    assert by_codec["wav"].n_media == 2
+    assert by_codec["wav"].total_windows == 5
+    assert by_codec["wav-ch2"].n_media == 1
+    assert by_codec["fake-pcm8"].n_media >= 1  # the text stand-ins remain

@@ -328,6 +328,8 @@ def _check_mm_extract_features(rows, con):
     }, (totals, by_type)
     png = [r for r in rows if r["codec"] == "png"]
     assert len(png) == 1 and png[0]["n_media"] == 3, png  # the SEEDED_PNGS
+    wav = [r for r in rows if r["codec"] == "wav"]
+    assert len(wav) == 1 and wav[0]["n_media"] == 3, wav  # the SEEDED_WAVS
 
 
 def _check_mm_frame_sample(rows, con):
@@ -346,6 +348,14 @@ def _check_mm_audio_energy(rows, con):
     for r in rows:
         assert 0.0 <= r["avg_silence_ratio"] <= 1.0, dict(r.asDict())
         assert r["avg_energy"] >= 0.0 and r["total_windows"] >= r["n_media"]
+    # the SEEDED_WAVS take the REAL stdlib-wave path at driver scale:
+    # doc_ids 1/7 mono (codec wav; id 1's middle window is silent by
+    # construction -> group silence avg 1/6), doc_id 4 stereo downmix
+    by_codec = {r["codec"]: r for r in rows}
+    assert by_codec["wav"]["n_media"] == 2, dict(by_codec["wav"].asDict())
+    assert by_codec["wav"]["avg_silence_ratio"] > 0.0
+    assert by_codec["wav-ch2"]["n_media"] == 1
+    assert by_codec["wav-ch2"]["avg_silence_ratio"] == 0.0  # clears the gate
 
 
 def _check_mm_image_phash(rows, con):
@@ -417,6 +427,13 @@ def main() -> int:
         i = args.index("--skip")
         skip = set(args[i + 1].split(","))
         del args[i : i + 2]
+    only: set[str] | None = None
+    if "--only" in args:
+        # targeted re-certification after a local change; the committed
+        # per-round artifacts always come from unfiltered runs
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark(app_name="parity-sweep", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -431,6 +448,8 @@ def main() -> int:
     record: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in sorted(qs.items()):
+        if only is not None and name not in only:
+            continue
         if name not in osql:
             if name in SKETCH_CHECKS and name not in skip:
                 # rows-only sketch query: no hash oracle exists, but the
