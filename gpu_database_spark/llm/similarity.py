@@ -1128,26 +1128,12 @@ def _l2sq(a, b):
     )
 
 
-@register("sim_ann_ivf_pq")  # rows-only: composed index layout is engine-specific
-def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ — the composed index that makes PQ scale-true (VERDICT r7
-    ask #4): the IVF coarse quantizer restricts each query to its
-    nprobe=3 nearest inverted lists, and ADC scoring runs
-    ONLY over those candidate lists — scored pairs are O(candidates) =
-    O(nprobe/k x corpus) per query, never O(corpus x queries). This is
-    the FAISS IVFPQ layout re-expressed as DataFrame algebra.
-
-    Plan: (1) corpus -> list_id by argmin squared-L2 against the 16
-    broadcast centroids (crossJoin-broadcast + per-vec argmin groupBy;
-    at 100 TB the assignment is a stored index column written at ingest,
-    not recomputed); (2) corpus -> 8 PQ codes against the broadcast
-    refined codebook (same encode as sim_ann_pq — also an ingest-time
-    column in production); (3) queries probe nprobe centroids, the
-    probe table joins the list assignment to produce (qid, cid)
-    candidates; (4) ADC: candidates join the code table and the
-    broadcast per-query distance tables, one groupBy sums 8 lookups.
-    tests/test_llm.py gates recall >= plain PQ's floor."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _ivf_pq_adc_scores(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> DataFrame:
+    """Shared IVFADC pipeline — (qid, cid, approx_d2) for every
+    candidate in the probed inverted lists (the body of sim_ann_ivf_pq
+    steps 1-4; sim_ann_ivf_pq_rerank re-ranks its shortlist)."""
     centroids = _ivf_centroids(spark, sf_dir, e)
     # (1) inverted-list assignment (Euclidean argmin, = KMeans.transform)
     assigned = (
@@ -1190,15 +1176,98 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (4) ADC over candidates only
     dt = _pq_query_tables(e, cb1)
-    scored = (
+    return (
         cands.join(codes, "vec_id")
         .join(F.broadcast(dt), ["qid", "sub", "code"])
         .groupBy("qid", F.col("vec_id").alias("cid"))
         .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
     )
+
+
+@register("sim_ann_ivf_pq")  # rows-only: composed index layout is engine-specific
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed index that makes PQ scale-true (VERDICT r7
+    ask #4): the IVF coarse quantizer restricts each query to its
+    nprobe=3 nearest inverted lists, and ADC scoring runs
+    ONLY over those candidate lists — scored pairs are O(candidates) =
+    O(nprobe/k x corpus) per query, never O(corpus x queries). This is
+    the FAISS IVFPQ layout re-expressed as DataFrame algebra.
+
+    Plan: (1) corpus -> list_id by argmin squared-L2 against the 16
+    broadcast centroids (crossJoin-broadcast + per-vec argmin groupBy;
+    at 100 TB the assignment is a stored index column written at ingest,
+    not recomputed); (2) corpus -> 8 PQ codes against the broadcast
+    refined codebook (same encode as sim_ann_pq — also an ingest-time
+    column in production); (3) queries probe nprobe centroids, the
+    probe table joins the list assignment to produce (qid, cid)
+    candidates; (4) ADC: candidates join the code table and the
+    broadcast per-query distance tables, one groupBy sums 8 lookups.
+    tests/test_llm.py gates recall >= plain PQ's floor."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ivf_pq_topk(_ivf_pq_adc_scores(spark, sf_dir, e))
+
+
+def _ivf_pq_topk(scored: DataFrame) -> DataFrame:
+    """ADC top-k: rank candidates by approximate distance alone."""
     w = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+RERANK_SHORTLIST = 40  # ADC candidates exact-reranked per query
+
+
+@register("sim_ann_ivf_pq_rerank")  # rows-only: composed index layout
+def sim_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R — the full production retrieval layout: the composed
+    IVF+PQ index produces an ADC shortlist (RERANK_SHORTLIST=40 per
+    query), then EXACT squared-L2 re-ranking runs over the shortlist
+    only, erasing PQ quantization error from the final ordering. The
+    returned top-k is exact *within the candidates the coarse index
+    surfaced*, so recall is bounded only by inverted-list coverage —
+    measurably above raw ADC's, which additionally loses neighbors to
+    8-nibble code collisions (tests/test_llm.py and the parity sweep
+    gate both families' floors; the rerank floor sits strictly above
+    ivf_pq's).
+
+    Scale shape: the shortlist is queries x 40 rows (tiny, broadcast);
+    the exact pass joins it against the corpus ONCE on vec_id to fetch
+    the 40 true vectors per query — one hash-join scan, O(queries x
+    shortlist x d) distance work, never O(corpus). At 100 TB this is
+    the standard two-stage retrieval: ADC narrows millions to dozens
+    reading only 4-byte codes; the float vectors are touched for the
+    final dozens alone (FAISS's IVFPQR / DiskANN's rerank stage)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _rerank_topk(e, _ivf_pq_adc_scores(spark, sf_dir, e))
+
+
+def _rerank_topk(e: DataFrame, scored: DataFrame) -> DataFrame:
+    """Exact-L2 re-rank of the per-query ADC shortlist."""
+    wa = Window.partitionBy("qid").orderBy(F.col("approx_d2").asc(), F.col("cid"))
+    shortlist = (
+        scored.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= RERANK_SHORTLIST)
+        .select("qid", "cid")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .join(F.broadcast(shortlist), "cid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 9).alias("exact_d2"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("exact_d2").asc(), F.col("cid"))
+    return (
+        exact.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= PQ_TOP_K)
         .orderBy("qid", "rk")
     )
@@ -1208,7 +1277,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation AS a query: recall@k of each ANN
     family (hyperplane LSH, IVF centroid-probe, product quantization,
-    and the composed IVF+PQ — the 100 TB deployment layout)
+    the composed IVF+PQ, and IVF+PQ with exact shortlist re-ranking —
+    the last being the 100 TB deployment layout)
     against the exact brute-force baseline, computed entirely
     Spark-side — the report a pipeline runs after (re)building an
     index and gates deployment on. Exact and approximate top-k sets
@@ -1247,11 +1317,21 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = recall_of("lsh", sim_ann_lsh(spark, sf_dir))
     ivf = recall_of("ivf", sim_ann_ivf(spark, sf_dir))
     pq = recall_of("pq", sim_ann_pq(spark, sf_dir).filter(F.col("rk") <= TOP_K))
-    ivf_pq = recall_of(
-        "ivf_pq", sim_ann_ivf_pq(spark, sf_dir).filter(F.col("rk") <= TOP_K)
+    # ivf_pq and its exact-reranked variant share ONE materialized ADC
+    # candidate frame — the composed index is the report's most
+    # expensive pipeline and would otherwise run twice.
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = materialize(_ivf_pq_adc_scores(spark, sf_dir, e))
+    ivf_pq = recall_of("ivf_pq", _ivf_pq_topk(scored).filter(F.col("rk") <= TOP_K))
+    rerank = recall_of(
+        "ivf_pq_rerank", _rerank_topk(e, scored).filter(F.col("rk") <= TOP_K)
     )
     return (
-        lsh.unionByName(ivf).unionByName(pq).unionByName(ivf_pq).orderBy("method")
+        lsh.unionByName(ivf)
+        .unionByName(pq)
+        .unionByName(ivf_pq)
+        .unionByName(rerank)
+        .orderBy("method")
     )
 
 

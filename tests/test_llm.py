@@ -186,7 +186,7 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
 
 
 def test_ann_recall_report_consistent(spark, sf_dir):
-    """The recall report must cover all four index families, count
+    """The recall report must cover all five index families, count
     every evaluation query, and agree with the per-method gates."""
     from gpu_database_spark.llm.similarity import (
         N_QUERIES,
@@ -194,11 +194,57 @@ def test_ann_recall_report_consistent(spark, sf_dir):
     )
 
     rows = {r.method: r for r in sim_ann_recall_report(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq", "ivf_pq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivf_pq", "ivf_pq_rerank"}
     for r in rows.values():
         assert r.n_queries == N_QUERIES
         assert 0.0 <= r.recall_at_k <= 1.0
     assert rows["lsh"].recall_at_k > 0 and rows["pq"].recall_at_k > 0
+    # exact re-ranking of the ADC shortlist can only improve on raw
+    # ADC ordering over the same candidate set
+    assert rows["ivf_pq_rerank"].recall_at_k >= rows["ivf_pq"].recall_at_k
+
+
+def test_ann_ivf_pq_rerank_exactness_and_recall(spark, sf_dir):
+    """IVFADC+R: (a) the returned exact_d2 must EQUAL the true
+    squared-L2 distance for every returned pair (the re-rank stage
+    touches real float vectors — any drift means the shortlist join
+    fetched the wrong rows), and (b) exact-L2 recall@5 must clear a
+    floor well above raw IVF+PQ's (measured 0.5 vs 0.16 at sf0.001,
+    0.40-0.62 across sf0.001-0.1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gpu_database_spark.llm.similarity import (
+        N_QUERIES,
+        PQ_TOP_K,
+        TOP_K,
+        sim_ann_ivf_pq_rerank,
+    )
+
+    rows = sim_ann_ivf_pq_rerank(spark, sf_dir).collect()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.vstack(t.embedding.values).astype(np.float64)
+    ids = list(t.vec_id.values)
+    vec = {int(v): E[i] for i, v in enumerate(ids)}
+
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        assert 1 <= r.rk <= PQ_TOP_K and r.qid != r.cid
+        true_d2 = float(((vec[r.qid] - vec[r.cid]) ** 2).sum())
+        assert abs(r.exact_d2 - true_d2) < 1e-6, (r.qid, r.cid)
+        got.setdefault(r.qid, set()).add(r.cid)
+    assert set(got) == set(range(N_QUERIES))
+
+    hits, total = 0, 0
+    for q in range(N_QUERIES):
+        d = ((E - vec[q]) ** 2).sum(1)
+        d[[i for i, v in enumerate(ids) if v == q]] = np.inf
+        exact = {
+            int(ids[i]) for i in np.argsort(d, kind="stable")[:TOP_K]
+        }
+        hits += len(exact & got[q])
+        total += TOP_K
+    assert hits >= total * 0.3, f"rerank recall too low: {hits}/{total}"
 
 
 def test_ann_ivf_pq_candidates_and_recall(spark, sf_dir):
