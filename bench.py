@@ -301,6 +301,9 @@ HEADLINE = [
     "text_perplexity_eval",
     "text_bpe_train_merges",
     "dq_l_diversity",
+    # round 12
+    "sim_ann_ivf_pq_rerank",
+    "sim_pairs_topk",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

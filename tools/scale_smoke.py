@@ -157,6 +157,42 @@ RANK_BOUND = [
     "events_rfm_segmentation",
 ]
 
+# Graph subset (--subset graph, round 12): the iterative Pregel-style
+# loops (pagerank, HITS, k-core, LPA, BFS hops) plus the neighborhood
+# joins (triangles, Adamic-Adar, Jaccard, clustering coefficient) and
+# the markov chain pair. The synthetic link graph draws N_LINKS
+# md5-derived out-edges per document over the whole id space, so edges
+# grow linearly with documents at constant degree — iteration counts
+# are fixed (pagerank/HITS) or grow ~log n (k-core/LPA/BFS), so every
+# row should land near-linear; density-quadratic neighborhood
+# intermediates (the join_interval_binned failure mode) would surface
+# here as ratio >> 10. Outputs are top-k/censuses but LPA emits
+# per-node labels — noop-write actioned like llm/rank.
+#
+# Fixture caveat (honest accounting): the id-SHIFTED copies leave gaps
+# in the doc_id space (50k docs over a 95k id range at sf1.0), and
+# synth_edges draws dst = md5 % (max_id+1) — the symmetric graph is
+# ~25% thinner than on the dense-id testdata ladder, so the k=4 core
+# empties (graph_kcore rows 0->0 here, non-empty at every testdata
+# SF). The peel COST is still real — 12 rounds over the full round-0
+# edge set — so the decade ratio stands; the non-vacuous output
+# evidence for kcore lives on the testdata ladder and in its oracle.
+GRAPH_BOUND = [
+    "graph_pagerank",
+    "graph_hits_authority",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_shortest_hops",
+    "graph_triangle_count",
+    "graph_adamic_adar",
+    "graph_jaccard_neighbors",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "graph_degree_stats",
+    "markov_event_transitions",
+    "markov_stationary_distribution",
+]
+
 QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
 LINEAR_SLACK = 2.0  # flag ratios above LINEAR_SLACK * (data growth)
 
@@ -223,6 +259,7 @@ SUBSETS = {
     "scan": (SCAN_BOUND, SF1, SF10, "collect", "SCALE_sf10.json"),
     "llm": (LLM_BOUND, LLM_SF1, LLM_SF10, "noop", "SCALE_llm_sf10.json"),
     "rank": (RANK_BOUND, SF1, SF10, "noop", "SCALE_rank_sf10.json"),
+    "graph": (GRAPH_BOUND, SF1, SF10, "noop", "SCALE_graph_sf10.json"),
 }
 
 
