@@ -316,8 +316,16 @@ def run_batch(
     rmw: bool = False,
     local_threshold: int = 100_000,
     collect_commit_order: bool | None = None,
+    strict: bool = True,
 ) -> BatchResult:
     """Epoch loop until every txn commits (DB::test, db.h:104-109).
+
+    ``strict``: by default, exhausting ``max_epochs`` with transactions
+    still live raises (never silently drop writes). ``strict=False``
+    turns the cap into a SNAPSHOT HORIZON: the partial result after
+    exactly ``max_epochs`` epochs is returned — because the protocol is
+    deterministic, that IS the table state as of that epoch, so bounded
+    replay doubles as MVCC-style time travel (aria_snapshot_asof).
 
     Aborted txns are re-numbered 1..m preserving relative order
     (Collect, TransctionManager.cuh:176-184) and retried. Terminates:
@@ -365,7 +373,9 @@ def run_batch(
         result = BatchResult(table=table)
         if not rows:
             return result
-        winner, commit_order, epochs = _protocol_local(rows, reorder, max_epochs)
+        winner, commit_order, epochs = _protocol_local(
+            rows, reorder, max_epochs, strict=strict
+        )
         result.commit_order = commit_order
         result.epochs = epochs
         win_rows = [
@@ -472,10 +482,11 @@ def run_batch(
         )
     else:
         # range exhausted without the aborted-set ever draining
-        raise RuntimeError(
-            f"aria: transactions still live after max_epochs={max_epochs} "
-            "— raise max_epochs"
-        )
+        if strict:
+            raise RuntimeError(
+                f"aria: transactions still live after max_epochs={max_epochs} "
+                "— raise max_epochs"
+            )
     if co_frames:
         codf = co_frames[0]
         for c in co_frames[1:]:

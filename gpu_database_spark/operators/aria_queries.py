@@ -386,6 +386,116 @@ def aria_run_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_EPOCHS = 12  # snapshot horizon for the time-travel read
+
+
+@register(
+    "aria_snapshot_asof",
+    oracle=f"""
+    WITH RECURSIVE
+    live(epoch, txn_id, op_idx, key, is_update, committed) AS (
+        SELECT 0, l_orderkey, CAST(l_linenumber AS INTEGER),
+               l_partkey % 211 + 1, (l_quantity >= 30), FALSE
+        FROM lineitem WHERE l_orderkey <= 3000
+        UNION ALL
+        (
+          WITH cur AS (SELECT * FROM live WHERE NOT committed),
+          res AS (SELECT key, MIN(txn_id) AS rts,
+                         MIN(CASE WHEN is_update THEN txn_id END) AS wts
+                  FROM cur GROUP BY key),
+          flags AS (SELECT o.txn_id,
+                           bool_or(r.wts IS NOT NULL AND r.wts < o.txn_id) AS raw,
+                           bool_or(o.is_update AND r.rts < o.txn_id) AS war,
+                           bool_or(o.is_update AND r.wts IS NOT NULL
+                                   AND r.wts < o.txn_id) AS waw
+                    FROM cur o JOIN res r USING (key) GROUP BY o.txn_id),
+          verdict AS (SELECT txn_id, (waw OR (raw AND war)) AS abort FROM flags),
+          renum AS (SELECT txn_id, ROW_NUMBER() OVER (ORDER BY txn_id) AS new_tid
+                    FROM (SELECT DISTINCT txn_id FROM verdict WHERE abort))
+          SELECT c.epoch, c.txn_id, c.op_idx, c.key, c.is_update, TRUE
+          FROM cur c JOIN verdict v USING (txn_id) WHERE NOT v.abort
+          UNION ALL
+          SELECT c.epoch + 1, r.new_tid, c.op_idx, c.key, c.is_update, FALSE
+          FROM cur c JOIN renum r USING (txn_id)
+          WHERE c.epoch + 1 < {ASOF_EPOCHS}
+        )
+    ),
+    wins AS (
+        SELECT key,
+               md5(CAST(txn_id AS VARCHAR) || ':' || CAST(op_idx AS VARCHAR)
+                   || ':' || CAST(key AS VARCHAR)) AS value,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY epoch DESC, txn_id ASC,
+                                           op_idx DESC) AS rn
+        FROM live WHERE committed AND is_update
+    ),
+    base AS (
+        SELECT i AS key, md5('init:' || CAST(i AS VARCHAR)) AS value
+        FROM range(1, 212) t(i)
+    ),
+    meta AS (
+        SELECT CAST(MAX(epoch) + 1 AS BIGINT) AS epochs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT epoch, txn_id FROM live WHERE committed))
+                   AS n_committed,
+               (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                FROM lineitem WHERE l_orderkey <= 3000)
+                 - (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                      (SELECT DISTINCT epoch, txn_id FROM live WHERE committed))
+                   AS n_pending
+        FROM live WHERE committed
+    )
+    SELECT COALESCE(b.key, w.key) AS key,
+           COALESCE(w.value, b.value) AS value,
+           m.epochs, m.n_committed, m.n_pending
+    FROM base b
+    FULL OUTER JOIN (SELECT key, value FROM wins WHERE rn = 1) w
+        ON b.key = w.key
+    CROSS JOIN meta m
+    ORDER BY key
+    """,
+)
+def aria_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC-style TIME TRAVEL over the deterministic batch engine: the
+    table state AS OF epoch ASOF_EPOCHS=12, plus how many transactions
+    had committed by then and how many were still pending. Because the
+    Aria protocol is deterministic (same batch -> same per-epoch
+    commits, same renumbering, same regenerated values — the property
+    the reference's whole design rests on, db.h:104-125), the as-of
+    snapshot needs no version chains or undo log: BOUNDED REPLAY of
+    the same batch capped at the horizon epoch reconstructs it exactly
+    (run_batch(strict=False) returns the partial state instead of
+    raising at the cap). The oracle is aria_run_batch's recursive CTE
+    with the retry branch cut at the horizon — commits from epochs
+    0..11 only — and tests/test_aria.py pins the PREFIX property: the
+    capped run's commit_order is literally the full run's first
+    n_committed entries.
+
+    Scale shape: identical to aria_run_batch (per-epoch shuffle costs,
+    broadcast-sized batch on the local fast path) but strictly cheaper
+    — the loop stops at the horizon instead of the fixpoint. At 100 TB
+    the horizon bounds the replay cost of a point-in-time audit to
+    O(epochs-to-horizon), independent of how long the batch ran on."""
+    from gpu_database_spark.operators.aria import run_batch
+
+    ops = fixture_ops(spark, sf_dir).filter(F.col("txn_id") <= 3000)
+    base = spark.range(1, 212).select(
+        F.col("id").alias("key"),
+        F.md5(F.concat(F.lit("init:"), F.col("id").cast("string"))).alias("value"),
+    )
+    result = run_batch(
+        base, ops, reorder=True, max_epochs=ASOF_EPOCHS, strict=False
+    )
+    n_txns = ops.select("txn_id").distinct().count()
+    n_committed = len(result.commit_order)
+    return (
+        result.table.withColumn("epochs", F.lit(result.epochs).cast("long"))
+        .withColumn("n_committed", F.lit(n_committed).cast("long"))
+        .withColumn("n_pending", F.lit(n_txns - n_committed).cast("long"))
+        .orderBy("key")
+    )
+
+
 @register(
     "aria_install",
     oracle=f"""

@@ -221,3 +221,40 @@ def test_reference_config_matches_serial_oracle(spark, reorder):
     assert got == want
     assert result.epochs == len(epoch_commits)
     assert sorted(result.commit_order) == sorted({t for t, _, _, _ in ops_rows})
+
+
+@pytest.mark.parametrize("local_threshold", [0, 100_000])
+def test_snapshot_asof_is_prefix_of_full_run(spark, workload, local_threshold):
+    """Bounded replay IS time travel (aria_snapshot_asof): a run capped
+    at epoch E with strict=False returns the partial state, and its
+    commit_order is literally the FIRST n entries of the full run's —
+    determinism means the capped run retraces the full run's prefix
+    exactly, on both the local fast path and the distributed path."""
+    _, table, ops_rows, ops = workload
+    full = aria.run_batch(
+        table, ops, reorder=True, collect_commit_order=True,
+        local_threshold=local_threshold,
+    )
+    assert full.epochs > 2  # the horizon below must be mid-flight
+    horizon = 2
+    capped = aria.run_batch(
+        table, ops, reorder=True, max_epochs=horizon, strict=False,
+        collect_commit_order=True, local_threshold=local_threshold,
+    )
+    assert capped.epochs == horizon
+    n = len(capped.commit_order)
+    assert 0 < n < len(full.commit_order)
+    assert capped.commit_order == full.commit_order[:n]
+    # the capped table differs from the full table only on keys whose
+    # winning write landed after the horizon
+    got_capped = {r.key: r.value for r in capped.table.collect()}
+    got_full = {r.key: r.value for r in full.table.collect()}
+    assert set(got_capped) == set(got_full)
+    assert any(got_capped[k] != got_full[k] for k in got_capped)
+
+
+def test_snapshot_asof_strict_default_still_raises(spark, workload):
+    """strict=True (the default) must keep refusing to drop writes."""
+    _, table, _, ops = workload
+    with pytest.raises(RuntimeError, match="still live"):
+        aria.run_batch(table, ops, reorder=True, max_epochs=1)
