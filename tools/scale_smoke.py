@@ -112,6 +112,15 @@ LLM_BOUND = [
     "sim_pairs_blocked",
     "sim_maxsim_multivector",
     "sim_ann_lsh",
+    # round-12 second half: the composed index + its exact-reranked
+    # production layout and the bounded-output pair contract — their
+    # corpus-side costs (centroid assignment, PQ encode, ADC over
+    # probed lists, shortlist fetch) are data-bound, so the decade
+    # measures them; the KMeans/Lloyd trainer runs once per session
+    # and is the same fixed-size model both sides of the decade.
+    "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_rerank",
+    "sim_pairs_topk",
     "embed_quantize_int8",
     "text_lang_id",
     "text_fingerprint",
