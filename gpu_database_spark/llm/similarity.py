@@ -314,9 +314,17 @@ def sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_pairs_blocked; only the window cap differs (a WindowGroupLimit
     partial top-k, never a full per-vector sort spill).
 
-    Each unordered block pair is scored ONCE (va < vb) and reflected,
-    so the dot-product count matches sim_pairs_blocked despite ranking
-    both endpoints."""
+    Ordered pairs (qid != nid) are scored directly — the oracle's own
+    shape — so the ranked stream is ONE join pipeline. The obvious
+    "score each unordered pair once and reflect it" halves the dot
+    products on paper but needs the half-pair stream TWICE (a union of
+    two selects), and an unmaterialized multi-consumer re-runs the
+    whole blocked join per branch (measured 27.2x/decade at llm_sf10;
+    the single-pipeline shape measures 18.0x against 23.5x output
+    growth — the cap saturates at 5 rows/vector on the dense llm
+    fixture) while materializing it would persist the unbounded
+    thresholded pair set — exactly what this query's output contract
+    exists to avoid."""
     e = load_table(spark, sf_dir, "embeddings")
     normed = e.select(
         "vec_id", "label", "embedding",
@@ -336,22 +344,20 @@ def sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
     sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    half = (
+    both = (
         a.join(
             b,
             (F.col("label") == F.col("label_b"))
             & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("va") < F.col("vb")),
+            & (F.col("va") != F.col("vb")),
         )
-        .select("va", "vb", "label", sim.alias("cos_sim"))
+        .select(
+            F.col("va").alias("qid"),
+            F.col("vb").alias("nid"),
+            "label",
+            sim.alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") > 0.3)
-    )
-    both = half.select(
-        F.col("va").alias("qid"), F.col("vb").alias("nid"), "label", "cos_sim"
-    ).unionByName(
-        half.select(
-            F.col("vb").alias("qid"), F.col("va").alias("nid"), "label", "cos_sim"
-        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (

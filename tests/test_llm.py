@@ -284,3 +284,33 @@ def test_ann_ivf_pq_candidates_and_recall(spark, sf_dir):
     # uniform random data + nprobe=3/16 lists: the coarse filter costs
     # some recall vs full-corpus PQ; demand a nonzero floor
     assert hits >= total * 0.1, f"IVF+PQ recall too low: {hits}/{total}"
+
+
+def test_pairs_topk_contract_and_blocked_consistency(spark, sf_dir):
+    """sim_pairs_topk's bounded-output contract: <= K contiguous ranks
+    per vector ordered by cosine desc (nid tiebreak), and every emitted
+    pair is one of sim_pairs_blocked's pairs — the capped variant may
+    only ever SUBSET the full thresholded listing."""
+    from gpu_database_spark.llm.similarity import (
+        PAIRS_TOP_K,
+        sim_pairs_blocked,
+        sim_pairs_topk,
+    )
+
+    rows = sim_pairs_topk(spark, sf_dir).collect()
+    assert rows, "capped listing is empty at fixture scale"
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r.qid != r.nid and r.cos_sim > 0.3
+        per_q.setdefault(r.qid, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= PAIRS_TOP_K
+        ordered = sorted(rs, key=lambda r: (-r.cos_sim, r.nid))
+        assert [r.nid for r in ordered] == [r.nid for r in rs], q
+
+    full = {
+        frozenset((r.va, r.vb))
+        for r in sim_pairs_blocked(spark, sf_dir).collect()
+    }
+    assert all(frozenset((r.qid, r.nid)) in full for r in rows)
