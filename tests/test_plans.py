@@ -397,3 +397,27 @@ def test_q11_single_national_pass(spark, sf_dir):
     # the total joins back as a broadcast of a 1-row aggregate, never
     # a shuffled join
     assert inspect.has_broadcast_join(df)
+
+
+def test_pairs_topk_single_join_no_union(spark, sf_dir):
+    """sim_pairs_topk must stay ONE join pipeline: the historical
+    reflect-the-half-pairs shape consumed an unmaterialized stream
+    through a two-branch union, silently executing the blocked
+    self-join twice (caught at the llm decade: 27.2x wall vs 23.5x
+    output growth; the single-pipeline shape measures 18.6x). Exactly
+    one join node and zero unions — a reintroduced double-execution
+    shows up here as either a Union or a second join."""
+    from gpu_database_spark.llm.similarity import sim_pairs_topk
+
+    plan = (
+        sim_pairs_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = sum(
+        plan.count(tok)
+        for tok in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, f"expected exactly one join, plan has {n_joins}"
+    assert "Union" not in plan
