@@ -396,6 +396,28 @@ def run_suite(n_runs: int) -> dict:
             # half of the round-6 common-set drift (ADVICE r6).
             release_all(spark)
 
+    # Host-speed calibration (r12 VERDICT ask #4): a FIXED synthetic
+    # pure-CPU Spark job (no I/O, no Python workers) timed alongside the
+    # headline so cross-round comparisons can normalize for container
+    # drift — r12's committed bench was a uniform 1.6x loaded-host
+    # artifact that cost a full diagnostic pass to clear. Compare
+    # per-query times as t_q / calibration_sec across rounds; a REAL
+    # regression moves the ratio, host load moves both terms together.
+    def run_calibration():
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "(id * 2654435761) % 1000000 AS v")
+            .groupBy("k")
+            .sum("v")
+            .collect()
+        )
+
+    calibration = None
+    try:
+        calibration, _ = best_of(n_runs, run_calibration, group="calibration")
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: calibration FAILED: {exc}", file=sys.stderr)
+
     # Aria at the reference's workload configuration (BASELINE.md).
     from gpu_database_spark import gen
     from gpu_database_spark.operators import aria
@@ -416,7 +438,12 @@ def run_suite(n_runs: int) -> dict:
         print(f"bench: aria_ycsb_batch FAILED: {errors['aria_ycsb_batch']}", file=sys.stderr)
 
     spark.stop()
-    return {"queries": timings, "spread": spread, "errors": errors}
+    return {
+        "queries": timings,
+        "spread": spread,
+        "errors": errors,
+        "calibration": calibration,
+    }
 
 
 def main() -> None:
@@ -472,7 +499,17 @@ def main() -> None:
         if not session_results:
             raise RuntimeError("bench: every isolated session failed")
         sessions_used = len(session_results)
-        merged = {"queries": {}, "spread": {}, "errors": {}}
+        cals = [
+            r["calibration"]
+            for r in session_results
+            if r.get("calibration") is not None
+        ]
+        merged = {
+            "queries": {},
+            "spread": {},
+            "errors": {},
+            "calibration": min(cals) if cals else None,
+        }
         all_names: list[str] = []
         for r in session_results:
             for k in list(r["queries"]) + list(r["errors"]):
@@ -511,6 +548,7 @@ def main() -> None:
         "sf": sf_val,
         "sessions": sessions_used,
         "runs_per_session": n_runs if sessions_used > 1 else 3,
+        "calibration_sec": merged.get("calibration"),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -523,6 +561,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "n_queries": len(timings),
+        "calibration_sec": merged.get("calibration"),
     }
     if errors:
         # failed queries are missing from the sum — flag it so "value"

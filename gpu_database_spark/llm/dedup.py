@@ -569,39 +569,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_COS_TAU = 0.35  # near-dup cosine threshold for the fixture embeddings
 DEDUP_IVF_CELL = 128  # target IVF cell population (bounds candidate pairs/vector)
 DEDUP_IVF_MIN_NLIST = 16
+DEDUP_IMI_SALT = 8    # sub-splits per router group (cogroup parallelism + memory cap)
+_H32_SPAN = 4294967296  # 2^32 — domain of the md5-prefix uniform draw
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               md5(CAST(vec_id AS VARCHAR)) AS h,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS h32
+        FROM embeddings
     ),
-    nl AS (
-        SELECT GREATEST({DEDUP_IVF_MIN_NLIST},
-                        CAST(ceil(COUNT(*) / {DEDUP_IVF_CELL}.0) AS BIGINT))
-                   AS nlist
+    nr AS (
+        SELECT COUNT(*) AS n,
+               GREATEST({DEDUP_IVF_MIN_NLIST},
+                        (COUNT(*) + {DEDUP_IVF_CELL - 1}) // {DEDUP_IVF_CELL})
+                   AS nlist,
+               GREATEST(4, CAST(ceil(sqrt(CAST(
+                   GREATEST({DEDUP_IVF_MIN_NLIST},
+                            (COUNT(*) + {DEDUP_IVF_CELL - 1}) // {DEDUP_IVF_CELL})
+                   AS DOUBLE))) AS BIGINT)) AS nrouter
         FROM e
     ),
     seeds AS (
-        SELECT cid, v AS cv FROM (
-            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-                       - 1 AS cid,
-                   v
-            FROM e
-        ), nl WHERE cid < nl.nlist
+        SELECT e.h AS cid, e.v AS cv, e.vec_id
+        FROM e, nr
+        WHERE e.h32 < (nr.nlist * {_H32_SPAN}) // nr.n
     ),
-    p1 AS (
-        SELECT e.vec_id, s.cid,
-               round(list_cosine_similarity(e.v, s.cv), 4) AS sim
-        FROM e CROSS JOIN seeds s
+    routers AS (
+        SELECT cid AS rid, cv AS rv FROM (
+            SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid, vec_id) AS rk
+            FROM seeds
+        ), nr WHERE rk <= nr.nrouter
+    ),
+    child1 AS (
+        SELECT cid, cv, rid FROM (
+            SELECT s.cid, s.cv, r.rid,
+                   ROW_NUMBER() OVER (PARTITION BY s.cid
+                       ORDER BY round(list_cosine_similarity(s.cv, r.rv), 4) DESC,
+                                r.rid) AS rk
+            FROM seeds s CROSS JOIN routers r
+        ) WHERE rk = 1
+    ),
+    route1 AS (
+        SELECT vec_id, rid FROM (
+            SELECT e.vec_id, r.rid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, r.rv), 4) DESC,
+                                r.rid) AS rk
+            FROM e CROSS JOIN (SELECT DISTINCT r.rid, r.rv
+                               FROM routers r JOIN child1 c USING (rid)) r
+        ) WHERE rk = 1
     ),
     a1 AS (
         SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY sim DESC, cid) AS rk
-            FROM p1
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                c.cid) AS rk
+            FROM e JOIN route1 USING (vec_id) JOIN child1 c USING (rid)
         ) WHERE rk = 1
     ),
     mic AS (
@@ -620,17 +649,32 @@ DEDUP_IVF_MIN_NLIST = 16
         SELECT cid, list(CAST(mm AS DOUBLE) / 1000000.0 ORDER BY d) AS cv
         FROM cm GROUP BY cid
     ),
-    p2 AS (
-        SELECT e.vec_id, c.cid,
-               round(list_cosine_similarity(e.v, c.cv), 4) AS sim
-        FROM e CROSS JOIN cent c
+    child2 AS (
+        SELECT cid, cv, rid FROM (
+            SELECT c.cid, c.cv, r.rid,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                       ORDER BY round(list_cosine_similarity(c.cv, r.rv), 4) DESC,
+                                r.rid) AS rk
+            FROM cent c CROSS JOIN routers r
+        ) WHERE rk = 1
+    ),
+    route2 AS (
+        SELECT vec_id, rid FROM (
+            SELECT e.vec_id, r.rid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, r.rv), 4) DESC,
+                                r.rid) AS rk
+            FROM e CROSS JOIN (SELECT DISTINCT r.rid, r.rv
+                               FROM routers r JOIN child2 c USING (rid)) r
+        ) WHERE rk = 1
     ),
     sig AS (
         SELECT vec_id, cid AS bucket FROM (
-            SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY sim DESC, cid) AS rk
-            FROM p2
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                                c.cid) AS rk
+            FROM e JOIN route2 USING (vec_id) JOIN child2 c USING (rid)
         ) WHERE rk = 1
     ),
     eb AS (
@@ -659,105 +703,202 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a label; norms are computed once per vector before the
     pair stage. Returns the per-label census + dropped-id checksum.
 
-    The BLOCKER is a density-tracking IVF coarse quantizer (round-12;
-    replaces the fixed 16-cell hyperplane table whose block population
-    grew with the corpus — candidate pairs went quadratic, measured
-    x18 wall for x10 vectors at the llm_sf10 decade):
+    The BLOCKER is a two-level (IMI-style) IVF coarse quantizer
+    (round-13; replaces round-12's flat assignment whose n*nlist
+    cosine matmul — with nlist = ceil(n/128) tracking the corpus —
+    was an O(n^2/128) interior, and whose codebook collect put
+    O(n/128) rows on the driver):
 
-    1. nlist = max(16, ceil(n / 1024)) — cell count scales
-       with the corpus so per-cell population stays ~constant; the
-       candidate pair stage is therefore O(n * cell) = linear.
-    2. Seeds: the nlist vectors with smallest md5(vec_id) — a uniform
-       draw from the DATA distribution (cells track density, which
-       finer hyperplane cells would not: recall at tau decays like
-       (1-θ/π)^planes). TakeOrdered top-nlist, no global sort.
-    3. One Lloyd step, exactly as sim_ivf_train_step: assign to the
-       nearest seed (max 6dp-rounded cosine, min-cid tiebreak), then
-       per-cell per-dim means in EXACT integer micro-units via the
-       guarded half-away-from-zero identity — bit-identical in both
-       engines, so the oracle re-derives the codebook exactly. A cell
-       that loses all members in the Lloyd pass simply vanishes (both
-       engines: empty group -> no centroid row).
-    4. Final assignment against the refined codebook; block key is
-       (label, cell id).
+    1. Seeds: vectors whose 32-bit md5 prefix falls under the
+       integer threshold (nlist * 2^32) div n — a uniform draw from
+       the DATA distribution (~nlist = max(16, ceil(n/128)) seeds in
+       expectation; cells track density). NO global sort, NO top-k,
+       NO driver materialization of the seed set: the predicate is a
+       plain filter both engines evaluate identically in integer
+       arithmetic (bigint-safe to nlist*2^32 < 2^63, i.e. n ~ 2.7e14
+       vectors).
+    2. Router: the nrouter = max(4, ceil(sqrt(nlist))) smallest seeds
+       by (md5, vec_id) — the only codebook piece the driver holds,
+       O(sqrt n) rows (28k at n=1e11). Every seed is assigned to its
+       best router cell (4dp-rounded cosine, min-rid tiebreak) —
+       that mapping IS the child table; a router whose seeds were all
+       captured by a duplicate-vector twin simply has no children and
+       is excluded from vector routing (both engines: routers joined
+       to the child table).
+    3. Vector assignment is TWO cheap stages instead of one n*nlist
+       matmul: route each vector to its best non-empty router
+       (n * sqrt(nlist) cosines, router panel in the task closure),
+       then cogroup vectors with ONLY that router's child centroids
+       (grouped applyInPandas keyed on (rid, salt); children
+       duplicated per salt so a hot router splits across
+       DEDUP_IMI_SALT tasks) — total work O(n * sqrt(nlist)), and the
+       nlist-row codebook stays a DataFrame joined by the shuffle,
+       never a driver collect.
+    4. One Lloyd step, exactly as sim_ivf_train_step: per-cell
+       per-dim means in EXACT integer micro-units via the guarded
+       half-away-from-zero identity — bit-identical in both engines,
+       so the oracle re-derives the refined codebook exactly; cells
+       that lose all members vanish in both engines. The refined
+       centroids re-route through the SAME router panel (child2) and
+       the final block key is (label, cell md5-id).
 
-    Both assignment passes broadcast the codebook in the task closure
-    and run as ONE numpy matmul per Arrow batch (mapInPandas — the
-    repo's vectorized-Python lane, like embed_pca_power): argmax of
-    the 4dp-rounded cosine matrix, where np.argmax's first-max rule IS
-    the oracle's ROW_NUMBER(ORDER BY sim DESC, cid) min-cid tiebreak.
-    Assignment sims round to 4dp (the PAIR-stage cosine stays 6dp JVM
-    fold, unchanged): BLAS accumulation order differs from DuckDB's
-    sequential fold by ~1e-14, and the coarser grid makes a boundary
-    straddle (the only cross-engine hazard) measure-zero while ties
-    resolve identically in both engines. The two codebook collects are
-    bounded at O(nlist * d) rows by construction (the repo's
-    documented-bounded-collect discipline). At 100 TB the brute-force
-    assignment itself (n * nlist cosines, nlist ∝ n) and the collected
-    codebook (O(n/128) rows) become the next bottleneck; the
-    documented refinement is hierarchical assignment (train a
-    sqrt(nlist)-cell router over the same seeds; score only the
-    children of the best router cell — the IMI pattern) with the
-    codebook kept as a broadcast-joined table, neither of which
-    changes the drop rule or the census shape. See SCALING.md
-    (embedding dedup row)."""
+    All assignment cosines round to 4dp (the PAIR-stage cosine stays
+    the 6dp JVM fold, unchanged): BLAS accumulation order differs
+    from DuckDB's sequential fold by ~1e-14, the coarse grid makes a
+    boundary straddle measure-zero, and np.argmax's first-max rule
+    over cid-ascending columns IS the oracle's ROW_NUMBER(ORDER BY
+    sim DESC, cid) min-cid tiebreak (cell ids are md5 strings —
+    identical ASCII ordering in both engines). Driver state is now
+    bounded at O(sqrt n): the router panel plus two non-empty-router
+    id lists; the O(n/128)-row codebook collect that SCALING.md named
+    as the 100 TB bottleneck is gone. Remaining next rung (documented
+    in SCALING.md): a cogroup group holds one (router, salt) slice
+    ~ sqrt(128 n)/SALT vectors in one Arrow frame — raise
+    DEDUP_IMI_SALT (children duplicate per salt, a tiny table) or add
+    a third router level when that slice outgrows executor memory.
+    """
+    import math
+
     import numpy as np
 
     from gpu_database_spark.llm.similarity import dot, l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    nlist = max(DEDUP_IVF_MIN_NLIST, -(-n // DEDUP_IVF_CELL))
-
-    # --- seeds: nlist smallest-md5 vectors (TakeOrdered; bounded) ---
-    seed_rows = (
-        e.select(
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        .orderBy("h")
-        .limit(nlist)
-        .collect()
+    h = F.md5(F.col("vec_id").cast("string"))
+    e2 = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h32"),
     )
-    seed_rows.sort(key=lambda r: r.h)
-    seed_vecs = [list(r.v) for r in seed_rows]
+    n = e.count()
+    nlist = max(DEDUP_IVF_MIN_NLIST, (n + DEDUP_IVF_CELL - 1) // DEDUP_IVF_CELL)
+    nrouter = max(4, math.ceil(math.sqrt(float(nlist))))
+    t_seed = (nlist * _H32_SPAN) // n
+
+    seeds = e2.filter(F.col("h32") < F.lit(t_seed)).select(
+        F.col("h").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+        "vec_id",
+    )
+    # The ONLY driver-held codebook piece: the O(sqrt n) router panel.
+    router_rows = seeds.orderBy("cid", "vec_id").limit(nrouter).collect()
+    router_rows.sort(key=lambda r: r.cid)
+    if not router_rows:
+        # Measure-zero draw (P(no seed) ~ e^-16): the oracle's empty-seed
+        # cascade yields an all-kept census; mirror it exactly.
+        return (
+            e.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.lit(0).cast("long").alias("n_dropped"),
+                F.count(F.lit(1)).alias("n_kept"),
+                F.lit(0).cast("long").alias("dropped_id_sum"),
+            )
+            .orderBy("label")
+        )
+    all_rids = [r.cid for r in router_rows]
+    all_rvecs = [list(r.cv) for r in router_rows]
+
+    def _route(
+        df: DataFrame, vec_col: str, schema: str,
+        rids: list[str], rvecs: list[list[float]],
+    ) -> DataFrame:
+        """Append best-router ``rid``: one numpy matmul per Arrow batch
+        against the closure-held router panel (rid-ascending columns, so
+        first-max == the oracle's min-rid tiebreak on 4dp ties)."""
+        rmat = np.asarray(rvecs, dtype=np.float64).T  # (d, r)
+        rnorm = np.sqrt((rmat * rmat).sum(axis=0))
+        rid_arr = np.asarray(rids, dtype=object)
+
+        def route_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                sims = (x @ rmat) / (
+                    np.sqrt((x * x).sum(axis=1))[:, None] * rnorm[None, :]
+                )
+                pdf = pdf.copy()
+                pdf["rid"] = rid_arr[np.argmax(np.round(sims, 4), axis=1)]
+                yield pdf
+
+        return df.mapInPandas(route_batches, schema=schema)
+
+    def _nonempty(rids_present: list[str]):
+        keep = set(rids_present)
+        pairs = [(r, v) for r, v in zip(all_rids, all_rvecs) if r in keep]
+        return [r for r, _ in pairs], [v for _, v in pairs]
+
+    def _cell_assign(routed: DataFrame, children: DataFrame) -> DataFrame:
+        """IMI second stage: each (router, salt) cogroup matmuls its
+        vectors against ONLY that router's child centroids (argmax of the
+        4dp-rounded cosine, first-max over cid-ascending == min-cid).
+        Children duplicate per salt (tiny table) so a hot router splits
+        across DEDUP_IMI_SALT tasks and the per-group Arrow frame stays
+        ~ sqrt(128 n)/SALT rows."""
+        salted = routed.withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(DEDUP_IMI_SALT))
+        )
+        kids = children.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(DEDUP_IMI_SALT - 1)))
+        ).withColumn("salt", F.col("salt").cast("long"))
+        out_schema = "vec_id bigint, label int, embedding array<float>, bucket string"
+
+        def assign(left, right):
+            import pandas as pd
+
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame(
+                    {"vec_id": [], "label": [], "embedding": [], "bucket": []}
+                )
+            right = right.sort_values("cid")
+            cmat = np.array(right["cv"].tolist(), dtype=np.float64).T
+            cnorm = np.sqrt((cmat * cmat).sum(axis=0))
+            cids = right["cid"].to_numpy()
+            x = np.array(left["embedding"].tolist(), dtype=np.float64)
+            sims = (x @ cmat) / (
+                np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :]
+            )
+            out = left[["vec_id", "label", "embedding"]].copy()
+            out["bucket"] = cids[np.argmax(np.round(sims, 4), axis=1)]
+            return out
+
+        return (
+            salted.groupBy("rid", "salt")
+            .cogroup(kids.groupBy("rid", "salt"))
+            .applyInPandas(assign, schema=out_schema)
+        )
+
+    child_schema = "cid string, cv array<double>, rid string"
+    # Codebook as a TABLE (r12's named fix): materialized once, joined by
+    # the cogroup shuffle — never collected to the driver.
+    child1 = materialize(
+        _route(seeds.select("cid", "cv"), "cv", child_schema, all_rids, all_rvecs)
+    )
+    ne1 = sorted({r.rid for r in child1.select("rid").distinct().collect()})
 
     # repartition: fixture parallelism plumbing only — the (often
     # single-file) scan must spread across cores before the matmul
     # passes; at 100 TB the scan already yields thousands of splits
     # and this hash shuffle would be dropped.
     base = e.select("vec_id", "label", "embedding").repartition("vec_id")
-    out_schema = "vec_id bigint, label int, embedding array<float>, bucket bigint"
+    routed_schema = "vec_id bigint, label int, embedding array<float>, rid string"
 
-    def _assign(df: DataFrame, cids: list[int], vecs: list[list[float]]) -> DataFrame:
-        """argmax cosine over the closure-broadcast codebook, one numpy
-        matmul per Arrow batch; first-max == min-cid on 4dp ties."""
-        cmat = np.asarray(vecs, dtype=np.float64).T  # (d, k), cid-ascending
-        cnorm = np.sqrt((cmat * cmat).sum(axis=0))
-        cid_arr = np.asarray(cids, dtype=np.int64)
+    r1_ids, r1_vecs = _nonempty(ne1)
+    a1 = _cell_assign(
+        _route(base, "embedding", routed_schema, r1_ids, r1_vecs),
+        child1.select("cid", "cv", "rid"),
+    )
 
-        def assign_batches(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                sims = (x @ cmat) / (
-                    np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :]
-                )
-                pdf = pdf.copy()
-                pdf["bucket"] = cid_arr[np.argmax(np.round(sims, 4), axis=1)]
-                yield pdf
-
-        return df.mapInPandas(assign_batches, schema=out_schema)
-
-    # --- one Lloyd step: integer-micro-unit per-cell means (bounded
-    # collect of nlist x d grouped rows; exact in both engines) ---
-    a1 = _assign(base, list(range(nlist)), seed_vecs)
+    # --- one Lloyd step: integer-micro-unit per-cell means, kept as a
+    # DataFrame end-to-end (exact in both engines) ---
     mm = F.expr(
         "CASE WHEN SUM(xm) < 0 THEN -1 ELSE 1 END"
         " * ((2 * ABS(SUM(xm)) + COUNT(*)) div (2 * COUNT(*)))"
     )
-    cm_rows = (
+    cent = (
         a1.select(
             "bucket",
             F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
@@ -767,19 +908,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "d")
         .agg(mm.alias("mm"))
-        .collect()
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "mm"))).alias("s"))
+        .select(
+            F.col("bucket").alias("cid"),
+            F.expr("transform(s, p -> CAST(p.mm AS DOUBLE) / 1000000.0)").alias("cv"),
+        )
     )
-    cells: dict[int, dict[int, int]] = {}
-    for r in cm_rows:
-        cells.setdefault(int(r.bucket), {})[int(r.d)] = int(r.mm)
-    cent_ids = sorted(cells)
-    cent_vecs = [
-        [cells[c][d] / 1000000.0 for d in sorted(cells[c])] for c in cent_ids
-    ]
+    child2 = materialize(_route(cent, "cv", child_schema, all_rids, all_rvecs))
+    ne2 = sorted({r.rid for r in child2.select("rid").distinct().collect()})
+    r2_ids, r2_vecs = _nonempty(ne2)
+    assigned = _cell_assign(
+        _route(base, "embedding", routed_schema, r2_ids, r2_vecs),
+        child2.select("cid", "cv", "rid"),
+    )
 
-    normed = _assign(base, cent_ids, cent_vecs).withColumn(
-        "nrm", l2_norm(F.col("embedding"))
-    )
+    normed = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
     # Materialized once: AQE broadcasts one pair-join side, so without
     # this the per-vector norm/bucket projection computes twice.
     blocked = normed.repartition("label", "bucket").transform(materialize)
@@ -821,6 +965,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
 
 
 SPAN_WORDS = 8  # exact-substring span width (word 8-grams)

@@ -321,8 +321,10 @@ def sim_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two selects), and an unmaterialized multi-consumer re-runs the
     whole blocked join per branch (measured 27.2x/decade at llm_sf10;
     the single-pipeline shape measures 18.0x against 23.5x output
-    growth — the cap saturates at 5 rows/vector on the dense llm
-    fixture) while materializing it would persist the unbounded
+    growth on the session-1 container, 18.6x on the ~12% slower
+    session-2 container pinned in tests/test_plans.py — same code,
+    host drift per BENCH_NOTES; the cap saturates at 5 rows/vector on
+    the dense llm fixture) while materializing it would persist the unbounded
     thresholded pair set — exactly what this query's output contract
     exists to avoid."""
     e = load_table(spark, sf_dir, "embeddings")

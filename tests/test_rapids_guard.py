@@ -45,12 +45,19 @@ ARROW_ALLOWED = {
     "text_compression_ratio",
     # PCA's Gram partials are a mapInPandas tree-aggregate
     "embed_pca_power",
-    # IVF-blocker assignment: one numpy matmul per Arrow batch against
-    # the closure-broadcast codebook (round-12; see the query docstring)
+    # IMI-blocker assignment (round-13): router matmul per Arrow batch
+    # (closure holds only the O(sqrt n) router panel) + cogrouped
+    # per-router cell argmax with the codebook as a broadcast-joined
+    # TABLE, never a driver collect (see the query docstring)
     "dedup_embedding_cosine",
 }
 
-ARROW_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
 
 
 def test_no_row_udf_or_stray_python_stage_in_any_registered_plan(spark):

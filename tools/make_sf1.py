@@ -134,6 +134,66 @@ LLM_DISTINCT: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Clustered embeddings (r12 VERDICT ask #2): the driver's embeddings
+# fixture is near-uniform random, so even a GOOD index measures recall
+# ~0.16 and the ANN gates had to pin floors at 0.08-0.3 — a band a real
+# index regression can hide inside. This synthesizes a seeded
+# mixture-of-Gaussians corpus (same schema: vec_id BIGINT,
+# embedding FLOAT[], label INTEGER) where near neighbors are REAL:
+# k centers with N(0,1) dims, each vector = its center + sigma*noise,
+# every draw a Box-Muller transform of md5-derived uniforms — fully
+# deterministic, no RNG state, reproducible from the SQL text alone.
+# Recall floors measured on this fixture sit at 0.6-0.9, so the gates
+# in tools/parity_sweep.py / tests/test_llm.py finally bind.
+
+CLUSTERED_N = 2000   # matches sf0.1's corpus size
+CLUSTERED_D = 64
+CLUSTERED_K = 50     # ~40 vectors per cluster
+CLUSTERED_SIGMA = 0.35
+
+
+def _bm(tag: str) -> str:
+    """Box-Muller N(0,1) from two md5-derived U(0,1) draws keyed by
+    a seed expression (DuckDB SQL fragment; {tag} interpolates the
+    per-draw key)."""
+    u = (
+        "((CAST(('0x' || substr(md5(%s), 1, 8)) AS BIGINT) + 0.5)"
+        " / 4294967296.0)"
+    )
+    u1, u2 = u % f"{tag} || '_a'", u % f"{tag} || '_b'"
+    return f"(sqrt(-2 * ln({u1})) * cos(2 * pi() * {u2}))"
+
+
+def make_clustered_embeddings(dst_dir: str) -> str:
+    """Write fixtures/<dst>/embeddings.parquet (idempotent) and return
+    the directory path."""
+    os.makedirs(dst_dir, exist_ok=True)
+    out = os.path.join(dst_dir, "embeddings.parquet")
+    if os.path.exists(out):
+        return dst_dir
+    center = _bm("'c' || c || '_' || i")
+    noise = _bm("'n' || v || '_' || i")
+    duckdb.connect().execute(
+        f"""
+        COPY (
+            SELECT v AS vec_id,
+                   list(CAST(ctr + {CLUSTERED_SIGMA} * nz AS FLOAT)
+                        ORDER BY i) AS embedding,
+                   CAST(v % 5 AS INTEGER) AS label
+            FROM (
+                SELECT v, i, {center} AS ctr, {noise} AS nz
+                FROM (SELECT v, i, v % {CLUSTERED_K} AS c
+                      FROM range({CLUSTERED_N}) t(v),
+                           range({CLUSTERED_D}) s(i))
+            )
+            GROUP BY v ORDER BY v
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
+    return dst_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -146,7 +206,17 @@ def main() -> None:
         "--llm-distinct", action="store_true",
         help="constant-density documents/embeddings copies (see above)"
     )
+    ap.add_argument(
+        "--clustered", action="store_true",
+        help="synthesize fixtures/<name>/embeddings.parquet as a seeded "
+             "mixture-of-Gaussians corpus instead of replicating (for "
+             "the binding ANN recall gates; see make_clustered_embeddings)"
+    )
     args = ap.parse_args()
+    if args.clustered:
+        d = make_clustered_embeddings(os.path.join(FIXDIR, args.name))
+        print(f"clustered embeddings -> {d}")
+        return
     dst = os.path.join(FIXDIR, args.name)
     only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(dst, exist_ok=True)
