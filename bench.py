@@ -304,6 +304,12 @@ HEADLINE = [
     # round 12
     "sim_ann_ivf_pq_rerank",
     "sim_pairs_topk",
+    # round 13
+    "sim_range_search_radius",
+    "stream_lateness_histogram",
+    "data_mixing_temperature",
+    "text_tokenizer_fertility",
+    "sample_temperature_realized",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

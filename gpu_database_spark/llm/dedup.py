@@ -516,6 +516,55 @@ def data_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_mixing_temperature",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT SUM(n_docs) AS n, SUM(sqrt(n_docs)) AS sq FROM s
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs / t.n, 8) AS share,
+           round(sqrt(n_docs) / t.sq, 8) AS temp_share,
+           round((sqrt(n_docs) / t.sq) / (n_docs / t.n), 6) AS upsample
+    FROM s, t ORDER BY source
+    """,
+)
+def data_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    standard: sample source s with probability ∝ p_s^(1/T); here
+    T = 2, i.e. sqrt-weighting — mBERT/XLM-R's alpha = 0.5): per
+    source, the natural share, the temperature share, and the implied
+    up/down-sampling factor the data loader applies. sqrt instead of
+    a general pow keeps the transform IEEE-exact in BOTH engines
+    (libm pow can drift in the last ulp across implementations; sqrt
+    is correctly rounded everywhere). One tiny groupBy plus a
+    broadcast scalar — at 100 TB this is a metadata query over the
+    source census, never a corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("sq"),
+    )
+    share = F.col("n_docs") / F.col("n")
+    temp_share = F.sqrt(F.col("n_docs")) / F.col("sq")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(share, 8).alias("share"),
+            F.round(temp_share, 8).alias("temp_share"),
+            F.round(temp_share / share, 6).alias("upsample"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH tok AS (

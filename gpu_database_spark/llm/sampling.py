@@ -90,6 +90,109 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_realized",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT SUM(n_docs) AS n,
+               SUM(CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT)) AS sq
+        FROM s
+    ),
+    r AS (
+        SELECT source, n_docs,
+               CAST(CAST(wm AS HUGEINT) * n
+                    // (CAST(sq AS HUGEINT) * n_docs) AS BIGINT) AS base_copies,
+               CAST((CAST(wm AS HUGEINT) * n % (CAST(sq AS HUGEINT) * n_docs))
+                    * 4294967296
+                    // (CAST(sq AS HUGEINT) * n_docs) AS BIGINT) AS t32,
+               CAST(CAST(wm AS HUGEINT) * n * 1000000
+                    // (CAST(sq AS HUGEINT) * n_docs) AS BIGINT) AS target_ppm
+        FROM (SELECT source, n_docs,
+                     CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT) AS wm,
+                     n, sq
+              FROM s, t)
+    ),
+    d AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS u32
+        FROM documents
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           r.base_copies,
+           r.target_ppm,
+           CAST(SUM(r.base_copies + CASE WHEN d.u32 < r.t32 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_emitted,
+           CAST(SUM(r.base_copies + CASE WHEN d.u32 < r.t32 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS realized_ppm
+    FROM d JOIN r USING (source)
+    GROUP BY r.source, r.n_docs, r.base_copies, r.target_ppm
+    ORDER BY r.source
+    """,
+)
+def sample_temperature_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REALIZATION of the temperature-mixing plan
+    (data_mixing_temperature computes the target rates; this query
+    materializes them): each document is emitted
+    floor(upsample) copies plus one more iff its md5-uniform falls
+    under the fractional remainder — the repeat-and-Bernoulli
+    upsampling a data loader actually executes, made reproducible on
+    any cluster/partitioning by hashing the DOC ID instead of drawing
+    RNG state. Reports per source: exact integral copies, the
+    32-bit fractional threshold's target rate, and the realized rate.
+
+    Every rate is EXACT integer arithmetic end to end — the upsample
+    ratio (sqrt(n_s)/Σsqrt)·(N/n_s) is carried as micro-unit integers
+    through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) div and mod, so
+    no double summation order can flip a doc across the threshold at
+    ANY corpus size (a float threshold would drift ~1 ulp × 2^32 ≈
+    hundreds of candidate ids at 10^11 docs). Scale shape: a tiny
+    source census broadcast back onto one corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = s.withColumn(
+        "wm", F.floor(F.sqrt(F.col("n_docs")) * 1000000.0).cast("long")
+    )
+    t = s.agg(F.sum("n_docs").alias("n"), F.sum("wm").alias("sq"))
+    w = s.crossJoin(F.broadcast(t))
+    num = "CAST(wm AS DECIMAL(38,0)) * n"
+    den = "CAST(sq AS DECIMAL(38,0)) * n_docs"
+    r = w.select(
+        "source",
+        "n_docs",
+        F.expr(f"CAST(({num}) div ({den}) AS BIGINT)").alias("base_copies"),
+        F.expr(
+            f"CAST((({num}) % ({den})) * 4294967296 div ({den}) AS BIGINT)"
+        ).alias("t32"),
+        F.expr(f"CAST(({num}) * 1000000 div ({den}) AS BIGINT)").alias(
+            "target_ppm"
+        ),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    dd = d.select("source", u32.alias("u32"))
+    emit = F.col("base_copies") + F.when(F.col("u32") < F.col("t32"), 1).otherwise(0)
+    return (
+        dd.join(F.broadcast(r), "source")
+        .groupBy("source", "n_docs", "base_copies", "target_ppm")
+        .agg(F.sum(emit).alias("_e"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "base_copies",
+            "target_ppm",
+            F.col("_e").cast("long").alias("n_emitted"),
+            F.expr("CAST((_e * 1000000) div _c AS BIGINT)").alias("realized_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "split_train_val_test",
     oracle=f"""
     WITH tagged AS (

@@ -102,6 +102,57 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_RADIUS = 0.30  # cosine radius for range search (the non-top-k primitive)
+
+
+@register(
+    "sim_range_search_radius",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id AS cid, label, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    )
+    SELECT qid, cid, label,
+           round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+    FROM q JOIN c ON qid <> cid
+    WHERE round(list_cosine_similarity(qv, cv), 6) >= {RANGE_RADIUS}
+    ORDER BY qid, cos_sim DESC, cid
+    """,
+)
+def sim_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — FAISS's OTHER retrieval primitive: ALL corpus
+    neighbors within a fixed cosine radius of each evaluation query,
+    not a fixed count. Top-k hides density differences; range search
+    exposes them (a query inside a dense near-dup clump returns many
+    rows, an outlier returns none) — the retrieval shape dedup-radius
+    tuning and duplicate-audit tooling actually consume.
+
+    Scale path: the query panel broadcasts (bounded by definition);
+    the corpus scan is one embarrassingly-parallel pass; output is
+    bounded by panel size x radius selectivity, never corpus^2. For
+    corpus-x-corpus radius search use the blocked/LSH family
+    (sim_pairs_blocked / dedup_embedding_cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), "label", F.col("embedding").alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    return (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "label", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_RADIUS)
+        .orderBy("qid", F.col("cos_sim").desc(), "cid")
+    )
+
+
 @register(
     "sim_pairs_blocked",
     oracle="""

@@ -85,6 +85,56 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM((length(word) + 3) // 4) AS BIGINT) AS n_subwords,
+           round(SUM((length(word) + 3) // 4) * 1.0 / COUNT(*), 6) AS fertility,
+           round(SUM(length(word)) * 1.0
+                 / GREATEST(SUM((length(word) + 3) // 4), 1), 6)
+               AS chars_per_subword
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word — the efficiency metric multilingual pretraining
+    teams track per corpus slice (high fertility = a language paying
+    a byte-fallback tax under the shared vocab). The subword count is
+    a FIXED 4-char-chunk proxy, ceil(len(word)/4) — deterministic and
+    bit-identical in both engines (a trained vocab lives in
+    text_bpe_train_merges; swapping it in changes the count column,
+    not the plan). chars_per_subword is the inverse compression view.
+
+    Scale shape: explode is a narrow map, the rollup is one tiny
+    groupBy on lang — a single corpus pass at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    sub = F.expr("(length(word) + 3) div 4")
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(sub).cast("long").alias("n_subwords"),
+            F.round(F.sum(sub) * 1.0 / F.count(F.lit(1)), 6).alias("fertility"),
+            F.round(
+                F.sum(F.length("word")) * 1.0
+                / F.greatest(F.sum(sub), F.lit(1)),
+                6,
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "text_quality_score",
     oracle="""
     SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_word_len,

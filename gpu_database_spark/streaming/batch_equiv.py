@@ -294,6 +294,74 @@ def stream_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_lateness_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_ns(ts) // 1000000000 AS s
+        FROM events
+    ),
+    l AS (
+        SELECT event_type,
+               GREATEST(COALESCE(
+                   MAX(s) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) - s,
+                   0), 0) AS late_s
+        FROM e
+    )
+    SELECT event_type,
+           CASE WHEN late_s = 0 THEN '0_on_time'
+                WHEN late_s <= 60 THEN '1_under_1m'
+                WHEN late_s <= 600 THEN '2_under_10m'
+                WHEN late_s <= 3600 THEN '3_under_1h'
+                ELSE '4_over_1h' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM l GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+)
+def stream_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness census — the watermark-tuning input: for
+    each event, lateness = how far its event time sits BEHIND the
+    furthest event time already seen in its arrival stream (arrival
+    order = event_id, the fixture's generation order; per-user streams
+    so the running frontier is the per-key watermark head a stateful
+    operator would track). Bucketed into the delay bands an operator
+    chooses `withWatermark` horizons from: the histogram answers "what
+    fraction of events would a 10-minute watermark drop?" BEFORE
+    deploying the streaming job.
+
+    Scale shape: ONE window over (user_id, event_id) — partitioned by
+    the high-cardinality user key, never a global ordering — then a
+    tiny (type, bucket) rollup; a single shuffle at any SF."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts_ns div 1000000000").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.coalesce(F.max("s").over(w) - F.col("s"), F.lit(0)), F.lit(0)
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "0_on_time")
+        .when(F.col("late_s") <= 60, "1_under_1m")
+        .when(F.col("late_s") <= 600, "2_under_10m")
+        .when(F.col("late_s") <= 3600, "3_under_1h")
+        .otherwise("4_over_1h")
+    )
+    return (
+        e.withColumn("late_s", late)
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 @register("stream_soak_census")  # rows-only: true-streaming micro-batch semantics
 def stream_soak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming drop census (VERDICT r7 ask #6): the

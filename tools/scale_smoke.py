@@ -202,6 +202,44 @@ GRAPH_BOUND = [
     "markov_stationary_distribution",
 ]
 
+# Streaming subset (--subset stream, r12 VERDICT ask #7): the
+# watermark/window family — batch twins of the Structured Streaming
+# jobs plus stream_soak_census, the TRUE readStream -> watermark ->
+# append-sink soak (3 chronological availableNow files + late replays
+# + sentinel flush), timed at BOTH scales. The decade's point for
+# streaming is the STATE story, not just wall time: window-keyed state
+# is bounded by the CALENDAR horizon (windows in flight under the
+# watermark), not input volume — the id-shifted copies keep `ts`
+# unchanged, so every horizon-keyed query must emit EXACTLY the same
+# window set at sf10 as at sf1 (rows_ratio == 1.0, enforced below via
+# STREAM_HORIZON_KEYED and recorded as state_horizon_check in the
+# artifact). Per-entity queries (sessions per user, view-click pairs)
+# legitimately grow with input and are excluded from that check.
+STREAM_BOUND = [
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_session_windows",
+    "stream_dedup_first",
+    "stream_hypertable_rollup",
+    "stream_rate_per_minute",
+    "stream_join_view_click",
+    "stream_watermark_audit",
+    "stream_lateness_histogram",
+    "stream_soak_census",
+]
+
+# Output rows == live state keys for these: window/calendar-keyed, so
+# the sf1 and sf10 row counts must be IDENTICAL (state tracks the
+# watermark horizon, not input size).
+STREAM_HORIZON_KEYED = {
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_hypertable_rollup",
+    "stream_rate_per_minute",
+    "stream_watermark_audit",
+    "stream_soak_census",
+}
+
 QUERY_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
 LINEAR_SLACK = 2.0  # flag ratios above LINEAR_SLACK * (data growth)
 
@@ -269,6 +307,7 @@ SUBSETS = {
     "llm": (LLM_BOUND, LLM_SF1, LLM_SF10, "noop", "SCALE_llm_sf10.json"),
     "rank": (RANK_BOUND, SF1, SF10, "noop", "SCALE_rank_sf10.json"),
     "graph": (GRAPH_BOUND, SF1, SF10, "noop", "SCALE_graph_sf10.json"),
+    "stream": (STREAM_BOUND, SF1, SF10, "noop", "SCALE_stream_sf10.json"),
 }
 
 
@@ -336,6 +375,26 @@ def main() -> None:
         if r["ratio"] > LINEAR_SLACK * max(growth, r.get("rows_ratio", 0.0))
         and r["sec_sf10"] > 5.0
     )
+    # Streaming state check: horizon-keyed outputs (== live state keys)
+    # must be byte-identical in COUNT across the decade — state grows
+    # with the watermark horizon, never with input volume.
+    state_horizon_check = None
+    if args.subset == "stream":
+        state_horizon_check = {}
+        for n in sorted(STREAM_HORIZON_KEYED & set(out)):
+            ok = out[n]["rows_sf1"] == out[n]["rows_sf10"]
+            state_horizon_check[n] = {
+                "rows_sf1": out[n]["rows_sf1"],
+                "rows_sf10": out[n]["rows_sf10"],
+                "state_bounded_by_horizon": ok,
+            }
+            if not ok:
+                errors[f"{n}@state_horizon"] = (
+                    f"horizon-keyed state grew with input: "
+                    f"{out[n]['rows_sf1']} -> {out[n]['rows_sf10']}"
+                )
+                print(errors[f"{n}@state_horizon"], file=sys.stderr, flush=True)
+
     result = {
         "subset": f"{args.subset}-bound",
         "action": action,
@@ -349,6 +408,8 @@ def main() -> None:
         "wall_ratio": round(total10 / total1, 2) if total1 else None,
         "superlinear": superlinear,
     }
+    if state_horizon_check is not None:
+        result["state_horizon_check"] = state_horizon_check
     with open(os.path.join(REPO, artifact), "w") as f:
         json.dump(result, f, indent=1)
     print(
