@@ -310,6 +310,7 @@ HEADLINE = [
     "data_mixing_temperature",
     "text_tokenizer_fertility",
     "sample_temperature_realized",
+    "dedup_decontaminate_ngram",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

@@ -460,6 +460,108 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact n-gram decontamination width. 4 words discriminates on the
+# fixture corpus (43/475 train docs share a 4-gram with the benchmark
+# pool at sf0.01; 3-gram flags 85%, 5-gram flags ~1%).
+DECONTAM_NGRAM = 4
+
+_DECONTAM_NGRAMS_SQL = f"""
+    SELECT doc_id,
+           array_to_string(words[pos:pos + {DECONTAM_NGRAM - 1}], ' ') AS g
+    FROM (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(len(words) - {DECONTAM_NGRAM - 1}, 1) + 1)) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+              FROM documents)
+    )
+"""
+
+
+def _word_ngrams(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, g): word ``width``-grams; docs shorter than the width
+    contribute their full text as one gram (same edge rule as
+    :func:`shingles`)."""
+    w = words_col(F.col("text"))
+    n_g = F.greatest(F.size(w) - (width - 1), F.lit(1))
+    return (
+        docs.select("doc_id", w.alias("words"), n_g.alias("n_g"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_g"))).alias("pos"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("words"), F.col("pos"), width)).alias("g"),
+        )
+    )
+
+
+@register(
+    "dedup_decontaminate_ngram",
+    oracle=f"""
+    WITH ng AS ({_DECONTAM_NGRAMS_SQL}),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 25),
+    train AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 25),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hit_ngrams
+        FROM train t JOIN bench b USING (g)
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+           s.n_ngrams,
+           round(CAST(COALESCE(h.n_hit_ngrams, 0) AS DOUBLE)
+                 / CAST(s.n_ngrams AS DOUBLE), 8) AS contaminated_frac,
+           (COALESCE(h.n_hit_ngrams, 0) >= 1) AS contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram benchmark decontamination — the GPT-3/PaLM-style
+    leakage gate: a training document is contaminated if ANY of its
+    word 4-grams appears verbatim in the benchmark pool (doc_id < 25
+    plays the held-out benchmark, same convention as
+    dedup_decontaminate's minhash variant).
+
+    Complements dedup_decontaminate: minhash catches whole-document
+    near-duplicates; the exact n-gram test catches verbatim *passage*
+    leakage that a document-level signature dilutes away.
+
+    Scale: the benchmark n-gram set is tiny relative to the corpus and
+    broadcasts — the train side streams through one hash join keyed on
+    the gram, never doc x doc; per-doc counts are one groupBy on
+    doc_id. At 100 TB the only large shuffle is the train-side
+    DISTINCT (doc_id, gram), proportional to corpus token count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ng = _word_ngrams(d, DECONTAM_NGRAM)
+    bench = ng.filter(F.col("doc_id") < 25).select("g").distinct()
+    train = ng.filter(F.col("doc_id") >= 25).distinct().transform(materialize)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    n_hit = F.coalesce("n_hit_ngrams", F.lit(0))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hit.alias("n_hit_ngrams"),
+            "n_ngrams",
+            F.round(
+                n_hit.cast("double") / F.col("n_ngrams").cast("double"), 8
+            ).alias("contaminated_frac"),
+            (n_hit >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "data_mixing_plan",
     oracle="""

@@ -388,3 +388,49 @@ def test_ann_clustered_fixture_floors_bind(spark):
     assert (
         recalls["sim_ann_ivf_pq_rerank"] >= recalls["sim_ann_ivf_pq"] + 0.4
     ), recalls
+
+
+def test_decontaminate_ngram_planted_leak(spark, sf_dir):
+    """A train doc sharing one verbatim 4-gram with the benchmark pool
+    must be flagged; a disjoint doc must not. Exercises the exact
+    n-gram algebra (_word_ngrams + broadcast bench join) on planted
+    text, plus the short-doc edge rule."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    leaked = "noise words then alpha beta gamma delta closing remark"
+    clean = "entirely unrelated tokens about shuffle partitions and rows"
+    docs = spark.createDataFrame(
+        [(1, bench_text), (30, leaked), (31, clean)],
+        "doc_id long, text string",
+    )
+    ng = dedup._word_ngrams(docs, dedup.DECONTAM_NGRAM)
+    bench = ng.filter(F.col("doc_id") < 25).select("g").distinct()
+    hits = {
+        r.doc_id
+        for r in ng.filter(F.col("doc_id") >= 25)
+        .join(bench, "g")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert hits == {30}
+    # Short-doc edge rule: fewer words than the width -> one gram, the
+    # full text (same convention as shingles()).
+    short = spark.createDataFrame([(9, "just two")], "doc_id long, text string")
+    rows = dedup._word_ngrams(short, dedup.DECONTAM_NGRAM).collect()
+    assert [(r.doc_id, r.g) for r in rows] == [(9, "just two")]
+
+
+def test_decontaminate_ngram_fixture_non_vacuous(spark, sf_dir):
+    """On the fixture corpus the gate must actually separate: some
+    train docs contaminated, some clean, and the flag must equal
+    n_hit_ngrams >= 1 row-by-row."""
+    rows = dedup.dedup_decontaminate_ngram(spark, sf_dir).collect()
+    assert rows, "no train docs"
+    flagged = [r for r in rows if r.contaminated]
+    clean = [r for r in rows if not r.contaminated]
+    assert flagged and clean, (len(flagged), len(clean))
+    for r in rows:
+        assert r.contaminated == (r.n_hit_ngrams >= 1)
+        assert 0 <= r.n_hit_ngrams <= r.n_ngrams
+        assert abs(r.contaminated_frac - r.n_hit_ngrams / r.n_ngrams) < 1e-6
+

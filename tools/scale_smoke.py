@@ -106,6 +106,8 @@ LLM_BOUND = [
     "dedup_passage_exact",
     "dedup_ngram_spans",
     "dedup_decontaminate",
+    "dedup_decontaminate_ngram",
+    "text_ngram_novelty",  # lang-census novelty (dedup.py) — gram-keyed groupBy-min
     "semdedup_pipeline",
     "sim_norms",
     "sim_topk_cosine",
@@ -228,6 +230,48 @@ STREAM_BOUND = [
     "stream_soak_census",
 ]
 
+# Aria subset (--subset aria, round 13): the reference's OWN core —
+# the KV surface (point lookup / multiget / scan / count / merge
+# upsert / anti-join delete / bulk load, SURVEY §2A #1-#13) and every
+# stage of the deterministic batch protocol (reserve, conflict flags,
+# commit decision, install, key-op chain, metadata pack, epoch
+# census), timed across the sf1 -> sf10 decade. The ops fixture maps
+# lineitem into a 211-key hot keyspace, so every reservation/install
+# aggregate is a heavily-skewed tiny-key groupBy — exactly the shape
+# partial (map-side) aggregation must flatten; a superlinear row here
+# would mean the combine stopped combining. aria_run_batch and
+# aria_snapshot_asof are HORIZON-BOUNDED by construction (bounded
+# replay of txn_id <= 3000, the MVCC device): their work and output
+# must NOT grow with corpus volume — enforced below via
+# ARIA_HORIZON_KEYED the way the stream subset pins watermark state.
+ARIA_BOUND = [
+    "kv_point_lookup",
+    "kv_multiget",
+    "kv_scan_project",
+    "kv_count",
+    "kv_upsert_merge",
+    "kv_delete_anti",
+    "kv_bulk_load",
+    "aria_reserve",
+    "aria_conflict_flags",
+    "aria_commit_decision",
+    "aria_install",
+    "aria_key_op_chain",
+    "aria_metadata_pack",
+    "aria_epoch_loop_census",
+    "aria_run_batch",
+    "aria_snapshot_asof",
+]
+
+# Bounded-replay queries: the txn_id <= 3000 horizon lands entirely in
+# the unshifted first fixture copy, so the capped batch — and hence
+# the commit/abort output — must be IDENTICAL at sf1 and sf10 (replay
+# cost tracks the horizon, not corpus volume).
+ARIA_HORIZON_KEYED = {
+    "aria_run_batch",
+    "aria_snapshot_asof",
+}
+
 # Output rows == live state keys for these: window/calendar-keyed, so
 # the sf1 and sf10 row counts must be IDENTICAL (state tracks the
 # watermark horizon, not input size).
@@ -308,6 +352,7 @@ SUBSETS = {
     "rank": (RANK_BOUND, SF1, SF10, "noop", "SCALE_rank_sf10.json"),
     "graph": (GRAPH_BOUND, SF1, SF10, "noop", "SCALE_graph_sf10.json"),
     "stream": (STREAM_BOUND, SF1, SF10, "noop", "SCALE_stream_sf10.json"),
+    "aria": (ARIA_BOUND, SF1, SF10, "noop", "SCALE_aria_sf10.json"),
 }
 
 
@@ -379,6 +424,24 @@ def main() -> None:
     # must be byte-identical in COUNT across the decade — state grows
     # with the watermark horizon, never with input volume.
     state_horizon_check = None
+    if args.subset == "aria":
+        # Bounded-replay check: the horizon-capped batch is the same
+        # batch at both scales, so outputs must match exactly and the
+        # sf10 wall must not track corpus volume.
+        state_horizon_check = {}
+        for n in sorted(ARIA_HORIZON_KEYED & set(out)):
+            ok = out[n]["rows_sf1"] == out[n]["rows_sf10"]
+            state_horizon_check[n] = {
+                "rows_sf1": out[n]["rows_sf1"],
+                "rows_sf10": out[n]["rows_sf10"],
+                "replay_bounded_by_horizon": ok,
+            }
+            if not ok:
+                errors[f"{n}@replay_horizon"] = (
+                    f"horizon-bounded replay output grew with input: "
+                    f"{out[n]['rows_sf1']} -> {out[n]['rows_sf10']}"
+                )
+                print(errors[f"{n}@replay_horizon"], file=sys.stderr, flush=True)
     if args.subset == "stream":
         state_horizon_check = {}
         for n in sorted(STREAM_HORIZON_KEYED & set(out)):
