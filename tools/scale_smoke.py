@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Scaling smoke one decade above the sweep ladder.
 
-Two subsets: `--subset scan` (default, the scan-bound TPC-H/OLAP
-headliners over fixtures/sf1.0 vs fixtures/sf10, collect-actioned) and
+Six subsets: `--subset scan` (default, the scan-bound TPC-H/OLAP
+headliners over fixtures/sf1.0 vs fixtures/sf10, collect-actioned),
 `--subset llm` (the near-dup/similarity/text pipeline over the
 constant-density fixtures/llm_sf1 vs fixtures/llm_sf10, noop-write
-actioned — see LLM_BOUND below). Original scan-bound rationale:
+actioned — see LLM_BOUND below), and the `rank`, `graph`, `stream`,
+and `aria` families (noop-actioned; see their list comments). Each
+writes its own SCALE_*_sf10.json artifact. Original scan-bound
+rationale:
 
 r10 VERDICT ask #3: the 100 TB story rested on plan-shape asserts and
 the sf0.1 -> sf1.0 curve (3.0x wall for 10x data); superlinear tails
