@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Scaling smoke one decade above the sweep ladder.
 
-Six subsets: `--subset scan` (default, the scan-bound TPC-H/OLAP
+Seven subsets: `--subset scan` (default, the scan-bound TPC-H/OLAP
 headliners over fixtures/sf1.0 vs fixtures/sf10, collect-actioned),
 `--subset llm` (the near-dup/similarity/text pipeline over the
 constant-density fixtures/llm_sf1 vs fixtures/llm_sf10, noop-write
 actioned — see LLM_BOUND below), and the `rank`, `graph`, `stream`,
-and `aria` families (noop-actioned; see their list comments). Each
-writes its own SCALE_*_sf10.json artifact. Original scan-bound
+`aria`, and `mm` families (noop-actioned; see their list comments).
+Each writes its own SCALE_*_sf10.json artifact. Original scan-bound
 rationale:
 
 r10 VERDICT ask #3: the 100 TB story rested on plan-shape asserts and
@@ -266,6 +266,25 @@ ARIA_BOUND = [
     "aria_snapshot_asof",
 ]
 
+# Multimodal subset (--subset mm, round 13): the Arrow-lane media
+# pipeline — binary payload synthesis from documents, stdlib decode
+# (real PNG/WAV at the seeded doc_ids, deterministic fakes elsewhere),
+# dHash banding, feature extraction, frame sampling. Every stage is a
+# single mapInPandas/applyInPandas pass over (doc-derived) media rows
+# plus at most one banded self-join (phash candidates), so the decade
+# should land near-linear; a superlinear row here would mean the
+# banding degenerated (all payloads in one band) or an Arrow batch
+# stopped streaming. Completes per-family decade coverage: with this,
+# all seven declared families (scan/llm/rank/graph/stream/aria/mm)
+# carry committed sf1->sf10 evidence.
+MM_BOUND = [
+    "mm_media_meta",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "mm_image_phash",
+    "mm_audio_energy",
+]
+
 # Bounded-replay queries: the txn_id <= 3000 horizon lands entirely in
 # the unshifted first fixture copy, so the capped batch — and hence
 # the commit/abort output — must be IDENTICAL at sf1 and sf10 (replay
@@ -356,6 +375,7 @@ SUBSETS = {
     "graph": (GRAPH_BOUND, SF1, SF10, "noop", "SCALE_graph_sf10.json"),
     "stream": (STREAM_BOUND, SF1, SF10, "noop", "SCALE_stream_sf10.json"),
     "aria": (ARIA_BOUND, SF1, SF10, "noop", "SCALE_aria_sf10.json"),
+    "mm": (MM_BOUND, SF1, SF10, "noop", "SCALE_mm_sf10.json"),
 }
 
 
