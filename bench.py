@@ -311,6 +311,7 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "sample_temperature_realized",
     "dedup_decontaminate_ngram",
+    "dedup_keep_best_quality",
 ]
 
 # Per-query wall-clock cap: a pathological future query slows a round

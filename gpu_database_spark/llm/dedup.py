@@ -460,6 +460,100 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    lsh AS (
+        SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+        FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) c
+          ON a.band = c.band AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+    ),
+    ex AS (
+        SELECT MIN(doc_id) AS a, MAX(doc_id) AS b
+        FROM documents GROUP BY md5(text) HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    edges AS (
+        SELECT a, b FROM lsh UNION SELECT b, a FROM lsh
+        UNION SELECT a, b FROM ex UNION SELECT b, a FROM ex
+    ),
+    walk(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    ),
+    comp AS (
+        SELECT CAST(MIN(comp) AS BIGINT) AS cluster_id,
+               CAST(id AS BIGINT) AS doc_id
+        FROM walk GROUP BY id
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id,
+               CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+                   AS quality
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id, quality,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) = 1)
+               AS is_keeper
+    FROM scored ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivorship (the FineWeb/RefinedWeb
+    refinement of keep-min): within each near-dup cluster (LSH ∪
+    exact-hash components, the dedup_clusters graph) keep the
+    HIGHEST-QUALITY member, not the smallest id — here quality is the
+    integer word count (deterministic and integer-exact cross-engine;
+    in production any scalar quality column — a Gopher gate score, a
+    classifier logit quantized to micro-units — drops in unchanged),
+    ties broken by min doc_id so the choice is total.
+
+    Scale: the component loop is dedup_clusters' checkpointed
+    min-label propagation (rounds ~ diameter, band-bounded degree);
+    keeper election adds ONE cluster-keyed window over (quality desc,
+    doc_id) — clusters are near-dup sets, so partitions are tiny by
+    construction and the window never sees a skewed partition bigger
+    than the largest duplicate family (clone families collapse to one
+    representative upstream in the ER path; here they are exactly the
+    sets the operator exists to prune)."""
+    d = load_table(spark, sf_dir, "documents")
+    lsh_pairs = lsh_candidate_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    exact_pairs = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    edges = lsh_pairs.unionAll(exact_pairs)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, edges).select(
+        F.col("component").alias("cluster_id"), F.col("id").alias("doc_id")
+    )
+    scored = comp.join(
+        d.select(
+            "doc_id",
+            F.size(words_col(F.col("text"))).cast("long").alias("quality"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 # Exact n-gram decontamination width. 4 words discriminates on the
 # fixture corpus (43/475 train docs share a 4-gram with the benchmark
 # pool at sf0.01; 3-gram flags 85%, 5-gram flags ~1%).

@@ -434,3 +434,46 @@ def test_decontaminate_ngram_fixture_non_vacuous(spark, sf_dir):
         assert 0 <= r.n_hit_ngrams <= r.n_ngrams
         assert abs(r.contaminated_frac - r.n_hit_ngrams / r.n_ngrams) < 1e-6
 
+
+
+def test_keep_best_quality_prefers_quality_over_min_id(spark):
+    """In a planted near-dup cluster whose LONGEST member has the
+    LARGEST doc_id, quality-aware survivorship must flip the keeper
+    away from keep-min; singletons keep themselves."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    longer = base + " carrying extra provenance metadata worth keeping"
+    docs = spark.createDataFrame(
+        [(1, base), (2, longer), (7, "tiny unrelated doc")],
+        "doc_id long, text string",
+    )
+    lsh = dedup.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    assert {(r.a, r.b) for r in lsh.collect()} == {(1, 2)}
+    comp = dedup.connected_components(
+        docs.select(F.col("doc_id").alias("id")), lsh
+    ).select(F.col("component").alias("cluster_id"), F.col("id").alias("doc_id"))
+    from pyspark.sql import Window
+    scored = comp.join(
+        docs.select(
+            "doc_id",
+            F.size(dedup.words_col(F.col("text"))).cast("long").alias("quality"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    rows = {
+        r.doc_id: r
+        for r in scored.select(
+            "cluster_id", "doc_id", "quality",
+            (F.row_number().over(w) == 1).alias("is_keeper"),
+        ).collect()
+    }
+    assert rows[2].is_keeper and not rows[1].is_keeper  # quality beats min-id
+    assert rows[1].cluster_id == rows[2].cluster_id == 1
+    assert rows[7].is_keeper  # singleton keeps itself
