@@ -306,35 +306,36 @@ def connected_components(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).distinct().transform(materialize)
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the exact decimal sum of all labels strictly decreases iff any
+    # label changed — one scan of the (checkpointed) label table per
+    # round instead of the old full self-join + filter + count, which
+    # cost an extra shuffle join every round (r13 optimization).
+    prev_sum = None
     for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
-        )
+        # Neighbor-min and the keep-own-label rule fused into ONE
+        # aggregation: every node votes its own label alongside its
+        # neighbors' (unionAll, map-side combinable), so the old
+        # left-join-back of labels — a third shuffle per round — is gone
+        # (r13 optimization; min(own ∪ neighbors) is the same update).
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+            .unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             # loop-carried state: ALWAYS checkpoint (never env-switched
             # persist) or the self-referencing label plan regrows every
             # round — see materialize() docstring
             .transform(lambda d: materialize(d, force_checkpoint=True))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

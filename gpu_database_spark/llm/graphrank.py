@@ -219,6 +219,10 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
         .transform(materialize)  # static within the loop, not loop-carried
     )
     alive = materialize(nodes.select("id"), force_checkpoint=True)
+    # One count job per round, not two: the previous round's survivor
+    # count is remembered instead of re-counting the (checkpointed)
+    # alive table it already measured (r13 optimization).
+    n_alive = alive.count()
     for _ in range(max_iters):
         live_edges = (
             sym.join(alive.select(F.col("id").alias("src")), "src")
@@ -229,8 +233,10 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
         new_alive = materialize(
             alive.join(keep, "id", "left_semi"), force_checkpoint=True
         )
-        dropped = alive.count() - new_alive.count()
+        n_new = new_alive.count()
+        dropped = n_alive - n_new
         alive = new_alive
+        n_alive = n_new
         if dropped == 0:
             break
     else:

@@ -44,7 +44,68 @@ def _path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Parquet row-group counts per path (footer metadata, cached: the gate
+# below reads it once per (process, file), ~1 ms).
+_RG_CACHE: dict[str, int] = {}
+
+
+def _n_row_groups(path: str) -> int:
+    """Total parquet row groups behind ``path`` (file or directory).
+    Unknown/unreadable footers report 'many' so the spread gate stays
+    a no-op rather than adding an exchange on speculation."""
+    n = _RG_CACHE.get(path)
+    if n is None:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = (
+                sorted(_glob.glob(os.path.join(path, "*.parquet")))
+                if os.path.isdir(path)
+                else [path]
+            )
+            n = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        except Exception:
+            n = 1 << 30
+        _RG_CACHE[path] = n
+    return n
+
+
+def spread_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Fan a row-group-starved scan across the cluster (guide §2.5,
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read").
+
+    Parquet scans split at ROW-GROUP boundaries, so a table written as
+    one row group runs its whole scan stage — plus every operator fused
+    into it (partial aggregation, md5/shingle explosion, vector math) —
+    on ONE core no matter how many splits the planner makes (measured:
+    all 600k sf0.1 lineitem rows land in a single scan partition; a
+    15-moment decimal aggregate fused into that scan takes 4.2s
+    single-threaded vs 0.9s spread).
+
+    Scale-adaptive by construction: the exchange is added ONLY when the
+    source cannot yield at least half the cluster's parallelism in
+    row groups. At 100 TB every table has thousands of row groups, the
+    gate is false, and the plan is byte-identical to the ungated one —
+    no extra network pass. The partitioner is a deterministic xxhash64
+    of the full row (retry-safe per SPARK-23207 discussion: never
+    rand-derived), which also avoids round-robin's local-sort tax.
+
+    Opt-in per query (``load_table(..., spread=True)``): operators whose
+    per-row work is trivial, or whose second pass relies on re-scanning
+    with pushed-down filters, measure slower with the extra exchange —
+    the callers that win flip the flag."""
+    n_par = spark.sparkContext.defaultParallelism
+    if _n_row_groups(path) >= max(2, n_par // 2):
+        return df
+    return df.repartition(n_par, F.xxhash64(*[F.col(c) for c in df.columns]))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     """Load one fixture table; normalizes the events timestamp.
 
     The engine's event-time contract is two columns regardless of the
@@ -80,6 +141,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.select(
                 "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
             )
+    if spread:
+        df = spread_scan(df, spark, _path(sf_dir, name))
     return df
 
 
