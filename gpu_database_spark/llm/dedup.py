@@ -1356,7 +1356,11 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by doc_id; top-k per doc is the standard window.
     The graph is degree-bounded by construction (band collisions), so
     downstream clustering never sees a dense row."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread=True: shingle explosion + 8 minhash folds fuse into the
+    # documents scan — one row group means one core does every hash
+    # (A/B: 3.6s -> 2.2s here, -1.0s for semdedup_pipeline downstream;
+    # oracle hashes unchanged).
+    d = load_table(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(d).transform(materialize)
     pairs = lsh_candidate_pairs(d)
     sym = pairs.select(

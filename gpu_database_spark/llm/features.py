@@ -1421,7 +1421,10 @@ def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compat.py); R^2 is scale-invariant so sr2 rescales by 1e6 in the
     final formula. Exact sums convert once via the correctly-rounded
     VARCHAR hop; final formulas are identical IEEE op trees."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: the residual/APE decimal terms fold into the scan;
+    # single row group = single core without it (A/B: 2.5s -> 1.1s,
+    # oracle hash unchanged).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     t = li.select(
         F.expr(
             "l_extendedprice * (1 - l_discount) * (1 + l_tax)"

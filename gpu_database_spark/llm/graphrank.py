@@ -435,7 +435,7 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITE
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().transform(materialize)
     labels = nodes.select(F.col("id"), F.col("id").alias("lbl"))
-    for _ in range(n_iters):
+    for i in range(n_iters):
         nbr = und.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "lbl")
@@ -447,7 +447,16 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, n_iters: int = LPA_ITE
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("id", (-F.col("m.nl")).alias("lbl"))
         )
-        labels = materialize(best, force_checkpoint=True)
+        # Checkpoint every SECOND round (and the last): the round count
+        # is FIXED (no convergence probe reads the labels between
+        # rounds), so lineage only doubles once between checkpoints and
+        # each label row still has exactly one consumer chain — same
+        # shuffle work, half the blocking checkpoint jobs (pagerank
+        # above runs the identical discipline at cadence 4;
+        # r13 optimization).
+        if i % 2 == 1 or i == n_iters - 1:
+            best = materialize(best, force_checkpoint=True)
+        labels = best
     return labels
 
 

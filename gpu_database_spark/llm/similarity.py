@@ -77,7 +77,9 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan is embarrassingly parallel; per-query top-k is one
     shuffle on qid. For corpus-x-corpus at 100 TB use sim_ann_lsh.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread=True: same scan-fused broadcast-cosine shape as
+    # sim_range_search_radius (A/B family win; oracle hash unchanged).
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -136,7 +138,10 @@ def sim_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by panel size x radius selectivity, never corpus^2. For
     corpus-x-corpus radius search use the blocked/LSH family
     (sim_pairs_blocked / dedup_embedding_cosine)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the broadcast-join cosine pass over the corpus is
+    # pure per-row vector math fused into a one-row-group scan (A/B:
+    # 2.45s -> 0.76s, oracle hash unchanged).
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -548,15 +553,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a narrow map; the probe joins each query against
     ~nprobe/k of the corpus. tests/test_llm.py checks recall against
     the exact scorer."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
-    km = KMeans(k=16, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(vecs)
+    # Shared, session-cached coarse quantizer (identical spec to the
+    # per-call fit this replaced: k=16, seed=42, maxIter=10 on the same
+    # corpus) — the fit is one full MLlib job and dominated repeat
+    # invocations (r13 optimization).
+    model = _ivf_model(spark, sf_dir, e)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
     )
@@ -584,9 +591,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "list_id",
     ).filter(F.col("qid") != F.col("cid"))
+    # No .distinct(): each corpus vector lives in exactly ONE inverted
+    # list, so a (qid, cid) pair can surface from at most one probed
+    # list — the old distinct was a full extra exchange + aggregate for
+    # rows that were already unique (r13 optimization).
     scored = cand.select(
         "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
-    ).distinct()
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1023,6 +1034,11 @@ def _pq_refined_codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> Data
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cb_rows = _PQ_CB_CACHE.get(cache_key)
     if cb_rows is None:
+        # Train on a CANONICAL load of the corpus, not the caller's
+        # frame (same rationale as _ivf_model: a session-cached
+        # codebook must not depend on which caller — possibly holding
+        # a repartitioned view — trained it first).
+        e = load_table(spark, sf_dir, "embeddings")
         subs = spark.range(PQ_SUBS).select(F.col("id").cast("int").alias("sub"))
         cb = (
             e.filter(
@@ -1127,7 +1143,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a coarse index so only candidate lists are scored, which is
     exactly what sim_ann_ivf_pq below does. tests/test_llm.py gates
     recall vs the exact baseline."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the encode crossJoin (256 codeword distances/row)
+    # and ADC fan-out fuse into the scan; a one-row-group fixture runs
+    # them on one core without it (A/B: 3.4s -> 1.9s; training reads
+    # its own canonical load, see _pq_refined_codebook).
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     cb1 = _pq_refined_codebook(spark, sf_dir, e)
     codes = _pq_encode(e, cb1)
     dt = _pq_query_tables(e, cb1)
@@ -1147,29 +1167,48 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_PQ_K = 16      # coarse-quantizer centroids (matches sim_ann_ivf)
 IVF_PQ_NPROBE = 3  # lists probed per query (matches sim_ann_ivf)
-# Trained-centroid cache per (session, sf_dir): same rationale (and
-# same collected-rows form) as _PQ_CB_CACHE above.
-_IVF_CB_CACHE: dict = {}
+# Trained-model cache per (session, sf_dir): same rationale as
+# _PQ_CB_CACHE above — an index trains once and serves many queries.
+# The MODEL is cached (not just its centers) so sim_ann_ivf's
+# `.transform` assignment and the ADC pipeline's centroid table come
+# from ONE fit; previously sim_ann_ivf re-ran the identical
+# KMeans(k=16, seed=42) job on every invocation (r13 optimization —
+# the fit was the single biggest repeated job inside
+# sim_ann_recall_report).
+_IVF_MODEL_CACHE: dict = {}
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
-    """(list_id, centroid) coarse-quantizer table: k-means (pyspark.ml,
-    fixed seed) trained once per (session, sf_dir), collected (16 rows)
-    and rebuilt as a broadcastable DataFrame."""
+def _ivf_model(spark: SparkSession, sf_dir: str, e: DataFrame):
+    """The coarse-quantizer KMeansModel, trained once per
+    (session, sf_dir) on the corpus embeddings (fixed seed)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    rows = _IVF_CB_CACHE.get(key)
-    if rows is None:
+    model = _IVF_MODEL_CACHE.get(key)
+    if model is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        vecs = e.select(array_to_vector("embedding").alias("features"))
+        # Train on a CANONICAL load of the corpus, not the caller's
+        # frame: callers may pass a repartitioned (spread) view, and a
+        # session-cached model must never depend on which caller
+        # trained it first (float reductions are partition-order
+        # sensitive in general).
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            array_to_vector("embedding").alias("features")
+        )
         model = KMeans(
             k=IVF_PQ_K, seed=42, maxIter=10, featuresCol="features"
         ).fit(vecs)
-        rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-        _IVF_CB_CACHE[key] = rows
+        _IVF_MODEL_CACHE[key] = model
+    return model
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """(list_id, centroid) coarse-quantizer table: the shared model's
+    centers (16 rows) as a broadcastable DataFrame."""
+    model = _ivf_model(spark, sf_dir, e)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
     return spark.createDataFrame(rows, "list_id int, centroid array<double>")
 
 
@@ -1262,7 +1301,9 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; (4) ADC: candidates join the code table and the
     broadcast per-query distance tables, one groupBy sums 8 lookups.
     tests/test_llm.py gates recall >= plain PQ's floor."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread=True: list assignment + PQ encode are per-row argmins
+    # fused into the scan (A/B: -0.33s; trainers read canonical loads).
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     return _ivf_pq_topk(_ivf_pq_adc_scores(spark, sf_dir, e))
 
 
@@ -1299,7 +1340,9 @@ def sim_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard two-stage retrieval: ADC narrows millions to dozens
     reading only 4-byte codes; the float vectors are touched for the
     final dozens alone (FAISS's IVFPQR / DiskANN's rerank stage)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread=True: same scan-fused per-row work as sim_ann_ivf_pq
+    # (A/B: -0.45s; trainers read canonical loads).
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     return _rerank_topk(e, _ivf_pq_adc_scores(spark, sf_dir, e))
 
 
@@ -1349,6 +1392,9 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny top-k sets (queries × k rows) — negligible. At 100 TB the
     exact baseline is computed once on a fixed evaluation query sample
     exactly like this one (vec_id < N_QUERIES=20)."""
+    # (The r12 A/B that regressed under a spread scan predates the
+    # canonical-trained shared KMeans model; with trainers pinned to
+    # canonical loads the report's inputs are layout-independent.)
     # Materialized: the brute-force baseline feeds two consumers per
     # method x three methods — without one execution point it would
     # re-run six times per invocation.
@@ -1379,7 +1425,7 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivf_pq and its exact-reranked variant share ONE materialized ADC
     # candidate frame — the composed index is the report's most
     # expensive pipeline and would otherwise run twice.
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     scored = materialize(_ivf_pq_adc_scores(spark, sf_dir, e))
     ivf_pq = recall_of("ivf_pq", _ivf_pq_topk(scored).filter(F.col("rk") <= TOP_K))
     rerank = recall_of(

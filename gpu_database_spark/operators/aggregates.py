@@ -903,7 +903,10 @@ def agg_mean_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie-in: generalizes the reference's single-statistic
     count aggregate (hashTable.cuh:157-163) to the mean family."""
-    t = load_table(spark, sf_dir, "lineitem").select(
+    # spread=True: ln/reciprocal + DECIMAL(38,10) folding is CPU-bound
+    # and otherwise single-threaded in the one-row-group scan (A/B:
+    # 2.15s -> 0.96s, oracle hash unchanged).
+    t = load_table(spark, sf_dir, "lineitem", spread=True).select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").cast("long").alias("q"),
     )

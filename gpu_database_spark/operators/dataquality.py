@@ -700,7 +700,10 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinant-value census (one row per distinct X) is the only
     large intermediate; it partitions by (fd, x) with no skew beyond
     the data's own key skew."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread=True: the stack() fan-out (5x rows) + distinct-count
+    # expand all fuse into the scan stage; one row group means one
+    # core does all of it (A/B: -0.43s, oracle hash unchanged).
+    o = load_table(spark, sf_dir, "orders", spread=True)
     # ONE scan, not five unioned scans: stack() fans each row out to
     # its five (fd, x, y) pairs after a single pruned projection —
     # at 100 TB this reads each needed column chunk once.

@@ -571,7 +571,10 @@ def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     involving price are in k-units): raw squared prices sit at ~1e10,
     the edge of the shortest-string double->decimal hazard documented
     in functions/compat.py."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread=True: single-row-group fixture scans run the whole
+    # 15-decimal-moment aggregation on ONE core without it (A/B: 8.8s
+    # -> 3.3s, oracle hash unchanged; gate is a no-op at scale).
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
         "l_quantity",
         (F.col("l_extendedprice") / 1000).alias("l_price_k"),
         "l_discount",
@@ -859,7 +862,9 @@ def stat_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is bit-identical and round(6) is cosmetic.
     Generalizes to d features as a d^2-entry Gram vector (see
     embed_pca_power for the d x d variant)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread=True: the ten decimal cross-moment sums otherwise fold
+    # single-threaded into the one-row-group scan (A/B: -0.46s).
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     x1, x2, y = d("l_quantity"), d("l_discount"), d("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
