@@ -224,11 +224,16 @@ def kcore(nodes: DataFrame, edges: DataFrame, k: int, max_iters: int = 100) -> D
     # alive table it already measured (r13 optimization).
     n_alive = alive.count()
     for _ in range(max_iters):
-        live_edges = (
-            sym.join(alive.select(F.col("id").alias("src")), "src")
-            .join(alive.select(F.col("id").alias("dst")), "dst")
+        # ONE alive-join per round, not two: only the DST side needs
+        # filtering before the degree count — a dead src can produce a
+        # keep row, but the left_semi against `alive` below discards
+        # it, so the survivor set is identical and each round saves a
+        # full join (r13 optimization; guide §2.4).
+        deg = (
+            sym.join(alive.select(F.col("id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
         )
-        deg = live_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
         new_alive = materialize(
             alive.join(keep, "id", "left_semi"), force_checkpoint=True
