@@ -404,7 +404,10 @@ def test_pairs_topk_single_join_no_union(spark, sf_dir):
     reflect-the-half-pairs shape consumed an unmaterialized stream
     through a two-branch union, silently executing the blocked
     self-join twice (caught at the llm decade: 27.2x wall vs 23.5x
-    output growth; the single-pipeline shape measures 18.6x). Exactly
+    output growth; the single-pipeline shape measures 18.6x on this
+    container, 18.0x on the ~12% faster session-1 container — same
+    code, host drift per BENCH_NOTES; both attributed in the
+    sim_pairs_topk docstring). Exactly
     one join node and zero unions — a reintroduced double-execution
     shows up here as either a Union or a second join."""
     from gpu_database_spark.llm.similarity import sim_pairs_topk
