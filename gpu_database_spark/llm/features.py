@@ -1424,7 +1424,14 @@ def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=True: the residual/APE decimal terms fold into the scan;
     # single row group = single core without it (A/B: 2.5s -> 1.1s,
     # oracle hash unchanged).
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # columns=: the exchange carries the 3 read columns, not 16 (r14).
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        spread=True,
+        columns=["l_extendedprice", "l_discount", "l_tax"],
+    )
     t = li.select(
         F.expr(
             "l_extendedprice * (1 - l_discount) * (1 + l_tax)"

@@ -563,7 +563,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-call fit this replaced: k=16, seed=42, maxIter=10 on the same
     # corpus) — the fit is one full MLlib job and dominated repeat
     # invocations (r13 optimization).
-    model = _ivf_model(spark, sf_dir, e)
+    model = _ivf_model(spark, sf_dir)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
     )
@@ -1006,7 +1006,7 @@ def _pq_encode(e: DataFrame, cb_df: DataFrame) -> DataFrame:
 PQ_LLOYD_STEPS = 1  # distributed Lloyd iterations refining the seeds
 
 
-def _pq_refined_codebook(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+def _pq_refined_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (sub, code, cw) PQ codebook: PQ_CODES corpus vectors from
     vec_id PQ_SEED_BASE seed one codeword per subspace each, then
     PQ_LLOYD_STEPS distributed Lloyd steps (assign -> per-dimension
@@ -1148,7 +1148,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them on one core without it (A/B: 3.4s -> 1.9s; training reads
     # its own canonical load, see _pq_refined_codebook).
     e = load_table(spark, sf_dir, "embeddings", spread=True)
-    cb1 = _pq_refined_codebook(spark, sf_dir, e)
+    cb1 = _pq_refined_codebook(spark, sf_dir)
     codes = _pq_encode(e, cb1)
     dt = _pq_query_tables(e, cb1)
     scored = (
@@ -1178,7 +1178,7 @@ IVF_PQ_NPROBE = 3  # lists probed per query (matches sim_ann_ivf)
 _IVF_MODEL_CACHE: dict = {}
 
 
-def _ivf_model(spark: SparkSession, sf_dir: str, e: DataFrame):
+def _ivf_model(spark: SparkSession, sf_dir: str):
     """The coarse-quantizer KMeansModel, trained once per
     (session, sf_dir) on the corpus embeddings (fixed seed)."""
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1202,10 +1202,10 @@ def _ivf_model(spark: SparkSession, sf_dir: str, e: DataFrame):
     return model
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(list_id, centroid) coarse-quantizer table: the shared model's
     centers (16 rows) as a broadcastable DataFrame."""
-    model = _ivf_model(spark, sf_dir, e)
+    model = _ivf_model(spark, sf_dir)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -1232,7 +1232,7 @@ def _ivf_pq_adc_scores(
     """Shared IVFADC pipeline — (qid, cid, approx_d2) for every
     candidate in the probed inverted lists (the body of sim_ann_ivf_pq
     steps 1-4; sim_ann_ivf_pq_rerank re-ranks its shortlist)."""
-    centroids = _ivf_centroids(spark, sf_dir, e)
+    centroids = _ivf_centroids(spark, sf_dir)
     # (1) inverted-list assignment (Euclidean argmin, = KMeans.transform)
     assigned = (
         e.crossJoin(F.broadcast(centroids))
@@ -1246,7 +1246,7 @@ def _ivf_pq_adc_scores(
         .select("vec_id", F.col("m.list_id").alias("list_id"))
     )
     # (2) PQ codes (shared, cached codebook)
-    cb1 = _pq_refined_codebook(spark, sf_dir, e)
+    cb1 = _pq_refined_codebook(spark, sf_dir)
     codes = _pq_encode(e, cb1)
     # (3) query probe: nprobe nearest lists per query
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1397,8 +1397,13 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical loads the report's inputs are layout-independent.)
     # Materialized: the brute-force baseline feeds two consumers per
     # method x three methods — without one execution point it would
-    # re-run six times per invocation.
-    exact = materialize(sim_topk_cosine(spark, sf_dir).select("qid", "cid"))
+    # re-run six times per invocation. eager=False (r14): the report's
+    # single final collect materializes it once; the five method
+    # branches become independent stages of ONE job that the scheduler
+    # can overlap, instead of five serial blocking builds.
+    exact = materialize(
+        sim_topk_cosine(spark, sf_dir).select("qid", "cid"), eager=False
+    )
 
     def recall_of(name: str, approx: DataFrame) -> DataFrame:
         hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"])
@@ -1426,7 +1431,7 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate frame — the composed index is the report's most
     # expensive pipeline and would otherwise run twice.
     e = load_table(spark, sf_dir, "embeddings", spread=True)
-    scored = materialize(_ivf_pq_adc_scores(spark, sf_dir, e))
+    scored = materialize(_ivf_pq_adc_scores(spark, sf_dir, e), eager=False)
     ivf_pq = recall_of("ivf_pq", _ivf_pq_topk(scored).filter(F.col("rk") <= TOP_K))
     rerank = recall_of(
         "ivf_pq_rerank", _rerank_topk(e, scored).filter(F.col("rk") <= TOP_K)

@@ -906,7 +906,14 @@ def agg_mean_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=True: ln/reciprocal + DECIMAL(38,10) folding is CPU-bound
     # and otherwise single-threaded in the one-row-group scan (A/B:
     # 2.15s -> 0.96s, oracle hash unchanged).
-    t = load_table(spark, sf_dir, "lineitem", spread=True).select(
+    # columns=: the spread exchange carries 2 columns, not 16 (r14).
+    t = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        spread=True,
+        columns=["l_returnflag", "l_quantity"],
+    ).select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_quantity").cast("long").alias("q"),
     )

@@ -703,7 +703,9 @@ def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=True: the stack() fan-out (5x rows) + distinct-count
     # expand all fuse into the scan stage; one row group means one
     # core does all of it (A/B: -0.43s, oracle hash unchanged).
-    o = load_table(spark, sf_dir, "orders", spread=True)
+    # columns=: the exchange carries the 5 FD columns, not all 6 (r14).
+    _fd_cols = sorted({c for xy in FD_CANDIDATES for c in xy})
+    o = load_table(spark, sf_dir, "orders", spread=True, columns=_fd_cols)
     # ONE scan, not five unioned scans: stack() fans each row out to
     # its five (fd, x, y) pairs after a single pruned projection —
     # at 100 TB this reads each needed column chunk once.

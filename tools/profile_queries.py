@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Per-query optimization profiler (round 13).
+"""Per-query optimization profiler (rounds 13+).
 
 For each named query: capture .explain("formatted") to
-plans/r13/<name>_<tag>.txt, then time N collect() runs (same action the
-bench uses) plus one noop-sink run, and print per-query timings with
+plans/<round>/<name>_<tag>.txt, then time N collect() runs (same action
+the bench uses) plus one noop-sink run, and print per-query timings with
 exchange counts. Usage:
 
     python tools/profile_queries.py --tag before q1_pricing_summary ...
@@ -31,6 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", dest="round_dir", default="r14")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--json-out", default="")
@@ -53,12 +54,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # Warm the JVM exactly like bench.py does.
-    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
-    qs["mm_extract_features"](spark, "/root/testdata/sf0.001").collect()
+    # Warm the JVM exactly like bench.py does; derive the warmup dir
+    # from the SF_DIR root so the tool works wherever the fixtures live
+    # (ADVICE r13: the hardcoded /root/testdata/sf0.001 crashed in
+    # environments without that exact path).
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    qs["q1_pricing_summary"](spark, warm_dir).collect()
+    qs["mm_extract_features"](spark, warm_dir).collect()
     release_all(spark)
 
-    plan_dir = os.path.join(HERE, "plans", "r13")
+    plan_dir = os.path.join(HERE, "plans", args.round_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     results = {}
